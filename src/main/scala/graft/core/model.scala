@@ -1,0 +1,117 @@
+package graft.core
+
+import java.time.Instant
+
+/** Record envelope — the fixed row shape of a sharded ordered stream.
+  *
+  * Mirrors the reference's record type surface (go-zoom-kinesis uses the AWS
+  * `Record` struct: sequence number, partition key, opaque byte payload,
+  * arrival timestamp; see reference `src/processor.rs:26,233-253`). The payload
+  * is opaque bytes by design — schema interpretation happens at the edge, in
+  * the user's processor (reference `src/lib.rs:95-113`).
+  *
+  * In Spark this is the schema of the ingestion `Dataset[KRecord]`; `shardId`
+  * is carried on the row (the natural Spark encoding of "which partition"),
+  * exactly the shape the public Spark Kinesis connectors use.
+  */
+final case class KRecord(
+    sequenceNumber: String,
+    partitionKey: String,
+    data: Array[Byte],
+    approximateArrivalTimestamp: Option[java.sql.Timestamp],
+    shardId: String
+) {
+  def dataUtf8: String = new String(data, java.nio.charset.StandardCharsets.UTF_8)
+}
+
+object KRecord {
+  import org.apache.spark.sql.types._
+  /** Fixed envelope StructType (SURVEY §1.1). */
+  val schema: StructType = StructType(Seq(
+    StructField("sequenceNumber", StringType, nullable = false),
+    StructField("partitionKey", StringType, nullable = false),
+    StructField("data", BinaryType, nullable = false),
+    StructField("approximateArrivalTimestamp", TimestampType, nullable = true),
+    StructField("shardId", StringType, nullable = false)
+  ))
+}
+
+/** Per-attempt processing context passed to the record processor.
+  * Reference: `src/processor.rs:204-267` (`RecordMetadata`): shard id plus an
+  * attempt counter that starts at 0 on the first call and increments on each
+  * soft-failure retry (`src/processor.rs:1488,1506-1510`; pinned by the
+  * reference's own test at `src/processor.rs:2205`).
+  */
+final case class RecordMetadata(shardId: String, sequenceNumber: String, attemptNumber: Int)
+
+/** Metadata handed to the pre-checkpoint validation hook.
+  * Reference: `src/processor.rs:291-309`. */
+final case class CheckpointMetadata(shardId: String, sequenceNumber: String)
+
+/** Where to begin consuming a shard when no stored checkpoint wins.
+  * Reference: `src/processor.rs:312-322`. */
+sealed trait InitialPosition
+object InitialPosition {
+  case object TrimHorizon extends InitialPosition
+  case object Latest extends InitialPosition
+  final case class AtSequenceNumber(sequenceNumber: String) extends InitialPosition
+  final case class AtTimestamp(timestamp: Instant) extends InitialPosition
+}
+
+/** Shard iterator request types (superset of InitialPosition: the engine also
+  * opens iterators *after* a checkpointed sequence number).
+  * Reference: `src/client.rs:47-54,108-165`. */
+sealed trait ShardIteratorType
+object ShardIteratorType {
+  case object TrimHorizon extends ShardIteratorType
+  case object Latest extends ShardIteratorType
+  final case class AtSequenceNumber(sequenceNumber: String) extends ShardIteratorType
+  final case class AfterSequenceNumber(sequenceNumber: String) extends ShardIteratorType
+  final case class AtTimestamp(timestamp: Instant) extends ShardIteratorType
+}
+
+/** Monitoring configuration. Reference: `src/monitoring/types.rs:13-37`
+  * (defaults: disabled, channel 1000, 60 s window, rate limit 1000/s). */
+final case class MonitoringConfig(
+    enabled: Boolean = false,
+    channelSize: Int = 1000,
+    metricsIntervalMs: Long = 60000L,
+    includeRetryDetails: Boolean = false,
+    rateLimitPerSecond: Option[Int] = Some(1000)
+)
+
+/** Engine configuration. Mirrors the reference's `ProcessorConfig`
+  * (`src/processor.rs:336-387`) with the same defaults:
+  * batch_size 100, api_timeout 30 s (declared, never enforced — kept for
+  * fidelity, see reference `src/processor.rs:343` with no call site),
+  * processing_timeout 300 s/attempt, no total timeout, TrimHorizon,
+  * prefer stored checkpoint, min batch accumulation 100 ms, max 10 poll
+  * loops per processing batch (`src/processor.rs:363-366,373-384`).
+  */
+final case class ProcessorConfig(
+    streamName: String,
+    batchSize: Int = 100,
+    apiTimeoutMs: Long = 30000L,
+    processingTimeoutMs: Long = 300000L,
+    totalTimeoutMs: Option[Long] = None,
+    initialPosition: InitialPosition = InitialPosition.TrimHorizon,
+    preferStoredCheckpoint: Boolean = true,
+    maxConcurrentShards: Option[Int] = None,
+    shardRefreshIntervalMs: Long = 60000L,
+    minimumBatchRetrievalTimeMs: Long = 100L,
+    maxBatchRetrievalLoops: Option[Int] = Some(10),
+    monitoring: MonitoringConfig = MonitoringConfig()
+) {
+  /** Validation mirroring `src/processor.rs:1701-1717` (the reference panics
+    * on invalid config at construction, `src/processor.rs:599-602`). */
+  def validate(): Either[String, ProcessorConfig] =
+    if (streamName.isEmpty) Left("stream name cannot be empty")
+    else if (batchSize <= 0) Left("batch size must be positive")
+    else if (processingTimeoutMs <= 0) Left("processing timeout must be positive")
+    else if (maxConcurrentShards.exists(_ <= 0)) Left("max concurrent shards must be positive")
+    else if (maxBatchRetrievalLoops.exists(_ <= 0)) Left("max batch retrieval loops must be positive")
+    else Right(this)
+
+  def validated(): ProcessorConfig =
+    validate().fold(msg => throw new IllegalArgumentException(msg), identity)
+}
