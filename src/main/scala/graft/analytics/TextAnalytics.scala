@@ -1,0 +1,172 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data-
+  * pipeline surface (language-ID, quality scoring, token counting, document
+  * fingerprinting). All pure column expressions: whole-stage-codegen'd,
+  * shuffle-free per-document computation; only explicit aggregations shuffle.
+  *
+  * Determinism discipline: ratios are single IEEE double divisions of exact
+  * integers (bit-identical across engines); no transcendental functions; no
+  * engine-specific hash functions in any oracle-checked output.
+  */
+object TextAnalytics {
+
+  import Tables._
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Per-document structural stats: chars, words, distinct words, punctuation,
+    * stopwords. Everything is a higher-order array function over one split —
+    * no explode, no shuffle. */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      size(words(col("text"))).cast("long").as("n_words"),
+      size(array_distinct(words(col("text")))).cast("long").as("n_uniq_words"),
+      size(expr("filter(split(text, ' '), w -> w IN ('" + stop.mkString("','") + "'))"))
+        .cast("long").as("n_stopwords"),
+      length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long").as("n_punct")
+    ).orderBy(col("doc_id"))
+  }
+
+  val textStatsOracle: String =
+    """SELECT doc_id,
+      |length(text) AS n_chars_calc,
+      |len(string_split(text, ' ')) AS n_words,
+      |len(list_distinct(string_split(text, ' '))) AS n_uniq_words,
+      |len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','it'))) AS n_stopwords,
+      |length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality score: fixed-tree double arithmetic over exact integer counts —
+    * deterministic bit-for-bit, so it oracle-checks. Mirrors the usual
+    * pretraining quality heuristics (word length, stopword ratio, uniqueness). */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val nWords = size(words(col("text"))).cast("double")
+    val nUniq = size(array_distinct(words(col("text")))).cast("double")
+    val nStop = size(expr(
+      "filter(split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','it'))")).cast("double")
+    val nChars = length(col("text")).cast("double")
+    documents(s, d).select(
+      col("doc_id"),
+      (nUniq / nWords).as("uniq_ratio"),
+      (nStop / nWords).as("stopword_ratio"),
+      (nChars / nWords).as("avg_word_len")
+    ).orderBy(col("doc_id"))
+  }
+
+  val qualityScoreOracle: String =
+    """SELECT doc_id,
+      |CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS uniq_ratio,
+      |CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(string_split(text,' ')) AS stopword_ratio,
+      |CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) AS avg_word_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language-ID by stopword-list voting (n-gram-free heuristic; the classic
+    * cheap LID for pretraining filtering). Deterministic CASE tie-break. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    def hits(ws: Seq[String]): Column =
+      size(expr("filter(split(lower(text), ' '), w -> w IN ('" + ws.mkString("','") + "'))"))
+    val en = hits(Seq("the", "and", "of", "to", "is"))
+    val de = hits(Seq("der", "die", "und", "ist", "das"))
+    val fr = hits(Seq("le", "la", "et", "est", "les"))
+    val es = hits(Seq("el", "la", "y", "es", "los"))
+    documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es").as("guessed_lang")
+    ).orderBy(col("doc_id"))
+  }
+
+  val langIdOracle: String =
+    """SELECT doc_id, lang AS labeled_lang,
+      |CASE
+      |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+      |  WHEN de >= fr AND de >= es THEN 'de'
+      |  WHEN fr >= es THEN 'fr'
+      |  ELSE 'es' END AS guessed_lang
+      |FROM (SELECT doc_id, lang,
+      |  len(list_filter(string_split(lower(text),' '), w -> w IN ('the','and','of','to','is'))) AS en,
+      |  len(list_filter(string_split(lower(text),' '), w -> w IN ('der','die','und','ist','das'))) AS de,
+      |  len(list_filter(string_split(lower(text),' '), w -> w IN ('le','la','et','est','les'))) AS fr,
+      |  len(list_filter(string_split(lower(text),' '), w -> w IN ('el','la','y','es','los'))) AS es
+      |  FROM documents) t ORDER BY doc_id""".stripMargin
+
+  /** BPE-ish token counting: letter runs | digit runs | single punctuation.
+    * The regex is RE2-and-Java-compatible so the oracle computes the same. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("n_tokens"),
+      (length(col("text")).cast("double") /
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+        .as("chars_per_token")
+    ).orderBy(col("doc_id"))
+
+  val tokenCountOracle: String =
+    """SELECT doc_id,
+      |len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+      |CAST(length(text) AS DOUBLE) / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: polynomial rolling hash over word codes, mod a
+    * prime — engine-neutral (no xxhash/murmur in the checked output), exact
+    * int64 arithmetic, computed per-row with a fold (no shuffle). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      expr(
+        """aggregate(
+          |  transform(split(text, ' '), w -> CAST(ascii(w) * 101 + length(w) AS BIGINT)),
+          |  CAST(0 AS BIGINT),
+          |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin).as("fingerprint")
+    ).orderBy(col("doc_id"))
+
+  val fingerprintOracle: String =
+    """SELECT doc_id,
+      |list_reduce(
+      |  list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ' '), w -> CAST(ascii(w) * 101 + length(w) AS BIGINT))),
+      |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus rollup per language: the aggregate view a pipeline dashboards. */
+  def langStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+
+  val langStatsOracle: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_text_stats" -> (textStats _),
+    "t2_quality_score" -> (qualityScore _),
+    "t3_lang_id" -> (langId _),
+    "t4_token_count" -> (tokenCount _),
+    "t5_fingerprint" -> (fingerprint _),
+    "t6_lang_stats" -> (langStats _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_text_stats" -> textStatsOracle,
+    "t2_quality_score" -> qualityScoreOracle,
+    "t3_lang_id" -> langIdOracle,
+    "t4_token_count" -> tokenCountOracle,
+    "t5_fingerprint" -> fingerprintOracle,
+    "t6_lang_stats" -> langStatsOracle
+  )
+}
