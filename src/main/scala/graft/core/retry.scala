@@ -50,8 +50,14 @@ final case class RetryConfig(
 )
 
 /** Cooperative shutdown signal — the watch-channel equivalent
-  * (reference `src/processor.rs:532-552` and every await point). */
-final class ShutdownSignal {
+  * (reference `src/processor.rs:532-552` and every await point).
+  *
+  * Serializable so it can ride in task closures, but note: a closure gets a
+  * serialized COPY, so a trigger() after task launch is not visible across
+  * JVM/serialization boundaries. Same-JVM uses (driver-side commit loops,
+  * tests, local mode direct calls) see it live; executor-side cancellation
+  * is Spark task interruption, which the processing loop also honors. */
+final class ShutdownSignal extends Serializable {
   private[this] val flag = new AtomicBoolean(false)
   def trigger(): Unit = flag.set(true)
   def isShutdown: Boolean = flag.get()
