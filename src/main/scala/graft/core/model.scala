@@ -100,17 +100,28 @@ final case class ProcessorConfig(
     shardRefreshIntervalMs: Long = 60000L,
     minimumBatchRetrievalTimeMs: Long = 100L,
     maxBatchRetrievalLoops: Option[Int] = Some(10),
+    /** Client-level GetRecords retry bound (reference default Some(3),
+      * threaded into the client — `src/processor.rs:352,377`, `client.rs:203`). */
+    maxRetries: Option[Int] = Some(3),
     monitoring: MonitoringConfig = MonitoringConfig()
 ) {
   /** Validation mirroring `src/processor.rs:1701-1717` (the reference panics
-    * on invalid config at construction, `src/processor.rs:599-602`). */
+    * on invalid config at construction, `src/processor.rs:599-602`),
+    * including the initial-position checks (non-empty AtSequenceNumber,
+    * non-pre-epoch AtTimestamp). */
   def validate(): Either[String, ProcessorConfig] =
     if (streamName.isEmpty) Left("stream name cannot be empty")
     else if (batchSize <= 0) Left("batch size must be positive")
     else if (processingTimeoutMs <= 0) Left("processing timeout must be positive")
     else if (maxConcurrentShards.exists(_ <= 0)) Left("max concurrent shards must be positive")
     else if (maxBatchRetrievalLoops.exists(_ <= 0)) Left("max batch retrieval loops must be positive")
-    else Right(this)
+    else initialPosition match {
+      case InitialPosition.AtSequenceNumber(seq) if seq.isEmpty =>
+        Left("initial position sequence number cannot be empty")
+      case InitialPosition.AtTimestamp(ts) if ts.isBefore(java.time.Instant.EPOCH) =>
+        Left("initial position timestamp cannot be before epoch")
+      case _ => Right(this)
+    }
 
   def validated(): ProcessorConfig =
     validate().fold(msg => throw new IllegalArgumentException(msg), identity)

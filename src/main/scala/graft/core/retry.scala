@@ -78,7 +78,16 @@ object ShutdownSignal {
 object RetryHandle {
   /** Run `op` until it succeeds, retries are exhausted, or shutdown fires.
     * Sleep is chunked so an in-flight backoff wakes promptly on shutdown
-    * (the reference races the sleep against the watch channel). */
+    * (the reference races the sleep against the watch channel).
+    *
+    * Deliberate deviation from the reference's attempt indexing: the
+    * reference passes a 1-based count to `next_delay` (first sleep =
+    * initial×multiplier; `retry/mod.rs:88`) and `maxRetries = N` means N
+    * total calls (`retry/mod.rs:79-85`). Here the backoff index is 0-based
+    * (first sleep = the configured initial delay — the conventional
+    * schedule) and `maxRetries = N` means N retries after the first call
+    * (N+1 calls), which matches the reference's own processor-level test
+    * expectation (`processor.rs:2212`). */
   def retry[A](config: RetryConfig, shutdown: ShutdownSignal = ShutdownSignal.never)(
       op: Int => A): Either[RetryError, A] = {
     var attempt = 0

@@ -40,6 +40,7 @@ final class RetryingCheckpointStore(
     underlying: CheckpointStore,
     config: RetryConfig = RetryConfig(),
     shutdown: ShutdownSignal = ShutdownSignal.never,
+    swallowBoundedFailure: Boolean = false,
     onSwallowedError: (String, Throwable) => Unit = (_, _) => ()
 ) extends CheckpointStore {
 
@@ -49,15 +50,31 @@ final class RetryingCheckpointStore(
       case Left(e)  => throw CheckpointError(s"get_checkpoint($shardId) failed", e)
     }
 
+  /** Bounded-retry exhaustion SURFACES by default (throws CheckpointError),
+    * matching the reference store returning the error after bounded retries
+    * (`store/dynamodb.rs:173-182`) so the processor can convert it into a
+    * soft error retried until success (`processor.rs:1620-1626`) — a
+    * checkpoint is never silently skipped. The reference's warn-and-continue
+    * behavior is the explicit `swallowBoundedFailure = true` policy. */
   override def saveCheckpoint(shardId: String, sequenceNumber: String): Unit =
     RetryHandle.retry(config, shutdown)(_ => underlying.saveCheckpoint(shardId, sequenceNumber)) match {
       case Right(_) => ()
       case Left(e: RetryError.Interrupted) =>
         throw CheckpointError(s"save_checkpoint($shardId) interrupted", e)
       case Left(e) =>
-        // Bounded-retry variant: warn and continue (reference store/dynamodb.rs:173-182).
-        onSwallowedError(shardId, e)
+        if (swallowBoundedFailure) onSwallowedError(shardId, e)
+        else throw CheckpointError(s"save_checkpoint($shardId) failed after bounded retries", e)
     }
+}
+
+/** JVM-local registry so a store instance can be referenced from DSv2
+  * string options (the source's O6 checkpoint-wins rule needs a store at
+  * planning time). Same pattern as SourceClientRegistry. */
+object CheckpointStoreRegistry {
+  private val stores = new java.util.concurrent.ConcurrentHashMap[String, CheckpointStore]()
+  def register(key: String, store: CheckpointStore): Unit = { stores.put(key, store); () }
+  def get(key: String): Option[CheckpointStore] = Option(stores.get(key))
+  def unregister(key: String): Unit = { stores.remove(key); () }
 }
 
 /** Durable file-backed store: one tiny key=value file per shard under `dir`,
@@ -78,7 +95,10 @@ final class FileCheckpointStore(dir: String, keyPrefix: String = "") extends Che
 
   override def saveCheckpoint(shardId: String, sequenceNumber: String): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val tmp = Paths.get(dir, s".$keyPrefix$shardId.tmp")
+    // Unique tmp per write: concurrent writers for the same shard (task
+    // retry / speculation) must not race on one tmp name.
+    val tmp = Paths.get(dir,
+      s".$keyPrefix$shardId.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp, sequenceNumber.getBytes("UTF-8"))
     Files.move(tmp, path(shardId), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE): Unit

@@ -1,0 +1,208 @@
+package graft.engine
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core._
+import graft.monitoring.{EventSink, ProcessingEvent, ProcessingEventType, ShardEventType}
+import graft.processor.{Processed, RecordProcessing, RecordProcessor}
+import graft.sources.{SourceClient, SourceClientRegistry}
+
+/** Per-shard commit work computed executor-side per micro-batch. */
+final case class CommitTask(
+    shardId: String,
+    lastSuccessfulSequence: Option[String],
+    successCount: Long,
+    failCount: Long,
+    itemCount: Long,
+    validated: Boolean
+)
+
+/** The engine orchestrator — `KinesisProcessor` re-expressed on Structured
+  * Streaming (SURVEY §3.1 trace, §7 step 6):
+  *
+  *   - O1 `new`: config validated at construction (reference panics,
+  *     `src/processor.rs:599-602`; here it throws)
+  *   - O2 `run`: blocking loop with optional `total_timeout` →
+  *     `TotalProcessingTimeout` (`processor.rs:624-670`)
+  *   - O3: task-per-shard parallelism is the source's partition planning;
+  *     `maxConcurrentShards` caps it by coalescing partitions (the
+  *     semaphore analog — fewer concurrent workers, per-shard order kept)
+  *   - O8: cooperative shutdown → `query.stop()`; the in-flight epoch is
+  *     abandoned, matching the reference abandoning the in-flight batch
+  *   - T2/K4 commit path (`processor.rs:1561-1629`): per shard, after each
+  *     micro-batch — `beforeCheckpoint` validation (Soft → re-validate
+  *     forever, Hard → commit anyway) runs executor-side per shard; the
+  *     checkpoint save runs with infinite soft retry so it is never
+  *     silently skipped; failed records are dead-lettered and the
+  *     checkpoint advances past them.
+  *
+  * Two checkpoint layers by design (SURVEY §1.1): Spark's offset/commit log
+  * is the engine checkpoint (exactly-once restart of stream positions); the
+  * [[CheckpointStore]] is the application checkpoint, the analog of the
+  * reference's DynamoDB table.
+  */
+final class GraftProcessor[T](
+    val config: ProcessorConfig,
+    processor: RecordProcessor[T],
+    client: SourceClient,
+    store: CheckpointStore,
+    sink: EventSink = EventSink.Noop,
+    onItems: (Dataset[T], Long) => Unit = (_: Dataset[T], _: Long) => ()
+)(implicit itemEnc: Encoder[T], processedEnc: Encoder[Processed[T]]) {
+
+  config.validated() // O1
+
+  private val instanceId = s"${config.streamName}#${UUID.randomUUID().toString.take(8)}"
+  private val sinkHandle: EventSink =
+    if (sink == EventSink.Noop) EventSink.Noop else EventSink.register(instanceId, sink)
+  private val sinkIdOpt: Option[String] =
+    if (sink == EventSink.Noop) None else Some(instanceId)
+
+  /** Build + start the streaming query. */
+  def start(spark: SparkSession, checkpointLocation: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // R4: client-internal throttle retry, bound from config.maxRetries
+    // (`client.rs:195-229`, threaded like `processor.rs:352,377`).
+    val effectiveClient = client match {
+      case i: graft.sources.IndexedSourceClient =>
+        new graft.sources.IndexedThrottleRetryingClient(i, config.maxRetries.getOrElse(3))
+      case c => new graft.sources.ThrottleRetryingClient(c, config.maxRetries.getOrElse(3))
+    }
+    SourceClientRegistry.register(instanceId, effectiveClient)
+    CheckpointStoreRegistry.register(instanceId, store)
+
+    val reader = spark.readStream.format("graft-stream")
+      .option("client", instanceId)
+      .option("streamName", config.streamName)
+      .option("batchSize", config.batchSize.toString)
+      .option("maxBatchRetrievalLoops", config.maxBatchRetrievalLoops.getOrElse(10).toString)
+      .option("preferStoredCheckpoint", config.preferStoredCheckpoint.toString)
+      .option("checkpointStore", instanceId)
+      .option("initialPosition", config.initialPosition match {
+        case InitialPosition.TrimHorizon => "trim_horizon"
+        case InitialPosition.Latest => "latest"
+        case InitialPosition.AtSequenceNumber(s) => s"at_sequence:$s"
+        case InitialPosition.AtTimestamp(t) => s"at_timestamp:${t.toEpochMilli}"
+      })
+    sinkIdOpt.foreach(id => reader.option("eventSink", id))
+
+    val raw = reader.load().as[KRecord](org.apache.spark.sql.Encoders.product[KRecord])
+    // O3 concurrency cap: coalesce merges shard partitions (order within
+    // each shard preserved), bounding concurrent shard workers like the
+    // reference's Semaphore (`processor.rs:679-683`).
+    val capped = config.maxConcurrentShards.fold(raw)(raw.coalesce)
+
+    capped.writeStream
+      .queryName(s"graft-${config.streamName}")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch((batch: Dataset[KRecord], batchId: Long) => runBatch(batch, batchId))
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One micro-batch: T3 processing → T2 validation → K4 commit → items out. */
+  private def runBatch(batch: Dataset[KRecord], batchId: Long): Unit = {
+    val t0 = System.nanoTime()
+    emitAll(ProcessingEventType.BatchStart(System.currentTimeMillis()))
+    val processed = RecordProcessing.process(batch, processor, config, sinkHandle).cache()
+    try {
+      val session = processed.sparkSession
+      import session.implicits._
+
+      // Executor-side per-shard fold + T2 validation (items stay distributed)
+      val proc = processor
+      val sinkH = sinkHandle
+      val commits = processed.groupByKey(_.shardId).mapGroups { (shardId, it) =>
+        var success = 0L; var failed = 0L
+        var lastSuccess: Option[String] = None
+        val items = Vector.newBuilder[T]
+        it.foreach { p =>
+          if (p.failed) failed += 1
+          else {
+            success += 1
+            if (lastSuccess.forall(_ < p.sequenceNumber)) lastSuccess = Some(p.sequenceNumber)
+            p.item.foreach(items += _)
+          }
+        }
+        val collected = items.result()
+        // T2: Soft → re-validate forever; Hard → log, commit anyway
+        // (`processor.rs:1561-1606`)
+        var validated = false
+        var done = collected.isEmpty || lastSuccess.isEmpty
+        while (!done) {
+          proc.beforeCheckpoint(collected, CheckpointMetadata(shardId, lastSuccess.get)) match {
+            case Right(()) => validated = true; done = true
+            case Left(_: BeforeCheckpointError.SoftError) =>
+              if (Thread.currentThread().isInterrupted) done = true
+            case Left(e: BeforeCheckpointError.HardError) =>
+              sinkH.emit(ProcessingEvent(System.currentTimeMillis(), shardId,
+                ProcessingEventType.CheckpointFailure(lastSuccess.get, e.getMessage)))
+              validated = true; done = true
+          }
+        }
+        CommitTask(shardId, lastSuccess, success, failed, collected.length.toLong, validated)
+      }.collect() // tiny: one row per shard
+
+      // K4 driver-side: save app checkpoints with infinite soft retry —
+      // never silently skipped (`processor.rs:1607-1629`).
+      val retryingStore = new RetryingCheckpointStore(store, RetryConfig(maxRetries = None))
+      commits.foreach { c =>
+        // reference checkpoints only when the batch produced items
+        // (`processor.rs:1461-1466`)
+        if (c.itemCount > 0 && c.lastSuccessfulSequence.isDefined) {
+          retryingStore.saveCheckpoint(c.shardId, c.lastSuccessfulSequence.get)
+          emitAll(ProcessingEventType.Checkpoint(c.lastSuccessfulSequence.get,
+            success = true, None), c.shardId)
+        }
+      }
+
+      onItems(processed.flatMap(_.item), batchId)
+
+      val durMs = (System.nanoTime() - t0) / 1000000L
+      emitAll(ProcessingEventType.BatchComplete(
+        commits.map(_.successCount).sum, commits.map(_.failCount).sum, durMs))
+    } finally {
+      processed.unpersist()
+      ()
+    }
+  }
+
+  /** O2 — run until drained (AvailableNow), shutdown, or total timeout
+    * (`processor.rs:624-670`). */
+  def run(spark: SparkSession, checkpointLocation: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      shutdown: ShutdownSignal = ShutdownSignal.never): Either[ProcessorError, Unit] = {
+    val query = start(spark, checkpointLocation, trigger)
+    val deadline = config.totalTimeoutMs.map(System.nanoTime() + _ * 1000000L)
+    try {
+      while (query.isActive) {
+        if (shutdown.isShutdown) { // O8 graceful: Ok after stop
+          query.stop()
+          emitAll(ProcessingEventType.ShardEvent(ShardEventType.Interrupted, Some("shutdown")))
+          return Right(())
+        }
+        if (deadline.exists(System.nanoTime() > _)) {
+          query.stop()
+          return Left(ProcessorError.TotalProcessingTimeout)
+        }
+        query.awaitTermination(50L)
+      }
+      Option(query.exception).flatten match {
+        case Some(e) => Left(ProcessorError.ClientError(e.getMessage, e))
+        case None => Right(())
+      }
+    } finally cleanup()
+  }
+
+  def cleanup(): Unit = {
+    SourceClientRegistry.unregister(instanceId)
+    CheckpointStoreRegistry.unregister(instanceId)
+    sinkIdOpt.foreach(EventSink.unregister)
+  }
+
+  private def emitAll(et: ProcessingEventType, shardId: String = "*"): Unit =
+    sink.emit(ProcessingEvent(System.currentTimeMillis(), shardId, et))
+}

@@ -112,7 +112,7 @@ object EventSink {
       Option(EventSink.registry.get(id)).foreach(_.emit(event))
   }
 
-  private val registry = new java.util.concurrent.ConcurrentHashMap[String, Bounded]()
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, EventSink]()
 
   /** Create + register a JVM-local bounded queue; returns the serializable
     * handle and the local queue. */
@@ -120,6 +120,12 @@ object EventSink {
     val b = new Bounded(capacity)
     registry.put(id, b)
     (Registered(id), b)
+  }
+
+  /** Register an arbitrary sink under an id (serializable handle = Registered(id)). */
+  def register(id: String, sink: EventSink): Registered = {
+    registry.put(id, sink)
+    Registered(id)
   }
 
   def unregister(id: String): Unit = { registry.remove(id); () }

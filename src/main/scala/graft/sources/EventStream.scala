@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.KRecord
+
+/** Builds the offline stand-in stream from the `events` table: rows are
+  * hashed to shards by `user_id` (the partition key — Kinesis semantics:
+  * same key → same shard → ordered), ordered within a shard by
+  * `(ts, event_id)`, with zero-padded `event_id` as the sequence number.
+  *
+  * The collect is driver-side by design: this materializes the MOCK service
+  * (the analog of the reference's scripted `MockKinesisClient`) — it is the
+  * test/offline harness, not the data path. The engine's scale path reads
+  * through the DSv2 source whose readers pull per-shard slices; a production
+  * deployment swaps in a network-backed [[SourceClient]].
+  */
+object EventStream {
+
+  def clientFromParquet(spark: SparkSession, eventsPath: String,
+      numShards: Int = 8): InMemorySourceClient = {
+    import spark.implicits._
+    val rows = spark.read.parquet(eventsPath)
+      .select(
+        format_string("%016d", col("event_id")).as("sequenceNumber"),
+        col("user_id").cast("string").as("partitionKey"),
+        encode(concat_ws("|", col("event_type"), col("value").cast("string"), col("props")), "UTF-8")
+          .as("data"),
+        (col("ts") / 1000000L).cast("timestamp").as("approximateArrivalTimestamp"),
+        concat(lit("shard-"), pmod(col("user_id"), lit(numShards)).cast("string")).as("shardId"),
+        col("ts").as("ord"))
+      .as[(String, String, Array[Byte], Option[java.sql.Timestamp], String, Long)]
+      .collect()
+    val shards = rows.toIndexedSeq
+      .map { case (seq, pk, data, ts, shard, ord) => (KRecord(seq, pk, data, ts, shard), ord) }
+      .groupBy(_._1.shardId)
+      .map { case (shard, rs) =>
+        shard -> rs.sortBy(r => (r._2, r._1.sequenceNumber)).map(_._1)
+      }
+    new InMemorySourceClient(shards)
+  }
+}

@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.core._
+
+/** A shard descriptor (reference `Shard` — only the id is consumed,
+  * `src/processor.rs:687`). */
+final case class ShardInfo(shardId: String)
+
+/** One getRecords poll result: the records plus the next cursor; `None`
+  * next-iterator with empty records = end of shard (O9,
+  * `src/processor.rs:1034-1048`). */
+final case class GetRecordsResult(records: Seq[KRecord], nextIterator: Option[String])
+
+/** Client-level failures, mirroring `KinesisClientError`
+  * (`/root/reference/src/client.rs:12-33`). */
+sealed abstract class SourceClientError(msg: String) extends Exception(msg)
+object SourceClientError {
+  final case class ExpiredIterator(iterator: String)
+      extends SourceClientError(s"iterator expired: $iterator")
+  final case class Throttled(msg: String) extends SourceClientError(s"throughput exceeded: $msg")
+  final case class AccessDenied(msg: String) extends SourceClientError(s"access denied: $msg")
+  final case class Other(msg: String) extends SourceClientError(msg)
+}
+
+/** S1–S3 — the source abstraction, a synchronous mirror of the reference's
+  * `KinesisClientTrait` (`/root/reference/src/client.rs:41-65`). The real
+  * AWS implementation is a thin adapter over the SDK (not constructible in
+  * this offline environment); the in-memory and scripted implementations
+  * below power deterministic tests and the offline parquet-backed stream,
+  * exactly like the reference's own mock-driven test strategy
+  * (`src/test/mocks.rs:26-174`).
+  */
+trait SourceClient extends Serializable {
+  def listShards(streamName: String): Seq[ShardInfo]
+  def getShardIterator(streamName: String, shardId: String, iteratorType: ShardIteratorType): String
+  /** May throw [[SourceClientError]] subtypes. */
+  def getRecords(iterator: String, limit: Int): GetRecordsResult
+}
+
+/** R4 — client-internal throttle retry (`/root/reference/src/client.rs:195-229`):
+  * Throttled → retry ≤ maxRetries with `100ms · 2^(n-1)` delay;
+  * ExpiredIterator / AccessDenied → fail fast (the caller owns iterator
+  * renewal, O7). */
+class ThrottleRetryingClient(
+    underlying: SourceClient,
+    maxRetries: Int = 3,
+    baseDelayMs: Long = 100L,
+    sleep: Long => Unit = Thread.sleep
+) extends SourceClient {
+  override def listShards(streamName: String): Seq[ShardInfo] = underlying.listShards(streamName)
+  override def getShardIterator(streamName: String, shardId: String, it: ShardIteratorType): String =
+    underlying.getShardIterator(streamName, shardId, it)
+  override def getRecords(iterator: String, limit: Int): GetRecordsResult = {
+    var retry = 0
+    while (true) {
+      try return underlying.getRecords(iterator, limit)
+      catch {
+        case e: SourceClientError.ExpiredIterator => throw e
+        case e: SourceClientError.AccessDenied => throw e
+        case e: SourceClientError =>
+          if (retry >= maxRetries) throw e
+          retry += 1
+          sleep(baseDelayMs * (1L << (retry - 1)))
+      }
+    }
+    sys.error("unreachable")
+  }
+}
+
+/** A [[SourceClient]] whose shards are randomly addressable by record
+  * index. The micro-batch planner needs this to define exactly-replayable
+  * offset ranges (start/end indices) at planning time — stronger than real
+  * Kinesis semantics (where offsets are opaque sequence numbers and
+  * admission is approximate), and the right contract for a file/parquet-
+  * backed stream at scale. A real Kinesis adapter would instead implement
+  * sequence-number offsets with best-effort admission; the reference itself
+  * has no planning layer (its S4 loop just polls until empty,
+  * `src/processor.rs:997-1213`). */
+trait IndexedSourceClient extends SourceClient {
+  def shardLength(streamName: String, shardId: String): Long
+  def iteratorAtIndex(streamName: String, shardId: String, index: Long): String
+}
+
+/** [[ThrottleRetryingClient]] that preserves the indexed contract (the
+  * micro-batch source requires it). */
+final class IndexedThrottleRetryingClient(
+    underlying: IndexedSourceClient,
+    maxRetries: Int = 3,
+    baseDelayMs: Long = 100L
+) extends ThrottleRetryingClient(underlying, maxRetries, baseDelayMs) with IndexedSourceClient {
+  override def shardLength(streamName: String, shardId: String): Long =
+    underlying.shardLength(streamName, shardId)
+  override def iteratorAtIndex(streamName: String, shardId: String, index: Long): String =
+    underlying.iteratorAtIndex(streamName, shardId, index)
+}
+
+/** Deterministic in-memory sharded stream: `shardId → ordered records`.
+  * Iterators are `"{shardId}#{index}"` cursors. This is the offline stand-in
+  * for a real stream service, used by the custom micro-batch source; at
+  * production scale the same trait fronts the network client, and record
+  * data never flows through the driver (readers pull shard slices directly).
+  */
+class InMemorySourceClient(
+    val shards: Map[String, IndexedSeq[KRecord]]
+) extends IndexedSourceClient {
+
+  override def shardLength(streamName: String, shardId: String): Long =
+    shards.get(shardId).fold(0L)(_.length.toLong)
+
+  override def iteratorAtIndex(streamName: String, shardId: String, index: Long): String =
+    cursor(shardId, index.toInt)
+
+  protected def cursor(shardId: String, idx: Int): String = s"$shardId#$idx"
+  protected def parseCursor(it: String): (String, Int) = {
+    val i = it.lastIndexOf('#')
+    (it.substring(0, i), it.substring(i + 1).toInt)
+  }
+
+  override def listShards(streamName: String): Seq[ShardInfo] =
+    shards.keys.toSeq.sorted.map(ShardInfo)
+
+  override def getShardIterator(streamName: String, shardId: String,
+      iteratorType: ShardIteratorType): String = {
+    val recs = shards.getOrElse(shardId,
+      throw SourceClientError.Other(s"unknown shard $shardId"))
+    iteratorType match {
+      case ShardIteratorType.TrimHorizon => cursor(shardId, 0)
+      case ShardIteratorType.Latest => cursor(shardId, recs.length)
+      case ShardIteratorType.AtSequenceNumber(seq) =>
+        cursor(shardId, math.max(0, recs.indexWhere(_.sequenceNumber >= seq)))
+      case ShardIteratorType.AfterSequenceNumber(seq) =>
+        val i = recs.indexWhere(_.sequenceNumber > seq)
+        cursor(shardId, if (i < 0) recs.length else i)
+      case ShardIteratorType.AtTimestamp(ts) =>
+        val millis = ts.toEpochMilli
+        val i = recs.indexWhere(_.approximateArrivalTimestamp.exists(_.getTime >= millis))
+        cursor(shardId, if (i < 0) recs.length else i)
+    }
+  }
+
+  override def getRecords(iterator: String, limit: Int): GetRecordsResult = {
+    val (shardId, idx) = parseCursor(iterator)
+    val recs = shards.getOrElse(shardId,
+      throw SourceClientError.Other(s"unknown shard $shardId"))
+    val slice = recs.slice(idx, idx + limit)
+    val nextIdx = idx + slice.length
+    val next = if (nextIdx >= recs.length) None else Some(cursor(shardId, nextIdx))
+    GetRecordsResult(slice, next)
+  }
+}
+
+/** Scripted failure-injecting client for tests — the mirror of the
+  * reference's `MockKinesisClient` (`/root/reference/src/test/mocks.rs:26-174`):
+  * error scripts are consumed per call in FIFO order before the underlying
+  * in-memory data serves the request. */
+final class ScriptedSourceClient(
+    shards: Map[String, IndexedSeq[KRecord]]
+) extends InMemorySourceClient(shards) {
+
+  private val getRecordsErrors = new ConcurrentLinkedQueue[SourceClientError]()
+  private val listShardsScripts = new ConcurrentLinkedQueue[Seq[ShardInfo]]()
+  private val getRecordsCalls = new AtomicInteger(0)
+
+  def scriptGetRecordsError(e: SourceClientError): Unit = { getRecordsErrors.add(e); () }
+  def scriptListShards(s: Seq[ShardInfo]): Unit = { listShardsScripts.add(s); () }
+  def recordsCallCount: Int = getRecordsCalls.get()
+
+  override def listShards(streamName: String): Seq[ShardInfo] =
+    Option(listShardsScripts.poll()).getOrElse(super.listShards(streamName))
+
+  override def getRecords(iterator: String, limit: Int): GetRecordsResult = {
+    getRecordsCalls.incrementAndGet()
+    Option(getRecordsErrors.poll()) match {
+      case Some(e) => throw e
+      case None => super.getRecords(iterator, limit)
+    }
+  }
+}
+
+/** JVM-local registry so a client instance can be referenced from DSv2
+  * string options (`.option("client", key)`). Local-mode/test plumbing; a
+  * cluster deployment constructs clients from options instead (class-name +
+  * config), since DSv2 options only carry strings. */
+object SourceClientRegistry {
+  private val clients = new java.util.concurrent.ConcurrentHashMap[String, SourceClient]()
+  def register(key: String, client: SourceClient): Unit = { clients.put(key, client); () }
+  def get(key: String): SourceClient =
+    Option(clients.get(key)).getOrElse(
+      throw new IllegalArgumentException(s"no SourceClient registered under '$key'"))
+  def unregister(key: String): Unit = { clients.remove(key); () }
+}

@@ -61,17 +61,35 @@ class StoreSpec extends AnyFunSuite {
     assert(s2.getCheckpoint("missing").isEmpty)
   }
 
-  test("retrying store: bounded-retry save swallows errors and warns (store/dynamodb.rs:173-182)") {
+  test("retrying store: bounded-retry save surfaces failure by default; swallow is opt-in (store/dynamodb.rs:173-182)") {
     var swallowed = 0
     val failing = new CheckpointStore {
       def getCheckpoint(s: String): Option[String] = Some("g")
       def saveCheckpoint(s: String, n: String): Unit = sys.error("dynamo down")
     }
-    val store = new RetryingCheckpointStore(failing,
+    // default: surface the exhaustion so the commit harness can convert it
+    // into a soft error retried until success (processor.rs:1620-1626)
+    intercept[CheckpointError] {
+      new RetryingCheckpointStore(failing, RetryConfig(Some(2), FixedBackoff(1)))
+        .saveCheckpoint("s", "1")
+    }
+    // opt-in policy: the reference's warn-and-continue
+    val swallowing = new RetryingCheckpointStore(failing,
       RetryConfig(Some(2), FixedBackoff(1)),
+      swallowBoundedFailure = true,
       onSwallowedError = (_, _) => swallowed += 1)
-    store.saveCheckpoint("s", "1") // must NOT throw
+    swallowing.saveCheckpoint("s", "1") // must NOT throw
     assert(swallowed == 1)
+  }
+
+  test("config validation rejects invalid initial positions (processor.rs:1701-1717)") {
+    assert(ProcessorConfig("s",
+      initialPosition = InitialPosition.AtSequenceNumber("")).validate().isLeft)
+    assert(ProcessorConfig("s",
+      initialPosition = InitialPosition.AtTimestamp(java.time.Instant.ofEpochMilli(-1)))
+      .validate().isLeft)
+    assert(ProcessorConfig("s",
+      initialPosition = InitialPosition.AtSequenceNumber("0042")).validate().isRight)
   }
 
   test("retrying store: get surfaces failure as CheckpointError (processor.rs:765-791)") {

@@ -1,0 +1,159 @@
+package graft.engine
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.core._
+import graft.processor.RecordProcessor
+import graft.sources.InMemorySourceClient
+
+/** Orchestration + commit path, mirroring:
+  * checkpoint recovery resume (`tests/test_suite2.rs:117-168`),
+  * graceful shutdown (`test_suite2.rs:276-332`),
+  * total timeout (`src/processor.rs:2515-2614`),
+  * before_checkpoint soft/hard behavior (`test_suite3.rs:333`),
+  * checkpoint retry (`test_suite3.rs:429`). */
+class GraftProcessorSpec extends AnyFunSuite with Matchers with SparkSpec {
+  import GraftProcessorSpec._
+
+  private def mkShards(n: Int, per: Int): Map[String, IndexedSeq[KRecord]] =
+    (0 until n).map { s =>
+      s"shard-$s" -> (0 until per).map(i =>
+        KRecord(f"$i%010d", s"pk-$i", s"payload-$s-$i".getBytes("UTF-8"), None, s"shard-$s"))
+    }.toMap
+
+  private def tmp(): String = Files.createTempDirectory("graft-engine").toString
+
+  private def newProcessor(
+      proc: RecordProcessor[String],
+      store: CheckpointStore,
+      shards: Map[String, IndexedSeq[KRecord]],
+      config: ProcessorConfig = ProcessorConfig("t")) = {
+    val s = spark; import s.implicits._
+    collected.clear()
+    new GraftProcessor[String](config, proc, new InMemorySourceClient(shards), store,
+      onItems = (ds, _) => { collected.addAll(java.util.Arrays.asList(ds.collect(): _*)); () })
+  }
+
+  test("end-to-end slice: ingest → process → commit; items and checkpoints correct") {
+    val store = new InMemoryCheckpointStore
+    val gp = newProcessor(new Echo, store, mkShards(2, 100))
+    gp.run(spark, tmp()) shouldBe Right(())
+    collected.size() shouldBe 200
+    store.all shouldBe Map("shard-0" -> "0000000099", "shard-1" -> "0000000099")
+  }
+
+  test("hard failures dead-letter; checkpoint advances past them (§3.2)") {
+    val store = new InMemoryCheckpointStore
+    val gp = newProcessor(new HardOn50, store, mkShards(1, 100))
+    gp.run(spark, tmp()) shouldBe Right(())
+    collected.size() shouldBe 99
+    store.all("shard-0") shouldBe "0000000099" // past the failed 0000000050
+  }
+
+  test("checkpoint recovery: restart with same app store resumes after stored sequence (test_suite2.rs:117-168)") {
+    val store = new InMemoryCheckpointStore
+    val shards = mkShards(1, 100)
+    newProcessor(new Echo, store, shards).run(spark, tmp()) shouldBe Right(())
+    collected.size() shouldBe 100
+    // fresh engine checkpoint dir, same app store → O6 starts after stored seq
+    newProcessor(new Echo, store, shards).run(spark, tmp()) shouldBe Right(())
+    collected.size() shouldBe 0
+  }
+
+  test("before_checkpoint HardError: logged, checkpoint proceeds anyway (processor.rs:1561-1606)") {
+    val store = new InMemoryCheckpointStore
+    val gp = newProcessor(new HardValidator, store, mkShards(1, 10))
+    gp.run(spark, tmp()) shouldBe Right(())
+    store.all("shard-0") shouldBe "0000000009"
+  }
+
+  test("before_checkpoint SoftError: re-validated until success (test_suite3.rs:333)") {
+    val store = new InMemoryCheckpointStore
+    softValidatorCalls.set(0)
+    val gp = newProcessor(new SoftValidator, store, mkShards(1, 10))
+    gp.run(spark, tmp()) shouldBe Right(())
+    softValidatorCalls.get() shouldBe 4 // 3 soft failures + 1 success
+    store.all("shard-0") shouldBe "0000000009"
+  }
+
+  test("checkpoint save is retried until success, never skipped (test_suite3.rs:429, ADVICE r1)") {
+    flakySaves.set(0)
+    val store = new FlakySaveStore(failures = 3)
+    val gp = newProcessor(new Echo, store, mkShards(1, 10))
+    gp.run(spark, tmp()) shouldBe Right(())
+    flakySaves.get() shouldBe 4
+    store.all.get("shard-0") shouldBe Some("0000000009")
+  }
+
+  test("graceful shutdown: run returns Ok, in-flight work abandoned (test_suite2.rs:276-332)") {
+    val store = new InMemoryCheckpointStore
+    val shutdown = new ShutdownSignal
+    val gp = newProcessor(new Echo, store, mkShards(2, 50))
+    new Thread(() => { Thread.sleep(1500); shutdown.trigger() }).start()
+    // continuous trigger: would run forever without the shutdown
+    val result = gp.run(spark, tmp(), Trigger.ProcessingTime(100), shutdown)
+    result shouldBe Right(())
+  }
+
+  test("total timeout: run returns TotalProcessingTimeout (processor.rs:624-670,2515)") {
+    val store = new InMemoryCheckpointStore
+    val gp = newProcessor(new Echo, store, mkShards(1, 10),
+      ProcessorConfig("t", totalTimeoutMs = Some(1500L)))
+    val result = gp.run(spark, tmp(), Trigger.ProcessingTime(100))
+    result shouldBe Left(ProcessorError.TotalProcessingTimeout)
+  }
+
+  test("invalid config rejected at construction (O1, processor.rs:599-602)") {
+    val s = spark; import s.implicits._
+    assertThrows[IllegalArgumentException] {
+      new GraftProcessor[String](ProcessorConfig("", batchSize = 0), new Echo,
+        new InMemorySourceClient(Map.empty), new InMemoryCheckpointStore)
+    }
+  }
+}
+
+object GraftProcessorSpec {
+  val collected = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val softValidatorCalls = new AtomicInteger(0)
+  val flakySaves = new AtomicInteger(0)
+
+  final class Echo extends RecordProcessor[String] {
+    override def processRecord(r: KRecord, m: RecordMetadata) = Right(Some(r.dataUtf8))
+  }
+
+  final class HardOn50 extends RecordProcessor[String] {
+    override def processRecord(r: KRecord, m: RecordMetadata) =
+      if (r.sequenceNumber == "0000000050") Left(ProcessingError.HardFailure("poison"))
+      else Right(Some(r.dataUtf8))
+  }
+
+  final class HardValidator extends RecordProcessor[String] {
+    override def processRecord(r: KRecord, m: RecordMetadata) = Right(Some(r.dataUtf8))
+    override def beforeCheckpoint(items: Seq[String], meta: CheckpointMetadata) =
+      Left(BeforeCheckpointError.HardError("validation says no, commit anyway"))
+  }
+
+  final class SoftValidator extends RecordProcessor[String] {
+    override def processRecord(r: KRecord, m: RecordMetadata) = Right(Some(r.dataUtf8))
+    override def beforeCheckpoint(items: Seq[String], meta: CheckpointMetadata) =
+      if (softValidatorCalls.incrementAndGet() <= 3)
+        Left(BeforeCheckpointError.SoftError("not yet"))
+      else Right(())
+  }
+
+  final class FlakySaveStore(failures: Int) extends CheckpointStore {
+    private val inner = new InMemoryCheckpointStore
+    def all: Map[String, String] = inner.all
+    override def getCheckpoint(shardId: String): Option[String] = inner.getCheckpoint(shardId)
+    override def saveCheckpoint(shardId: String, sequenceNumber: String): Unit = {
+      if (flakySaves.incrementAndGet() <= failures) sys.error("store down")
+      inner.saveCheckpoint(shardId, sequenceNumber)
+    }
+  }
+}
