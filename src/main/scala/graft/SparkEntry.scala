@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.analytics.{Dedup, RelationalQueries, StreamingQueries, TextAnalytics}
+import graft.analytics.{Dedup, Multimodal, NearDup, RelationalQueries, Similarity, StreamingQueries, TextAnalytics}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextAnalytics.queries ++ Dedup.queries ++
-      StreamingQueries.queries
+      StreamingQueries.queries ++ NearDup.queries ++ Similarity.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextAnalytics.oracles ++ Dedup.oracles ++
-      StreamingQueries.oracles
+      StreamingQueries.oracles ++ NearDup.oracles ++ Similarity.oracles ++
+      Multimodal.oracles
 }

@@ -1,0 +1,185 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents` — the scale-critical family:
+  * MinHash+LSH (shingle → minhash → band → bucket-join), SimHash bit-vote,
+  * and exact n-gram Jaccard verification.
+  *
+  * 100 TB design rules embodied here (VERDICT r1):
+  *   - NEVER all-pairs: candidates come from bucket self-joins on
+  *     (band, bandHash) keys — the shuffle key is 16 bytes, the pair set is
+  *     bounded by bucket occupancy, and a `crossJoin` never appears in the
+  *     plan (asserted by PlanSpec);
+  *   - signatures are fixed-width arrays computed per-row with higher-order
+  *     functions (codegen, no explode of shingles through a shuffle);
+  *   - exact verification joins only the candidate pairs back to the
+  *     shingle arrays.
+  *
+  * LSH parameters: 64 hashes, 32 bands × 2 rows. P(candidate | J) =
+  * 1-(1-J²)³²: J=0.5 → 0.9999, J=0.9 → 1-1e-16 — effectively exhaustive at
+  * the 0.5 threshold, so the DuckDB brute-force oracle matches the LSH
+  * output exactly (false positives are removed by exact verification).
+  */
+object NearDup {
+
+  import Tables._
+
+  private val numHashes = 64
+  private val bandRows = 2
+  private val numBands = numHashes / bandRows
+  private val threshold = 0.5
+
+  /** Word 3-gram shingle set (distinct), guarded for short docs (Spark's
+    * `sequence(0, n)` with n<0 would produce a descending sequence). */
+  private def shingles(text: Column): Column = {
+    val ws = split(regexp_replace(lower(text), "\\s+", " "), " ")
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** doc_id + shingle array + minhash signature (array of 64 mins). */
+  private def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", array((0 until numHashes).map(h =>
+        array_min(transform(col("sh"), s => xxhash64(lit(h), s)))): _*))
+
+  /** Candidate pairs from banded buckets: explode 32 (band, bandHash) keys
+    * per doc, self-join per bucket, dedupe pairs. */
+  private def candidatePairs(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("doc_id"), posexplode(
+      array((0 until numBands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * bandRows + 1, bandRows))): _*))
+      .as(Seq("band", "bandHash")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash LSH near-dup: candidates → exact Jaccard verify ≥ 0.5.
+    * Output matches the brute-force oracle (recall ≈ 1 at the threshold,
+    * exact verify kills false positives). */
+  def minhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(documents(s, d)).cache()
+    val sh = sigs.select(col("doc_id"), col("sh"))
+    candidatePairs(sigs)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |  CASE WHEN len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) >= 3 THEN
+      |    list_distinct(list_transform(
+      |      generate_series(1, len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) - 2),
+      |      i -> string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i] || ' ' ||
+      |           string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i+1] || ' ' ||
+      |           string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i+2]))
+      |  ELSE [] END AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact n-gram Jaccard as a standalone similarity operator: for the
+    * first 20 docs, the most similar other document (probe side broadcast;
+    * top-1 via window, never a global sort). */
+  def ngramJaccardTop1(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = documents(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
+    val probes = sh.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("probe_id"), col("sh").as("probe_sh"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("jaccard").desc, col("doc_id"))
+    broadcast(probes)
+      .join(sh, col("doc_id") =!= col("probe_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("probe_sh"), col("sh"))).cast("double") /
+          size(array_union(col("probe_sh"), col("sh"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("probe_id"), col("doc_id").as("best_match"), col("jaccard"))
+      .orderBy(col("probe_id"))
+  }
+
+  val ngramJaccardOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |  CASE WHEN len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) >= 3 THEN
+      |    list_distinct(list_transform(
+      |      generate_series(1, len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) - 2),
+      |      i -> string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i] || ' ' ||
+      |           string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i+1] || ' ' ||
+      |           string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i+2]))
+      |  ELSE [] END AS sh
+      |  FROM documents)
+      |SELECT probe_id, best_match, jaccard FROM (
+      |  SELECT a.doc_id AS probe_id, b.doc_id AS best_match,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard,
+      |    row_number() OVER (PARTITION BY a.doc_id
+      |      ORDER BY CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) DESC,
+      |               b.doc_id) AS rk
+      |  FROM d a JOIN d b ON b.doc_id != a.doc_id
+      |  WHERE a.doc_id < 20)
+      |WHERE rk = 1 ORDER BY probe_id""".stripMargin
+
+  /** SimHash: 64-bit fingerprint by per-bit voting over token hashes —
+    * per-row fold, codegen'd, no shuffle. Near-dup = banded bucket join on
+    * 4×16-bit sub-keys, verified by Hamming distance ≤ 6 via bit_count.
+    * Hash values are engine-specific (xxhash64) → registered rows-only. */
+  def simhashNearDup(s: SparkSession, d: String): DataFrame = {
+    // votes[i] = Σ over tokens of (bit i of xxhash64(token) ? +1 : -1);
+    // simhash = Σ (votes[i] > 0) << i. One per-row fold, codegen'd.
+    val sim = expr(
+      """aggregate(
+        |  zip_with(
+        |    aggregate(
+        |      transform(split(regexp_replace(lower(text), '\\s+', ' '), ' '), t -> xxhash64(t)),
+        |      array_repeat(0L, 64),
+        |      (acc, h) -> zip_with(acc,
+        |        transform(sequence(0, 63), i -> (shiftright(h, i) & 1L) * 2L - 1L),
+        |        (a, b) -> a + b)),
+        |    sequence(0, 63),
+        |    (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END),
+        |  0L, (a, b) -> a | b)""".stripMargin)
+    val sigs = documents(s, d)
+      .select(col("doc_id"), sim.as("simhash"))
+      .withColumn("bands", array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*))
+    val banded = sigs.select(col("doc_id"), col("simhash"), explode(col("bands")).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n1_minhash_neardup" -> (minhashNearDup _),
+    "n2_ngram_jaccard_top1" -> (ngramJaccardTop1 _),
+    "n3_simhash_neardup" -> (simhashNearDup _)
+  )
+
+  /** n3 omitted: simhash values are engine-specific (rows-only check). */
+  val oracles: Map[String, String] = Map(
+    "n1_minhash_neardup" -> minhashOracle,
+    "n2_ngram_jaccard_top1" -> ngramJaccardOracle
+  )
+}
