@@ -49,8 +49,13 @@ object ProcessorDemo {
         concat(lit("shard-"), pmod(col("user_id"), lit(8)).cast("string")).as("shardId"))
       .as[KRecord]
 
+    // Attach the monitoring pipeline: events → windowed per-shard metrics
+    val aggregator = new graft.monitoring.MetricsAggregator(windowMs = 60000L)
+    val (sinkHandle, _) = graft.monitoring.EventSink.registered("demo-sink")
+    graft.monitoring.EventSink.register("demo-sink", aggregator)
+
     val processed = RecordProcessing.process(records, new PurchaseProcessor,
-      ProcessorConfig("events", processingTimeoutMs = 10000L))
+      ProcessorConfig("events", processingTimeoutMs = 10000L), sink = sinkHandle)
 
     val out = processed.cache()
     println(s"records=${out.count()} items=${out.filter(_.item.isDefined).count()} " +
@@ -58,6 +63,11 @@ object ProcessorDemo {
       s"retried=${out.filter(_.attempts > 0).count()}")
     out.filter(p => p.failed || p.attempts > 0).show(5, truncate = false)
     RecordProcessing.batchResults(out).orderBy("shardId").show(10, truncate = false)
+    aggregator.snapshot.toSeq.sortBy(_._1).foreach { case (shard, m) =>
+      println(f"$shard%-9s processed=${m.recordsProcessed}%4d failed=${m.recordsFailed} " +
+        f"soft=${m.softErrors} retries=${m.retryAttempts} avg=${m.avgProcessingTimeMs}%.2fms")
+    }
+    graft.monitoring.EventSink.unregister("demo-sink")
     spark.stop()
   }
 }

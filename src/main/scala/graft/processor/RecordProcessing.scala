@@ -92,9 +92,9 @@ object RecordProcessing {
       val durMs = (System.nanoTime() - t0) / 1000000L
       outcome match {
         case Right(itemOpt) =>
-          sink.emit(event(record.shardId,
-            ProcessingEventType.RecordAttempt(seq, success = true, attempt, durMs, None,
-              isFinalAttempt = true)))
+          // success emits ONLY RecordSuccess (reference `processor.rs:1499-1503`;
+          // successful attempts are not RecordAttempt events — emitting both
+          // would double-count records_processed in the M4 fold)
           sink.emit(event(record.shardId,
             ProcessingEventType.RecordSuccess(seq, checkpointSuccess = false)))
           return Processed(record.shardId, seq, itemOpt, failed = false, attempt, None)

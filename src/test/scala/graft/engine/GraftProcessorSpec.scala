@@ -109,6 +109,17 @@ class GraftProcessorSpec extends AnyFunSuite with Matchers with SparkSpec {
     result shouldBe Left(ProcessorError.TotalProcessingTimeout)
   }
 
+  test("concurrency cap serializes shard work: 4 shards x 200ms, cap 2 => >= 400ms (test_suite2.rs:216-273)") {
+    val store = new InMemoryCheckpointStore
+    val gp = newProcessor(new Slow200, store, mkShards(4, 1),
+      ProcessorConfig("t", maxConcurrentShards = Some(2)))
+    val t0 = System.nanoTime()
+    gp.run(spark, tmp()) shouldBe Right(())
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    collected.size() shouldBe 4
+    wallMs should be >= 400L // 2 waves of 2 shards — the semaphore analog works
+  }
+
   test("invalid config rejected at construction (O1, processor.rs:599-602)") {
     val s = spark; import s.implicits._
     assertThrows[IllegalArgumentException] {
@@ -145,6 +156,12 @@ object GraftProcessorSpec {
       if (softValidatorCalls.incrementAndGet() <= 3)
         Left(BeforeCheckpointError.SoftError("not yet"))
       else Right(())
+  }
+
+  final class Slow200 extends RecordProcessor[String] {
+    override def processRecord(r: KRecord, m: RecordMetadata) = {
+      Thread.sleep(200); Right(Some(r.dataUtf8))
+    }
   }
 
   final class FlakySaveStore(failures: Int) extends CheckpointStore {

@@ -51,13 +51,17 @@ class RecordProcessingSpec extends AnyFunSuite with Matchers with SparkSpec {
       out.length shouldBe 5
       all(out.map(_.failed)) shouldBe false
       out.find(_.sequenceNumber == "0000000003").get.attempts shouldBe 12
-      // Reference asserts via the monitoring event stream (test_suite3.rs:67-116)
-      val attempts = queue.drain().map(_.eventType).collect {
+      // Reference asserts via the monitoring event stream (test_suite3.rs:67-116):
+      // soft failures are RecordAttempt events, the success is RecordSuccess
+      val events = queue.drain().map(_.eventType)
+      val attempts = events.collect {
         case a: ProcessingEventType.RecordAttempt if a.sequenceNumber == "0000000003" => a
       }
       attempts.count(!_.success) shouldBe 12
-      attempts.count(_.success) shouldBe 1
-      attempts.filter(!_.success).map(_.attemptNumber).sorted shouldBe (0 until 12)
+      attempts.map(_.attemptNumber).sorted shouldBe (0 until 12)
+      events.collect {
+        case s: ProcessingEventType.RecordSuccess if s.sequenceNumber == "0000000003" => s
+      }.length shouldBe 1
     } finally EventSink.unregister("soft-retry-spec")
   }
 
