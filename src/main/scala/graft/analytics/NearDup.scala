@@ -31,22 +31,28 @@ object NearDup {
   private val numBands = numHashes / bandRows
   private val threshold = 0.5
 
-  /** Word 3-gram shingle set (distinct), guarded for short docs (Spark's
-    * `sequence(0, n)` with n<0 would produce a descending sequence). */
-  private def shingles(text: Column): Column = {
-    val ws = split(regexp_replace(lower(text), "\\s+", " "), " ")
-    when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(0), size(ws) - 3),
-        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Sorted distinct xxhash64 values of word 3-gram shingles — the native
+    * graft_shingle_hashes expression (one per-row loop; hash values are
+    * bit-identical to `xxhash64(concat_ws(' ', w1, w2, w3))`, so candidate
+    * generation and Jaccard match the string-shingle oracle exactly modulo
+    * 64-bit collisions). */
+  private def shingleHashes(text: Column): Column =
+    expr(s"graft_shingle_hashes(split(regexp_replace(lower(${text.toString}), '\\\\s+', ' '), ' '))")
 
-  /** doc_id + shingle array + minhash signature (array of 64 mins). */
-  private def signatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+  /** doc_id + hashed shingle set + minhash signature (array of 64 mins).
+    *
+    * Perf shape (measured at sf0.1): shingle STRINGS are hashed exactly
+    * once (`xxhash64` per shingle, sorted for merge-walk Jaccard); the
+    * 64-permutation signature is the native codegen'd
+    * [[graft.functions.MinHashSignature]] expression — Spark's higher-order
+    * functions are interpreted (CodegenFallback), which made this ~100M
+    * boxed lambda evals before (12-24 s at sf0.1 vs sub-second native). */
+  private def signatures(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", array((0 until numHashes).map(h =>
-        array_min(transform(col("sh"), s => xxhash64(lit(h), s)))): _*))
+      .withColumn("sig", expr("graft_minhash(sh)"))
+  }
 
   /** Candidate pairs from banded buckets: explode 32 (band, bandHash) keys
     * per doc, self-join per bucket, dedupe pairs. */
@@ -71,9 +77,7 @@ object NearDup {
     candidatePairs(sigs)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", expr("graft_jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -101,16 +105,17 @@ object NearDup {
     * top-1 via window, never a global sort). */
   def ngramJaccardTop1(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = documents(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
+    graft.functions.GraftFunctions.register(s)
+    // sorted long shingle-hash sets: the pairwise Jaccard is a native
+    // merge-walk (graft_jaccard_sorted), not per-pair hash sets
+    val sh = documents(s, d).select(col("doc_id"), shingleHashes(col("text")).as("sh"))
     val probes = sh.filter(col("doc_id") < 20)
       .select(col("doc_id").as("probe_id"), col("sh").as("probe_sh"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("jaccard").desc, col("doc_id"))
     broadcast(probes)
       .join(sh, col("doc_id") =!= col("probe_id"))
-      .withColumn("jaccard",
-        size(array_intersect(col("probe_sh"), col("sh"))).cast("double") /
-          size(array_union(col("probe_sh"), col("sh"))))
+      .withColumn("jaccard", expr("graft_jaccard_sorted(probe_sh, sh)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("probe_id"), col("doc_id").as("best_match"), col("jaccard"))
@@ -143,21 +148,13 @@ object NearDup {
     * Hash values are engine-specific (xxhash64) → registered rows-only. */
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
     // votes[i] = Σ over tokens of (bit i of xxhash64(token) ? +1 : -1);
-    // simhash = Σ (votes[i] > 0) << i. One per-row fold, codegen'd.
-    val sim = expr(
-      """aggregate(
-        |  zip_with(
-        |    aggregate(
-        |      transform(split(regexp_replace(lower(text), '\\s+', ' '), ' '), t -> xxhash64(t)),
-        |      array_repeat(0L, 64),
-        |      (acc, h) -> zip_with(acc,
-        |        transform(sequence(0, 63), i -> (shiftright(h, i) & 1L) * 2L - 1L),
-        |        (a, b) -> a + b)),
-        |    sequence(0, 63),
-        |    (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END),
-        |  0L, (a, b) -> a | b)""".stripMargin)
+    // simhash = Σ (votes[i] > 0) << i — the native codegen'd
+    // graft_simhash expression (one tight loop per row).
+    graft.functions.GraftFunctions.register(s)
+    val tokens = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
     val sigs = documents(s, d)
-      .select(col("doc_id"), sim.as("simhash"))
+      .withColumn("th", transform(tokens, t => xxhash64(t)))
+      .select(col("doc_id"), expr("graft_simhash(th)").as("simhash"))
       .withColumn("bands", array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*))

@@ -29,24 +29,24 @@ object Similarity {
 
   private val dim = 64
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Native one-pass cosine (graft_cosine, codegen'd) — the higher-order
+    * zip_with/aggregate formulation is interpreted per element. */
+  private def cosine(a: String, b: String): Column = expr(s"graft_cosine($a, $b)")
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  private def withNorm(df: DataFrame, vecCol: String): DataFrame =
-    df.withColumn("vnorm", norm(col(vecCol).cast("array<double>")))
-      .withColumn("v", col(vecCol).cast("array<double>"))
+  private def withVec(df: DataFrame, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("v", col(vecCol).cast("array<double>"))
+  }
 
   /** e1 — brute-force cosine top-k for probe vectors (vec_id < 8, k=5). */
   def bruteCosineTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val emb = withNorm(embeddings(s, d), "embedding").select(col("vec_id"), col("v"), col("vnorm"))
+    val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
     val probes = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("vnorm").as("pnorm"))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
     broadcast(probes)
       .join(emb, col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", dot(col("pv"), col("v")) / (col("pnorm") * col("vnorm")))
+      .withColumn("cosine", cosine("pv", "v"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -68,40 +68,44 @@ object Similarity {
       |  WHERE a.vec_id < 8)
       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * centered pseudo-uniform derived from xxhash64 — executors compute it
-    * inline, nothing is broadcast or randomized at the driver. */
-  private def planeComponent(plane: Int, i: Column): Column =
-    (pmod(xxhash64(lit(plane), i), lit(2001L)).cast("double") - 1000.0d) / 1000.0d
+  /** 32-bit sign signature against deterministic hyperplanes — native
+    * codegen'd expression (graft_hyperplane_sig); the plane matrix is a
+    * compile-time constant, nothing random at the driver. */
+  private def signature(v: Column): Column = expr(s"graft_hyperplane_sig(${v.toString})")
 
-  /** 16-bit sign signature of a vector against 16 deterministic hyperplanes. */
-  private def signature(v: Column): Column =
-    (0 until 16).map { p =>
-      val proj = aggregate(
-        zip_with(v, transform(sequence(lit(0), lit(dim - 1)), i => planeComponent(p, i)),
-          (x, h) => x * h),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Two 16-bit bands of the 32-plane signature — 65k buckets per band, so
+    * label-clustered corpora (vectors sharing sign patterns) don't produce
+    * giant buckets. */
+  private def withBands(df: DataFrame): DataFrame =
+    df.withColumn("bands", array((0 until 2).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*))
 
-  /** e2 — LSH-bucketed ANN: candidates share at least one 8-bit signature
-    * band with the probe; cosine verify + top-k within candidates only. */
+  /** e2 — LSH-bucketed ANN: candidates share at least one signature band
+    * with the probe; cosine verify + top-k within candidates only.
+    * Candidates are ID PAIRS until after dedup — vectors never ride
+    * through the exploded join or the distinct. */
   def lshCosineTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val emb = withNorm(embeddings(s, d), "embedding")
-      .select(col("vec_id"), col("v"), col("vnorm"), signature(col("v")).as("sig"))
-      .withColumn("bands", array((0 until 2).map(b =>
+    val emb = withVec(embeddings(s, d), "embedding")
+      .select(col("vec_id"), col("v"), signature(col("v")).as("sig"))
+    // top-k ANN wants RECALL at moderate similarity → short bands, many of
+    // them (8 bands × 4 bits): P(candidate | cos≈0.4) ≈ 0.75 while still
+    // pruning ~half the corpus per probe. Near-dup (e3) uses long bands.
+    val annBanded = emb.withColumn("bands", array((0 until 8).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 8).bitwiseAND(0xFFL).as("key"))): _*))
-    val banded = emb.select(col("vec_id"), col("v"), col("vnorm"), explode(col("bands")).as("bk"))
-    val probes = banded.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("vnorm").as("pnorm"), col("bk"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
-    broadcast(probes)
-      .join(banded, probes("bk") === banded("bk") && col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("pv"), col("pnorm"), col("vec_id"), col("v"), col("vnorm"))
+          shiftright(col("sig"), b * 4).bitwiseAND(0xFL).as("key"))): _*))
+    val banded = annBanded.select(col("vec_id"), explode(col("bands")).as("bk"))
+    val probeBands = banded.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("bk"))
+    val candidates = broadcast(probeBands)
+      .join(banded, probeBands("bk") === banded("bk") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
       .distinct()
-      .withColumn("cosine", dot(col("pv"), col("v")) / (col("pnorm") * col("vnorm")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    candidates
+      .join(broadcast(emb.select(col("vec_id").as("probe_id"), col("v").as("pv"))), "probe_id")
+      .join(emb.select(col("vec_id"), col("v")), "vec_id")
+      .withColumn("cosine", cosine("pv", "v"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -118,18 +122,19 @@ object Similarity {
     val doubled = base.unionByName(
       base.withColumn("vec_id", col("vec_id") + 1000000L)
         .withColumn("embedding", transform(col("embedding"), x => x * 2.0f)))
-    val emb = withNorm(doubled, "embedding")
-      .select(col("vec_id"), col("v"), col("vnorm"), signature(col("v")).as("sig"))
-      .withColumn("bands", array((0 until 2).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 8).bitwiseAND(0xFFL).as("key"))): _*))
-    val banded = emb.select(col("vec_id"), col("v"), col("vnorm"), explode(col("bands")).as("bk"))
-    banded.as("a").join(banded.as("b"),
+    val emb = withVec(doubled, "embedding")
+      .select(col("vec_id"), col("v"), signature(col("v")).as("sig"))
+    // id-only candidate pairs from bucket self-join; vectors join back
+    // AFTER dedup — the distinct shuffles 16-byte pairs, never vectors
+    val banded = withBands(emb).select(col("vec_id"), explode(col("bands")).as("bk"))
+    val candidates = banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("a.v").as("va"), col("a.vnorm").as("na"),
-        col("b.vec_id").as("vec_b"), col("b.v").as("vb"), col("b.vnorm").as("nb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    candidates
+      .join(emb.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .withColumn("cosine", cosine("va", "vb"))
       .filter(col("cosine") >= 0.95)
       .select(col("vec_a"), col("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))

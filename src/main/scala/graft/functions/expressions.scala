@@ -1,0 +1,425 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot analytics loops.
+  *
+  * Why these exist (measured at sf0.1): Spark's higher-order functions
+  * (`transform`/`aggregate`/`zip_with`) are CodegenFallback — every element
+  * goes through an interpreted, boxing lambda. The minhash signature alone
+  * is ~100M element-ops at sf0.1 (5k docs × ~300 shingles × 64 permutations)
+  * and took ~12–24 s interpreted. Each expression below is the same math as
+  * the higher-order formulation (bit-for-bit identical results, pinned by
+  * the DuckDB oracles) compiled to a tight primitive loop via `doGenCode`,
+  * with an `eval` twin for interpreted contexts.
+  *
+  * Constants for the minhash permutations are splitmix64-derived and the
+  * products are provably < 2^63 (30-bit masked hash × 32-bit odd constant),
+  * so ANSI mode can never see an overflow.
+  */
+object MinHashConstants {
+  val numHashes = 64
+  private def mix(i: Int): Long = {
+    var z = i.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    (z ^ (z >>> 31)) | 1L
+  }
+  val A: Array[Long] = (0 until numHashes).map(h => mix(h) & 0xFFFFFFFFL | 1L).toArray
+  val B: Array[Long] = (0 until numHashes).map(h => mix(h + 1000) & 0x3FFFFFFFL).toArray
+
+  def signatureOf(hashes: Array[Long]): Array[Long] = {
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < hashes.length) {
+      val x = hashes(i) & 0x3FFFFFFFL
+      var h = 0
+      while (h < numHashes) {
+        val v = x * A(h) + B(h)
+        if (v < out(h)) out(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** `graft_minhash(array<bigint>) → array<bigint>` — 64-element minhash
+  * signature over pre-hashed shingles. */
+case class MinHashSignature(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child), Seq(ArrayType(LongType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) { hashes(i) = arr.getLong(i); i += 1 }
+    new GenericArrayData(MinHashConstants.signatureOf(hashes))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val a = ctx.addReferenceObj("minhashA", MinHashConstants.A, "long[]")
+      val b = ctx.addReferenceObj("minhashB", MinHashConstants.B, "long[]")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val x = ctx.freshName("x")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $out = new long[${MinHashConstants.numHashes}];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $x = $c.getLong($i) & 0x3FFFFFFFL;
+         |  for (int $h = 0; $h < ${MinHashConstants.numHashes}; $h++) {
+         |    long $v = $x * $a[$h] + $b[$h];
+         |    if ($v < $out[$h]) $out[$h] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** `graft_simhash(array<bigint>) → bigint` — 64-bit SimHash by per-bit
+  * voting over token hashes. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child), Seq(ArrayType(LongType)))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = arr.getLong(i)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) sim |= (1L << bit); bit += 1 }
+    sim
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val bit = ctx.freshName("bit")
+      val sim = ctx.freshName("sim")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $bit = 0; $bit < 64; $bit++) {
+         |    if ((($h >>> $bit) & 1L) == 1L) $votes[$bit]++; else $votes[$bit]--;
+         |  }
+         |}
+         |long $sim = 0L;
+         |for (int $bit = 0; $bit < 64; $bit++) {
+         |  if ($votes[$bit] > 0) $sim |= (1L << $bit);
+         |}
+         |${ev.value} = $sim;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `graft_cosine(array<double>, array<double>) → double` — one-pass cosine
+  * similarity (dot and both norms in a single loop; same left-to-right
+  * accumulation order as the `aggregate` fold it replaces). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(left, right),
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i); double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_jaccard_sorted(array<bigint>, array<bigint>) → double` — Jaccard
+  * similarity of two SORTED DISTINCT long arrays by merge-walk:
+  * O(n+m), no per-pair hash sets. Callers sort upstream once
+  * (`sort_array(array_distinct(...))`) — amortized over all pairs. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(left, right),
+      Seq(ArrayType(LongType), ArrayType(LongType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var inter = 0L
+    val n = a.numElements(); val m = b.numElements()
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = n.toLong + m.toLong - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val union = ctx.freshName("union")
+      s"""
+         |int $i = 0; int $j = 0; long $inter = 0L;
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |while ($i < $n && $j < $m) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $inter++; $i++; $j++; }
+         |  else if ($x < $y) $i++;
+         |  else $j++;
+         |}
+         |long $union = (long) $n + (long) $m - $inter;
+         |${ev.value} = ($union == 0L) ? 0.0 : ((double) $inter) / $union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_shingle_hashes(array<string>, n) → array<bigint>` — the sorted,
+  * de-duplicated xxhash64 values (seed 42, identical to the SQL `xxhash64`)
+  * of word n-gram shingles, in one per-row loop. Replaces the interpreted
+  * `sort_array(transform(... concat_ws ... array_distinct ...))` pipeline
+  * that dominated near-dup cost at sf0.1 (~10 s of the ~17 s). */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  def compute(words: ArrayData): GenericArrayData = {
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      val s = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted array
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // one virtual call per ROW into the native loop (element work inlined
+      // in compute) — keeps the surrounding stage in whole-stage codegen
+      val ref = ctx.addReferenceObj("shingler", this, classOf[ShingleHashes].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Hyperplane constants for the sign-LSH signature: 32 planes × 64 dims of
+  * deterministic centered pseudo-uniforms (splitmix64-derived). */
+object HyperplaneConstants {
+  val numPlanes = 32
+  val dim = 64
+  private def mix(i: Long): Long = {
+    var z = i * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  /** planes(p)(i) ∈ [-1, 1) */
+  val planes: Array[Array[Double]] = Array.tabulate(numPlanes, dim) { (p, i) =>
+    (math.floorMod(mix(p.toLong * dim + i), 2000001L).toDouble - 1000000.0) / 1000000.0
+  }
+
+  def signatureOf(v: ArrayData): Long = {
+    var sig = 0L
+    var p = 0
+    val n = math.min(dim, v.numElements())
+    while (p < numPlanes) {
+      val plane = planes(p)
+      var proj = 0.0
+      var i = 0
+      while (i < n) { proj += v.getDouble(i) * plane(i); i += 1 }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+/** `graft_hyperplane_sig(array<double>) → bigint` — 32-bit sign-of-random-
+  * hyperplane LSH signature (bits 0..31 of the result). */
+case class HyperplaneSignature(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child), Seq(ArrayType(DoubleType)))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneConstants.signatureOf(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val planes = ctx.addReferenceObj("hyperplanes", HyperplaneConstants.planes, "double[][]")
+      val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val proj = ctx.freshName("proj")
+      s"""
+         |long $sig = 0L;
+         |int $n = Math.min(${HyperplaneConstants.dim}, $c.numElements());
+         |for (int $p = 0; $p < ${HyperplaneConstants.numPlanes}; $p++) {
+         |  double $proj = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $proj += $c.getDouble($i) * $planes[$p][$i];
+         |  }
+         |  if ($proj > 0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+    copy(child = newChild)
+}
+
+/** Registration: per-session function registry (callable from any code that
+  * holds the session) plus a [[org.apache.spark.sql.SparkSessionExtensions]]
+  * hook for `spark.sql.extensions=graft.functions.GraftExtensions`. */
+object GraftFunctions {
+  /** Structural type check: exact match on (elementType-compatible) array
+    * types; used instead of ExpectsInputTypes (whose AbstractDataType is
+    * private[sql] in Spark 4). */
+  private[functions] def requireTypes(name: String, children: Seq[Expression],
+      expected: Seq[DataType]): TypeCheckResult = {
+    val bad = children.zip(expected).zipWithIndex.collectFirst {
+      case ((c, ArrayType(et, _)), idx) if !c.dataType.isInstanceOf[ArrayType] ||
+        c.dataType.asInstanceOf[ArrayType].elementType != et =>
+        s"$name argument ${idx + 1} must be array<${et.simpleString}>, got ${c.dataType.simpleString}"
+      case ((c, t), idx) if !c.dataType.isInstanceOf[ArrayType] && c.dataType != t =>
+        s"$name argument ${idx + 1} must be ${t.simpleString}, got ${c.dataType.simpleString}"
+    }
+    bad.fold(TypeCheckResult.TypeCheckSuccess: TypeCheckResult)(
+      TypeCheckResult.TypeCheckFailure)
+  }
+
+  private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    ("graft_minhash", (c: Seq[Expression]) => MinHashSignature(c.head)),
+    ("graft_simhash", (c: Seq[Expression]) => SimHash64(c.head)),
+    ("graft_cosine", (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
+    ("graft_jaccard_sorted", (c: Seq[Expression]) => JaccardSorted(c(0), c(1))),
+    ("graft_hyperplane_sig", (c: Seq[Expression]) => HyperplaneSignature(c.head)),
+    ("graft_shingle_hashes", (c: Seq[Expression]) => ShingleHashes(c.head, 3))
+  )
+
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder)
+    }
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.fns.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}

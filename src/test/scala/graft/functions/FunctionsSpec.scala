@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** The native expressions must be bit-identical to the higher-order-function
+  * formulations they replace (which are themselves pinned by the DuckDB
+  * oracles). Each test compares native vs composed output on real text. */
+class FunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private lazy val docs = {
+    GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "split(regexp_replace(lower(text), '\\\\s+', ' '), ' ') AS ws")
+      .cache()
+  }
+
+  test("graft_shingle_hashes == sorted distinct xxhash64 of concat_ws 3-grams") {
+    val both = docs.selectExpr(
+      "graft_shingle_hashes(ws) AS native",
+      """CASE WHEN size(ws) >= 3 THEN
+        |  array_sort(array_distinct(transform(sequence(0, size(ws) - 3),
+        |    i -> xxhash64(concat_ws(' ', ws[i], ws[i+1], ws[i+2])))))
+        |ELSE array() END AS composed""".stripMargin)
+    both.filter("native != composed").count() shouldBe 0
+    both.filter("size(native) > 0").count() should be > 400L
+  }
+
+  test("graft_minhash == array_min of the multiply-shift permutations") {
+    val withSh = docs.selectExpr("graft_shingle_hashes(ws) AS sh").filter("size(sh) > 0")
+    val a = MinHashConstants.A
+    val b = MinHashConstants.B
+    val composed = (0 until MinHashConstants.numHashes).map(h =>
+      s"array_min(transform(sh, x -> (x & 1073741823L) * ${a(h)}L + ${b(h)}L))").mkString(
+      "array(", ", ", ") AS composed")
+    val both = withSh.selectExpr("graft_minhash(sh) AS native", composed)
+    both.filter("native != composed").count() shouldBe 0
+  }
+
+  test("graft_jaccard_sorted == set-op jaccard on sorted distinct arrays") {
+    val sh = docs.selectExpr("doc_id", "graft_shingle_hashes(ws) AS sh").filter("size(sh) > 0")
+    val pairs = sh.limit(50).selectExpr("doc_id AS a_id", "sh AS sa")
+      .crossJoin(sh.limit(50).selectExpr("doc_id AS b_id", "sh AS sb"))
+    val both = pairs.selectExpr(
+      "graft_jaccard_sorted(sa, sb) AS native",
+      "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb)) AS composed")
+    both.filter("abs(native - composed) > 0").count() shouldBe 0
+  }
+
+  test("graft_simhash == per-bit voting fold") {
+    val th = docs.selectExpr("transform(ws, t -> xxhash64(t)) AS th")
+    val composed = (0 until 64).map(i =>
+      s"CASE WHEN aggregate(th, 0L, (acc, h) -> acc + (shiftright(h, $i) & 1L) * 2L - 1L) > 0 " +
+        s"THEN ${1L << i}L ELSE 0L END").mkString(" | ")
+    val both = th.selectExpr("graft_simhash(th) AS native", s"($composed) AS composed")
+    both.filter("native != composed").count() shouldBe 0
+  }
+
+  test("graft_cosine == zip_with/aggregate fold, and is 1.0 for identical vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("CAST(embedding AS array<double>) AS v").limit(100)
+    val pairs = emb.selectExpr("v AS a").crossJoin(emb.selectExpr("v AS b")).limit(2000)
+    val both = pairs.selectExpr(
+      "graft_cosine(a, b) AS native",
+      """aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
+        |(sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), 0D, (acc, x) -> acc + x)) *
+        | sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x))) AS composed""".stripMargin)
+    both.filter("abs(native - composed) > 1e-12").count() shouldBe 0
+    emb.selectExpr("graft_cosine(v, v) AS c").filter("abs(c - 1.0) > 1e-12").count() shouldBe 0
+  }
+
+  test("graft_hyperplane_sig is stable and spreads across buckets") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    val sigs = emb.selectExpr("vec_id", "graft_hyperplane_sig(v) AS sig").cache()
+    sigs.selectExpr("count(DISTINCT sig) AS n").head().getLong(0) should be > 100L
+    // determinism across evaluations
+    val again = emb.selectExpr("vec_id", "graft_hyperplane_sig(v) AS sig")
+    sigs.join(again, "vec_id").filter(sigs("sig") =!= again("sig")).count() shouldBe 0
+  }
+}
