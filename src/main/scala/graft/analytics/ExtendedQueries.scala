@@ -1,0 +1,136 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.8 built-in surface: grouping sets/rollup, event-time windows,
+  * set ops, approximate distinct, and the typed-UDAF extension point —
+  * each exposed as an oracle-checked query where the math allows. */
+object ExtendedQueries {
+
+  import Tables._
+
+  /** q11 — rollup subtotals. NULL grouping markers are coalesced to 'ALL'
+    * so cross-engine NULL ordering/hashing never matters. */
+  def q11Rollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("total_price"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("nation"), col("priority"))
+
+  val q11Oracle: String =
+    """SELECT coalesce(n_name, 'ALL') AS nation, coalesce(o_orderpriority, 'ALL') AS priority,
+      |count(*) AS n_orders,
+      |CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, o_orderpriority)
+      |ORDER BY nation, priority""".stripMargin
+
+  /** q12 — event-time tumbling window (1 day) over the events stream table.
+    * `ts` arrives as epoch-nano BIGINT (no nanos type in Spark); the window
+    * start is emitted as a date string so no raw timestamps cross the
+    * oracle hash. */
+  def q12EventTimeWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("tt", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("tt"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("n_users"))
+      .orderBy(col("day"), col("event_type"))
+
+  val q12Oracle: String =
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+      |count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** q13 — UNION ALL across entity kinds + re-aggregation. */
+  def q13UnionBalances(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(lit("customer").as("kind"), col("c_acctbal").as("bal"))
+      .unionByName(supplier(s, d).select(lit("supplier").as("kind"), col("s_acctbal").as("bal")))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bal").cast("decimal(12,2)")).cast("decimal(18,2)").as("total_bal"))
+      .orderBy(col("kind"))
+
+  val q13Oracle: String =
+    """SELECT kind, count(*) AS n,
+      |CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_bal
+      |FROM (SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
+      |      UNION ALL SELECT 'supplier', s_acctbal FROM supplier)
+      |GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** q14 — approx_count_distinct (HLL++): sketch values are engine-specific
+    * → rows-only check; the exact counterpart q6 is the oracle-checked twin. */
+  def q14ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Typed UDAF (Aggregator[IN,BUF,OUT]) — the engine's user-defined
+    * aggregate surface. All outputs are exact integers (cents), so the
+    * oracle matches despite arbitrary partial-aggregation order. */
+  final case class PriceStats(n: Long, minCents: Long, maxCents: Long, sumCents: Long)
+
+  object PriceStatsAgg extends Aggregator[Long, PriceStats, PriceStats] {
+    override def zero: PriceStats = PriceStats(0, Long.MaxValue, Long.MinValue, 0)
+    override def reduce(b: PriceStats, cents: Long): PriceStats =
+      PriceStats(b.n + 1, math.min(b.minCents, cents), math.max(b.maxCents, cents),
+        b.sumCents + cents)
+    override def merge(a: PriceStats, b: PriceStats): PriceStats =
+      PriceStats(a.n + b.n, math.min(a.minCents, b.minCents),
+        math.max(a.maxCents, b.maxCents), a.sumCents + b.sumCents)
+    override def finish(r: PriceStats): PriceStats = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[PriceStats] =
+      org.apache.spark.sql.Encoders.product[PriceStats]
+    override def outputEncoder: org.apache.spark.sql.Encoder[PriceStats] =
+      org.apache.spark.sql.Encoders.product[PriceStats]
+  }
+
+  /** q15 — the Aggregator applied per return flag over price cents. */
+  def q15PriceStatsUdaf(s: SparkSession, d: String): DataFrame = {
+    val statsUdaf = udaf(PriceStatsAgg)
+    lineitem(s, d)
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg(statsUdaf(col("cents")).as("st"))
+      .select(col("l_returnflag"), col("st.n").as("n"),
+        col("st.minCents").as("min_cents"), col("st.maxCents").as("max_cents"),
+        col("st.sumCents").as("sum_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q15Oracle: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents,
+      |max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_cents,
+      |CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_rollup" -> (q11Rollup _),
+    "q12_event_time_window" -> (q12EventTimeWindow _),
+    "q13_union_balances" -> (q13UnionBalances _),
+    "q14_approx_distinct" -> (q14ApproxDistinct _),
+    "q15_price_stats_udaf" -> (q15PriceStatsUdaf _)
+  )
+
+  /** q14 omitted: HLL sketch values are engine-specific (rows-only). */
+  val oracles: Map[String, String] = Map(
+    "q11_rollup" -> q11Oracle,
+    "q12_event_time_window" -> q12Oracle,
+    "q13_union_balances" -> q13Oracle,
+    "q15_price_stats_udaf" -> q15Oracle
+  )
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import Sessionize.UserEvent
+
+/** Event-time + stateful streaming coverage: session_window with watermark
+  * and mapGroupsWithState custom state. */
+class SessionizeSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("session_window groups events by gap; sessions close after the watermark") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = Sessionize.sessionCounts(input.toDS(), gap = "10 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(Sessionize.sessionOutputMode)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1: two sessions (0-5min, then 60-62min); user 2: one session
+      input.addData(
+        UserEvent(1, "view", ts(0)), UserEvent(1, "click", ts(5)),
+        UserEvent(2, "view", ts(3)))
+      q.processAllAvailable()
+      input.addData(UserEvent(1, "purchase", ts(60)), UserEvent(1, "view", ts(62)))
+      q.processAllAvailable()
+      // advance watermark far enough to close all sessions
+      input.addData(UserEvent(99, "view", ts(500)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT userId, n_events FROM sessions ORDER BY userId, n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      rows should contain allOf ((1L, 2L), (2L, 1L))
+      // user 1 has TWO distinct sessions of 2 events (0-5) and 2 events (60-62)
+      rows.count(_ == (1L, 2L)) shouldBe 2
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sessions")
+    }
+  }
+
+  test("mapGroupsWithState accumulates per-user session state across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    // NoTimeout in the test: ProcessingTimeTimeout makes the engine run
+    // continuous timeout-evaluation batches, so processAllAvailable never
+    // quiesces under a 0-interval trigger
+    val q = Sessionize.statefulSessions(input.toDS(), gapMs = 10 * 60000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("stateful_sessions")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(UserEvent(7, "view", ts(0)), UserEvent(7, "click", ts(2)))
+      q.processAllAvailable()
+      input.addData(UserEvent(7, "purchase", ts(8))) // within gap → same session grows
+      q.processAllAvailable()
+      val latest = spark.sql(
+        "SELECT nEvents FROM stateful_sessions WHERE userId = 7 ORDER BY nEvents DESC LIMIT 1")
+        .head().getLong(0)
+      latest shouldBe 3L // state carried across micro-batches
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS stateful_sessions")
+    }
+  }
+}
