@@ -120,6 +120,16 @@ class GraftProcessorSpec extends AnyFunSuite with Matchers with SparkSpec {
     wallMs should be >= 400L // 2 waves of 2 shards — the semaphore analog works
   }
 
+  test("mixed soft and hard failures in one batch (test_suite3.rs:240)") {
+    val store = new InMemoryCheckpointStore
+    val gp = newProcessor(new MixedFailures, store, mkShards(1, 20))
+    gp.run(spark, tmp()) shouldBe Right(())
+    // 20 records: seq 5 hard-failed (dead-letter), seq 10 soft-failed twice
+    // then succeeded; everything else clean
+    collected.size() shouldBe 19
+    store.all("shard-0") shouldBe "0000000019"
+  }
+
   test("invalid config rejected at construction (O1, processor.rs:599-602)") {
     val s = spark; import s.implicits._
     assertThrows[IllegalArgumentException] {
@@ -156,6 +166,14 @@ object GraftProcessorSpec {
       if (softValidatorCalls.incrementAndGet() <= 3)
         Left(BeforeCheckpointError.SoftError("not yet"))
       else Right(())
+  }
+
+  final class MixedFailures extends RecordProcessor[String] {
+    override def processRecord(r: KRecord, m: RecordMetadata) =
+      if (r.sequenceNumber == "0000000005") Left(ProcessingError.HardFailure("poison"))
+      else if (r.sequenceNumber == "0000000010" && m.attemptNumber < 2)
+        Left(ProcessingError.SoftFailure("flaky"))
+      else Right(Some(r.dataUtf8))
   }
 
   final class Slow200 extends RecordProcessor[String] {

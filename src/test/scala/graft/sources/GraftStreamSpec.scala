@@ -110,6 +110,19 @@ class GraftStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     finally SourceClientRegistry.unregister("c5")
   }
 
+  test("initial position at_timestamp starts at arrival time (initial_position_tests.rs:222)") {
+    // records carry arrival timestamps 0..99 minutes
+    val recs = (0 until 100).map { i =>
+      KRecord(f"$i%010d", s"pk-$i", s"p-$i".getBytes("UTF-8"),
+        Some(new java.sql.Timestamp(i * 60000L)), "shard-0")
+    }
+    SourceClientRegistry.register("c5t", new InMemorySourceClient(Map("shard-0" -> recs.toIndexedSeq)))
+    try
+      // start at minute 90 → 10 records remain
+      readAll("c5t", Map("initialposition" -> s"at_timestamp:${90 * 60000L}")) shouldBe 10
+    finally SourceClientRegistry.unregister("c5t")
+  }
+
   test("stored checkpoint wins over initial position (O6, initial_position_tests.rs:264-388)") {
     val store = new InMemoryCheckpointStore
     store.saveCheckpoint("shard-0", "0000000079") // 80 consumed → 20 remain
