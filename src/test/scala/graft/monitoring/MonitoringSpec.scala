@@ -72,6 +72,27 @@ class MonitoringSpec extends AnyFunSuite with Matchers with SparkSpec {
     h.waitForEvents(_.shardId == "nope", count = 1, timeoutMs = 200) shouldBe empty
   }
 
+  test("listener bridge: query progress and termination become engine events") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val harness = new TestMonitoringHarness
+    val bridge = new QueryListenerBridge(harness, "bridge-test")
+    spark.streams.addListener(bridge)
+    try {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      val q = input.toDS().writeStream.format("memory").queryName("bridge_q")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+      input.addData(1 to 100: _*)
+      q.processAllAvailable()
+      q.stop()
+      harness.waitForEvents(_.eventType.isInstanceOf[BatchMetrics], count = 1, timeoutMs = 10000)
+        .map(_.eventType).collect { case BatchMetrics(m) => m.recordCount }.sum shouldBe 100L
+      harness.waitForEvents(e => e.eventType ==
+        ShardEvent(ShardEventType.Completed, None), timeoutMs = 10000) should not be empty
+      spark.sql("DROP TABLE IF EXISTS bridge_q")
+    } finally spark.streams.removeListener(bridge)
+  }
+
   test("Dataset path: windowed aggregation matches the fold (M4 at scale)") {
     val s = spark; import s.implicits._
     val rows = Seq(
