@@ -1,7 +1,5 @@
 package graft.processor
 
-import java.util.concurrent.{Callable, ExecutorService, Executors, TimeUnit, TimeoutException}
-
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Dataset, Encoder}
 
@@ -49,9 +47,10 @@ final case class ShardBatchResult(
   * streaming through the iterator (no materialization). A poisoned record
   * blocks only its own partition, exactly as it blocks its shard in the
   * reference — that is the documented, faithful behavior (SURVEY §7).
-  * The per-attempt timeout runs the user callback on a single reusable
-  * worker thread per partition (the analog of the reference racing the
-  * callback future against a sleep), torn down via task-completion listener.
+  * The per-attempt timeout is enforced by a [[PartitionWatchdog]]: the
+  * callback runs inline on the partition thread (no per-record thread
+  * handoff) and an interruptible hang is preempted by interrupt — the same
+  * preemption power as the reference's `tokio::select!` race.
   */
 object RecordProcessing {
 
@@ -64,10 +63,10 @@ object RecordProcessing {
   )(implicit enc: Encoder[Processed[T]]): Dataset[Processed[T]] = {
     val timeoutMs = config.processingTimeoutMs
     ds.mapPartitions { iter =>
-      val worker = newWorker()
+      val watchdog = new PartitionWatchdog(timeoutMs)
       Option(TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => worker.shutdownNow()))
-      iter.map(rec => processSingle(rec, processor, timeoutMs, worker, sink, shutdown))
+        _.addTaskCompletionListener[Unit](_ => watchdog.close()))
+      iter.map(rec => processSingle(rec, processor, timeoutMs, watchdog, sink, shutdown))
     }
   }
 
@@ -78,7 +77,7 @@ object RecordProcessing {
       record: KRecord,
       processor: RecordProcessor[T],
       timeoutMs: Long,
-      worker: ExecutorService,
+      watchdog: PartitionWatchdog,
       sink: EventSink,
       shutdown: ShutdownSignal): Processed[T] = {
     val seq = record.sequenceNumber
@@ -88,7 +87,7 @@ object RecordProcessing {
         throw ProcessorError.Shutdown
       val t0 = System.nanoTime()
       val meta = RecordMetadata(record.shardId, seq, attempt)
-      val outcome = attemptWithDeadline(record, meta, processor, timeoutMs, worker)
+      val outcome = attemptWithDeadline(record, meta, processor, timeoutMs, watchdog)
       val durMs = (System.nanoTime() - t0) / 1000000L
       outcome match {
         case Right(itemOpt) =>
@@ -114,29 +113,33 @@ object RecordProcessing {
 
   /** One attempt raced against the per-attempt deadline, like the reference's
     * `tokio::select!` over the callback vs `sleep(processing_timeout)`
-    * (`processor.rs:1517-1522`). Timeout cancels the attempt and is fatal. */
+    * (`processor.rs:1517-1522`). Timeout interrupts the attempt and is fatal. */
   private def attemptWithDeadline[T](
       record: KRecord,
       meta: RecordMetadata,
       processor: RecordProcessor[T],
       timeoutMs: Long,
-      worker: ExecutorService): Either[ProcessingError, Option[T]] = {
-    val fut = worker.submit(new Callable[Either[ProcessingError, Option[T]]] {
-      override def call(): Either[ProcessingError, Option[T]] =
-        processor.processRecord(record, meta)
-    })
-    try fut.get(timeoutMs, TimeUnit.MILLISECONDS)
-    catch {
-      case _: TimeoutException =>
-        fut.cancel(true)
-        throw ShardError(record.shardId,
-          s"processing timeout after ${timeoutMs}ms on sequence ${record.sequenceNumber}")
-      case e: java.util.concurrent.ExecutionException =>
+      watchdog: PartitionWatchdog): Either[ProcessingError, Option[T]] = {
+    watchdog.arm()
+    try {
+      val result = processor.processRecord(record, meta)
+      watchdog.disarm() // a fire that raced completion is cleared, result stands
+      result
+    } catch {
+      case e: InterruptedException =>
+        if (watchdog.disarm())
+          throw ShardError(record.shardId,
+            s"processing timeout after ${timeoutMs}ms on sequence ${record.sequenceNumber}")
+        else throw ProcessorError.Shutdown // external interrupt = task kill
+      case scala.util.control.NonFatal(e) =>
+        // deadline passed while the callback was failing → timeout wins
+        if (watchdog.disarm())
+          throw ShardError(record.shardId,
+            s"processing timeout after ${timeoutMs}ms on sequence ${record.sequenceNumber}")
         // A thrown (non-Either) exception from user code is a soft failure,
         // matching the reference treating callback errors as retriable
         // unless explicitly hard.
-        Left(ProcessingError.SoftFailure(
-          Option(e.getCause).getOrElse(e).getMessage, e.getCause))
+        Left(ProcessingError.SoftFailure(e.getMessage, e))
     }
   }
 
@@ -162,11 +165,4 @@ object RecordProcessing {
 
   private def event(shardId: String, et: ProcessingEventType): ProcessingEvent =
     ProcessingEvent(System.currentTimeMillis(), shardId, et)
-
-  private def newWorker(): ExecutorService =
-    Executors.newSingleThreadExecutor(r => {
-      val t = new Thread(r, "graft-record-processor")
-      t.setDaemon(true)
-      t
-    })
 }

@@ -1,7 +1,5 @@
 package graft.processor
 
-import java.util.concurrent.Executors
-
 import org.apache.spark.SparkException
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
@@ -94,7 +92,7 @@ class RecordProcessingSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   test("shutdown mid-retry abandons the partition (processSingle direct)") {
     val shutdown = new ShutdownSignal
-    val worker = Executors.newSingleThreadExecutor()
+    val watchdog = new PartitionWatchdog(1000L)
     try {
       val proc = new RecordProcessor[String] {
         override def processRecord(r: KRecord, m: RecordMetadata) = {
@@ -103,10 +101,10 @@ class RecordProcessingSpec extends AnyFunSuite with Matchers with SparkSpec {
         }
       }
       assertThrows[ProcessorError.Shutdown.type] {
-        RecordProcessing.processSingle(rec("s-1", 1), proc, 1000L, worker,
+        RecordProcessing.processSingle(rec("s-1", 1), proc, 1000L, watchdog,
           EventSink.Noop, shutdown)
       }
-    } finally worker.shutdownNow()
+    } finally watchdog.close()
   }
 
   test("thrown exceptions from user code are retried as soft failures") {
