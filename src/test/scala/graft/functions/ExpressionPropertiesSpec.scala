@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Property tests over the native expressions' eval paths (pure JVM, no
+  * Spark session; seeded generators — deterministic). Algebraic invariants
+  * the codegen twins share via FunctionsSpec's native==composed checks. */
+class ExpressionPropertiesSpec extends AnyFunSuite with Matchers {
+
+  private val rng = new scala.util.Random(42)
+  private def longSet(maxLen: Int = 60): Array[Long] =
+    Array.fill(rng.nextInt(maxLen))(rng.nextLong() / 2).distinct.sorted
+
+  test("jaccard merge-walk equals set-based jaccard on sorted distinct arrays") {
+    val j = JaccardSorted(null, null)
+    (1 to 300).foreach { _ =>
+      val a = longSet(); val b = longSet()
+      val native = j.nullSafeEval(new GenericArrayData(a), new GenericArrayData(b))
+        .asInstanceOf[Double]
+      val sa = a.toSet; val sb = b.toSet
+      val expected =
+        if (sa.isEmpty && sb.isEmpty) 0.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size
+      native shouldBe expected
+    }
+  }
+
+  test("minhash signature is elementwise monotone under set union (LSH soundness)") {
+    (1 to 200).foreach { _ =>
+      val a = longSet(); val b = longSet()
+      val sigUnion = MinHashConstants.signatureOf((a ++ b).distinct)
+      val sigA = MinHashConstants.signatureOf(a)
+      if (a.nonEmpty) {
+        // min over a superset can only be <= — what LSH banding relies on
+        sigUnion.zip(sigA).foreach { case (u, x) => u should be <= x }
+      }
+    }
+  }
+
+  test("identical shingle sets always produce identical signatures and band keys") {
+    (1 to 200).foreach { _ =>
+      val a = longSet()
+      MinHashConstants.signatureOf(a) shouldBe MinHashConstants.signatureOf(a.clone())
+    }
+  }
+
+  test("simhash is invariant under token permutation (bit votes commute)") {
+    val s = SimHash64(null)
+    (1 to 200).foreach { _ =>
+      val tokens = Array.fill(rng.nextInt(100) + 1)(rng.nextLong())
+      val shuffled = rng.shuffle(tokens.toSeq).toArray
+      s.nullSafeEval(new GenericArrayData(tokens)) shouldBe
+        s.nullSafeEval(new GenericArrayData(shuffled))
+    }
+  }
+
+  test("hyperplane signature is invariant under positive scaling (cosine LSH property)") {
+    (1 to 200).foreach { _ =>
+      val v = Array.fill(64)((rng.nextInt(2001) - 1000) / 100.0)
+      val k = rng.nextInt(1000) + 1
+      HyperplaneConstants.signatureOf(new GenericArrayData(v)) shouldBe
+        HyperplaneConstants.signatureOf(new GenericArrayData(v.map(_ * k)))
+    }
+  }
+
+  test("minhash products can never overflow a long (ANSI safety)") {
+    // 30-bit masked hash × 32-bit odd constant + 30-bit offset < 2^63
+    MinHashConstants.A.zip(MinHashConstants.B).foreach { case (a, b) =>
+      val maxProduct = 0x3FFFFFFFL * a + b
+      maxProduct should be > 0L // no wraparound at the extreme input
+      a should be <= 0xFFFFFFFFL
+      b should be <= 0x3FFFFFFFL
+    }
+  }
+}
