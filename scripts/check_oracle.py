@@ -6,6 +6,7 @@ Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json, sys, glob
 import duckdb
+import pandas as pd
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
@@ -24,15 +25,23 @@ def main(sf_dir, out_dir):
             exp = con.sql(sql).df()
         except Exception as e:
             fails.append((name, f"oracle sql error: {e}")); continue
-        got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+        # Read the Spark output with pyarrow/pandas, NOT duckdb: the driver
+        # does the same, so Spark-side decimals stay Decimal objects while
+        # the oracle side goes through DuckDB's decimal→float64 .df()
+        # conversion. Reading both sides through duckdb masked exactly the
+        # representation mismatches the driver's hash catches (round-2
+        # trailing-zero decimal failures).
+        got = pd.read_parquet(files)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         got = got.reindex(sorted(got.columns), axis=1)
         if list(exp.columns) != list(got.columns):
             fails.append((name, f"schema: oracle={list(exp.columns)} got={list(got.columns)}")); continue
         if len(exp) != len(got):
             fails.append((name, f"rows: oracle={len(exp)} got={len(got)}")); continue
-        exp_s = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
-        got_s = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        # Compare STRINGIFIED values (the driver hashes value strings):
+        # Decimal('138014.00') vs float 138014.0 must FAIL here.
+        exp_s = exp.astype(str).sort_values(by=list(exp.columns)).reset_index(drop=True)
+        got_s = got.astype(str).sort_values(by=list(got.columns)).reset_index(drop=True)
         eq = exp_s.equals(got_s)
         if not eq:
             diff = (exp_s != got_s)

@@ -19,7 +19,7 @@ object ExtendedQueries {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .rollup(col("n_name"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("total_price"))
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total_price"))
       .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("total_price"))
@@ -28,7 +28,7 @@ object ExtendedQueries {
   val q11Oracle: String =
     """SELECT coalesce(n_name, 'ALL') AS nation, coalesce(o_orderpriority, 'ALL') AS priority,
       |count(*) AS n_orders,
-      |CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_price
+      |CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY ROLLUP (n_name, o_orderpriority)
@@ -59,12 +59,12 @@ object ExtendedQueries {
       .unionByName(supplier(s, d).select(lit("supplier").as("kind"), col("s_acctbal").as("bal")))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
-        sum(col("bal").cast("decimal(12,2)")).cast("decimal(18,2)").as("total_bal"))
+        sum(col("bal").cast("decimal(12,2)")).cast("double").as("total_bal"))
       .orderBy(col("kind"))
 
   val q13Oracle: String =
     """SELECT kind, count(*) AS n,
-      |CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_bal
+      |CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
       |FROM (SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
       |      UNION ALL SELECT 'supplier', s_acctbal FROM supplier)
       |GROUP BY kind ORDER BY kind""".stripMargin

@@ -11,36 +11,47 @@ import org.apache.spark.sql.functions._
   * non-integral double column is computed in DECIMAL from the first cast —
   * decimal addition/multiplication is exact and order-independent, so the
   * DuckDB oracle hash-matches regardless of partial-aggregation order. Final
-  * output columns are cast to a pinned decimal type in BOTH dialects.
+  * output columns are then cast DECIMAL→DOUBLE in BOTH dialects: the driver
+  * hashes stringified values after DuckDB's decimal→float64 `.df()`
+  * conversion, so a decimal output with trailing zeros ('138014.00') would
+  * mismatch the oracle's float ('138014.0'); decimal→double is correctly
+  * rounded in both engines, so the doubles are bit-identical.
   */
 object RelationalQueries {
 
   import Tables._
 
-  /** TPC-H Q1-style pricing summary: filter → partial+final hash agg. */
+  /** TPC-H Q1-style pricing summary: filter → partial+final hash agg.
+    *
+    * Final money columns are DECIMAL internally (exact, order-independent
+    * sums) but cast to DOUBLE at the very end on BOTH dialects: the driver's
+    * hash stringifies values after DuckDB's decimal→float64 `.df()`
+    * conversion, so a Spark-side Decimal('138014.00') vs oracle-side float
+    * 138014.0 mismatches on the trailing zero. decimal→double is correctly
+    * rounded in both engines, giving bit-identical doubles. */
   def q1PricingSummary(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_base_price"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
         sum(col("l_extendedprice").cast("decimal(12,2)") *
             (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-          .cast("decimal(18,4)").as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         sum(col("l_extendedprice").cast("decimal(12,2)") *
             (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")) *
             (lit(1).cast("decimal(4,2)") + col("l_tax").cast("decimal(4,2)")))
-          .cast("decimal(18,6)").as("sum_charge"),
+          .cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q1Oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-      |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_charge,
+      |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
       |count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -67,13 +78,13 @@ object RelationalQueries {
       .agg(
         sum(col("l_extendedprice").cast("decimal(12,2)") *
             (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-          .cast("decimal(18,4)").as("revenue"),
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
 
   val q3Oracle: String =
     """SELECT n_name,
-      |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+      |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
       |count(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -107,7 +118,7 @@ object RelationalQueries {
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_customers"),
-        sum(col("c_acctbal").cast("decimal(12,2)")).cast("decimal(18,2)").as("total_acctbal"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("total_acctbal"),
         min(col("c_acctbal")).as("min_acctbal"),
         max(col("c_acctbal")).as("max_acctbal"))
       .filter(col("n_customers") > 1)
@@ -115,7 +126,7 @@ object RelationalQueries {
 
   val q5Oracle: String =
     """SELECT c_mktsegment, count(*) AS n_customers,
-      |CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_acctbal,
+      |CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
       |min(c_acctbal) AS min_acctbal, max(c_acctbal) AS max_acctbal
       |FROM customer GROUP BY c_mktsegment HAVING count(*) > 1 ORDER BY c_mktsegment""".stripMargin
 
@@ -190,12 +201,12 @@ object RelationalQueries {
       .groupBy(col("r_name"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("total_price"))
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total_price"))
       .orderBy(col("r_name"), col("o_orderpriority"))
 
   val q10Oracle: String =
     """SELECT r_name, o_orderpriority, count(*) AS n_orders,
-      |CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_price
+      |CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey

@@ -23,7 +23,11 @@ object ProcessingError {
 }
 
 /** Pre-checkpoint validation errors (reference `src/error.rs:238-255`):
-  * Soft → re-validate forever; Hard → log and checkpoint anyway. */
+  * Soft → re-validate forever; Hard → the checkpoint is NOT saved and the
+  * batch fails. (The reference's trait doc comment says "proceed with
+  * checkpoint", but its `handle_checkpointing` implementation returns
+  * `ProcessorError::CheckpointError` without saving,
+  * `src/processor.rs:1594-1596`; we follow the implementation.) */
 sealed abstract class BeforeCheckpointError(message: String, cause: Throwable = null)
     extends GraftError(message, cause)
 object BeforeCheckpointError {

@@ -10,14 +10,19 @@ import graft.monitoring.{EventSink, ProcessingEvent, ProcessingEventType, ShardE
 import graft.processor.{Processed, RecordProcessing, RecordProcessor}
 import graft.sources.{SourceClient, SourceClientRegistry}
 
-/** Per-shard commit work computed executor-side per micro-batch. */
+/** Per-shard commit work computed executor-side per micro-batch.
+  * `validated=false` means the T2 loop did not complete (interrupted
+  * mid-soft-retry, or hard validation error) — the driver must NOT save
+  * the application checkpoint for that shard. `hardError` carries the
+  * hard-validation message; it additionally fails the whole micro-batch. */
 final case class CommitTask(
     shardId: String,
     lastSuccessfulSequence: Option[String],
     successCount: Long,
     failCount: Long,
     itemCount: Long,
-    validated: Boolean
+    validated: Boolean,
+    hardError: Option[String]
 )
 
 /** The engine orchestrator — `KinesisProcessor` re-expressed on Structured
@@ -34,10 +39,17 @@ final case class CommitTask(
   *     abandoned, matching the reference abandoning the in-flight batch
   *   - T2/K4 commit path (`processor.rs:1561-1629`): per shard, after each
   *     micro-batch — `beforeCheckpoint` validation (Soft → re-validate
-  *     forever, Hard → commit anyway) runs executor-side per shard; the
-  *     checkpoint save runs with infinite soft retry so it is never
-  *     silently skipped; failed records are dead-lettered and the
-  *     checkpoint advances past them.
+  *     forever; Hard → the shard's checkpoint is NOT saved and the batch
+  *     fails, matching `handle_checkpointing` returning
+  *     `ProcessorError::CheckpointError`, `processor.rs:1594-1596` — note
+  *     the reference's trait DOC comment says "proceed with checkpoint",
+  *     but its implementation fails without saving; we follow the code)
+  *     runs executor-side per shard; for validated shards the checkpoint
+  *     save runs with infinite soft retry so it is never silently skipped;
+  *     failed records are dead-lettered and the checkpoint advances past
+  *     them. A validation loop interrupted by shutdown also does not save
+  *     (reference returns `ProcessorError::Shutdown`,
+  *     `processor.rs:1577,1599-1601`).
   *
   * Two checkpoint layers by design (SURVEY §1.1): Spark's offset/commit log
   * is the engine checkpoint (exactly-once restart of stream positions); the
@@ -128,9 +140,11 @@ final class GraftProcessor[T](
           }
         }
         val collected = items.result()
-        // T2: Soft → re-validate forever; Hard → log, commit anyway
-        // (`processor.rs:1561-1606`)
+        // T2: Soft → re-validate forever (`processor.rs:1583-1592`);
+        // Hard → no save + batch failure (`processor.rs:1594-1596`);
+        // interrupted → no save (`processor.rs:1577`).
         var validated = false
+        var hardError: Option[String] = None
         var done = collected.isEmpty || lastSuccess.isEmpty
         while (!done) {
           proc.beforeCheckpoint(collected, CheckpointMetadata(shardId, lastSuccess.get)) match {
@@ -140,23 +154,35 @@ final class GraftProcessor[T](
             case Left(e: BeforeCheckpointError.HardError) =>
               sinkH.emit(ProcessingEvent(System.currentTimeMillis(), shardId,
                 ProcessingEventType.CheckpointFailure(lastSuccess.get, e.getMessage)))
-              validated = true; done = true
+              hardError = Some(e.getMessage); done = true
           }
         }
-        CommitTask(shardId, lastSuccess, success, failed, collected.length.toLong, validated)
+        CommitTask(shardId, lastSuccess, success, failed, collected.length.toLong,
+          validated, hardError)
       }.collect() // tiny: one row per shard
 
       // K4 driver-side: save app checkpoints with infinite soft retry —
-      // never silently skipped (`processor.rs:1607-1629`).
+      // never silently skipped (`processor.rs:1607-1629`). Only shards whose
+      // T2 validation COMPLETED commit; shards are independent in the
+      // reference, so validated shards save even when another shard's
+      // hard error fails the batch below.
       val retryingStore = new RetryingCheckpointStore(store, RetryConfig(maxRetries = None))
       commits.foreach { c =>
         // reference checkpoints only when the batch produced items
         // (`processor.rs:1461-1466`)
-        if (c.itemCount > 0 && c.lastSuccessfulSequence.isDefined) {
+        if (c.itemCount > 0 && c.lastSuccessfulSequence.isDefined && c.validated) {
           retryingStore.saveCheckpoint(c.shardId, c.lastSuccessfulSequence.get)
           emitAll(ProcessingEventType.Checkpoint(c.lastSuccessfulSequence.get,
             success = true, None), c.shardId)
         }
+      }
+      // Hard validation error → fail the micro-batch WITHOUT having saved
+      // that shard's checkpoint: the epoch does not commit and its records
+      // are re-delivered, the analog of `process_batch` propagating
+      // `ProcessorError::CheckpointError` (`processor.rs:1470-1475`).
+      commits.collectFirst { case c if c.hardError.isDefined => c } foreach { c =>
+        throw CheckpointError(
+          s"before_checkpoint hard error on shard ${c.shardId}: ${c.hardError.get}")
       }
 
       onItems(processed.flatMap(_.item), batchId)

@@ -27,7 +27,10 @@ object EventStream {
         col("user_id").cast("string").as("partitionKey"),
         encode(concat_ws("|", col("event_type"), col("value").cast("string"), col("props")), "UTF-8")
           .as("data"),
-        (col("ts") / 1000000L).cast("timestamp").as("approximateArrivalTimestamp"),
+        // ts is an epoch-NANOS long (read under nanosAsLong); a numeric
+        // `.cast("timestamp")` would interpret the value as SECONDS, so go
+        // through timestamp_micros on ts/1000 instead.
+        timestamp_micros(expr("ts div 1000")).as("approximateArrivalTimestamp"),
         concat(lit("shard-"), pmod(col("user_id"), lit(numShards)).cast("string")).as("shardId"),
         col("ts").as("ord"))
       .as[(String, String, Array[Byte], Option[java.sql.Timestamp], String, Long)]

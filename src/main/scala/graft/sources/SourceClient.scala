@@ -130,7 +130,11 @@ class InMemorySourceClient(
       case ShardIteratorType.TrimHorizon => cursor(shardId, 0)
       case ShardIteratorType.Latest => cursor(shardId, recs.length)
       case ShardIteratorType.AtSequenceNumber(seq) =>
-        cursor(shardId, math.max(0, recs.indexWhere(_.sequenceNumber >= seq)))
+        // A sequence past every record positions at end-of-shard (like the
+        // AfterSequenceNumber arm) — never silently at TrimHorizon, which
+        // would replay the whole shard.
+        val i = recs.indexWhere(_.sequenceNumber >= seq)
+        cursor(shardId, if (i < 0) recs.length else i)
       case ShardIteratorType.AfterSequenceNumber(seq) =>
         val i = recs.indexWhere(_.sequenceNumber > seq)
         cursor(shardId, if (i < 0) recs.length else i)

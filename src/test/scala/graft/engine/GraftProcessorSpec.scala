@@ -66,11 +66,13 @@ class GraftProcessorSpec extends AnyFunSuite with Matchers with SparkSpec {
     collected.size() shouldBe 0
   }
 
-  test("before_checkpoint HardError: logged, checkpoint proceeds anyway (processor.rs:1561-1606)") {
+  test("before_checkpoint HardError: batch fails, checkpoint NOT saved (processor.rs:1594-1596)") {
     val store = new InMemoryCheckpointStore
     val gp = newProcessor(new HardValidator, store, mkShards(1, 10))
-    gp.run(spark, tmp()) shouldBe Right(())
-    store.all("shard-0") shouldBe "0000000009"
+    // reference handle_checkpointing returns Err(CheckpointError) without
+    // saving — the run surfaces an error and the store stays empty
+    gp.run(spark, tmp()) should matchPattern { case Left(_) => }
+    store.all.get("shard-0") shouldBe None
   }
 
   test("before_checkpoint SoftError: re-validated until success (test_suite3.rs:333)") {
@@ -157,7 +159,7 @@ object GraftProcessorSpec {
   final class HardValidator extends RecordProcessor[String] {
     override def processRecord(r: KRecord, m: RecordMetadata) = Right(Some(r.dataUtf8))
     override def beforeCheckpoint(items: Seq[String], meta: CheckpointMetadata) =
-      Left(BeforeCheckpointError.HardError("validation says no, commit anyway"))
+      Left(BeforeCheckpointError.HardError("validation says no"))
   }
 
   final class SoftValidator extends RecordProcessor[String] {

@@ -123,6 +123,37 @@ class GraftStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     finally SourceClientRegistry.unregister("c5t")
   }
 
+  test("at_sequence past end-of-shard positions at the end, not TrimHorizon (ADVICE r2)") {
+    val client = new InMemorySourceClient(mkShards(1, 100))
+    val it = client.getShardIterator("s", "shard-0",
+      ShardIteratorType.AtSequenceNumber("9999999999"))
+    client.getRecords(it, 10).records shouldBe empty
+    // and through the stream: no replay of the whole shard
+    SourceClientRegistry.register("c5e", client)
+    try readAll("c5e", Map("initialposition" -> "at_sequence:9999999999")) shouldBe 0
+    finally SourceClientRegistry.unregister("c5e")
+  }
+
+  test("parquet-backed arrival timestamps are epoch-correct; at_timestamp over them works (ADVICE r2)") {
+    // ts in events.parquet is epoch-NANOS; a bad numeric cast lands ~year
+    // 56000 and silently replays the whole shard on any AtTimestamp start.
+    val client = EventStream.clientFromParquet(spark, "/root/testdata/sf0.001/events.parquet")
+    val all = client.shards.values.flatten.toSeq
+    val jan2024 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val feb2024 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime
+    all.foreach { r =>
+      val t = r.approximateArrivalTimestamp.get.getTime
+      t should (be >= jan2024 and be < feb2024)
+    }
+    // mid-January start must be a strict partial replay
+    SourceClientRegistry.register("c5p", client)
+    try {
+      val mid = java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime
+      val n = readAll("c5p", Map("initialposition" -> s"at_timestamp:$mid"))
+      n should (be > 0L and be < all.length.toLong)
+    } finally SourceClientRegistry.unregister("c5p")
+  }
+
   test("stored checkpoint wins over initial position (O6, initial_position_tests.rs:264-388)") {
     val store = new InMemoryCheckpointStore
     store.saveCheckpoint("shard-0", "0000000079") // 80 consumed → 20 remain
