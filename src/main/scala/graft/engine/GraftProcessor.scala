@@ -62,7 +62,8 @@ final class GraftProcessor[T](
     client: SourceClient,
     store: CheckpointStore,
     sink: EventSink = EventSink.Noop,
-    onItems: (Dataset[T], Long) => Unit = (_: Dataset[T], _: Long) => ()
+    onItems: (Dataset[T], Long) => Unit =
+      GraftProcessor.NoopItems.asInstanceOf[(Dataset[T], Long) => Unit]
 )(implicit itemEnc: Encoder[T], processedEnc: Encoder[Processed[T]]) {
 
   config.validated() // O1
@@ -115,89 +116,129 @@ final class GraftProcessor[T](
       .start()
   }
 
-  /** One micro-batch: T3 processing → T2 validation → K4 commit → items out. */
+  /** One micro-batch: T3 processing → T2 validation → K4 commit → items out —
+    * as ONE Spark job. The source plans one partition per shard and
+    * `coalesce` concatenates whole parent partitions, so each shard's
+    * records are contiguous within a single partition: the per-shard fold +
+    * T2 validation run in the same `mapPartitions` pass that feeds `onItems`
+    * (no cache, no shuffle, no second scan). Commit stats travel back on a
+    * collection accumulator — one tiny row per shard. */
   private def runBatch(batch: Dataset[KRecord], batchId: Long): Unit = {
     val t0 = System.nanoTime()
     emitAll(ProcessingEventType.BatchStart(System.currentTimeMillis()))
-    val processed = RecordProcessing.process(batch, processor, config, sinkHandle).cache()
-    try {
-      val session = processed.sparkSession
-      import session.implicits._
+    val processed = RecordProcessing.process(batch, processor, config, sinkHandle)
+    val session = processed.sparkSession
+    val commitsAcc =
+      session.sparkContext.collectionAccumulator[CommitTask](s"graft-commits-$batchId")
 
-      // Executor-side per-shard fold + T2 validation (items stay distributed)
-      val proc = processor
-      val sinkH = sinkHandle
-      val commits = processed.groupByKey(_.shardId).mapGroups { (shardId, it) =>
+    val proc = processor
+    val sinkH = sinkHandle
+    val items: Dataset[T] = processed.mapPartitions { it =>
+      // Contiguous per-shard accumulation (one shard never spans partitions)
+      final class ShardAcc(val shardId: String) {
         var success = 0L; var failed = 0L
-        var lastSuccess: Option[String] = None
+        var lastSuccess: String = null
         val items = Vector.newBuilder[T]
-        it.foreach { p =>
-          if (p.failed) failed += 1
-          else {
-            success += 1
-            if (lastSuccess.forall(_ < p.sequenceNumber)) lastSuccess = Some(p.sequenceNumber)
-            p.item.foreach(items += _)
-          }
+      }
+      val order = scala.collection.mutable.ArrayBuffer.empty[ShardAcc]
+      val byShard = scala.collection.mutable.HashMap.empty[String, ShardAcc]
+      it.foreach { p =>
+        val acc = byShard.getOrElseUpdate(p.shardId, {
+          val a = new ShardAcc(p.shardId); order += a; a
+        })
+        if (p.failed) acc.failed += 1
+        else {
+          acc.success += 1
+          if (acc.lastSuccess == null || acc.lastSuccess < p.sequenceNumber)
+            acc.lastSuccess = p.sequenceNumber
+          p.item.foreach(acc.items += _)
         }
-        val collected = items.result()
+      }
+      order.iterator.flatMap { acc =>
+        val collected = acc.items.result()
         // T2: Soft → re-validate forever (`processor.rs:1583-1592`);
         // Hard → no save + batch failure (`processor.rs:1594-1596`);
         // interrupted → no save (`processor.rs:1577`).
         var validated = false
         var hardError: Option[String] = None
-        var done = collected.isEmpty || lastSuccess.isEmpty
+        var done = collected.isEmpty || acc.lastSuccess == null
         while (!done) {
-          proc.beforeCheckpoint(collected, CheckpointMetadata(shardId, lastSuccess.get)) match {
+          proc.beforeCheckpoint(collected, CheckpointMetadata(acc.shardId, acc.lastSuccess)) match {
             case Right(()) => validated = true; done = true
             case Left(_: BeforeCheckpointError.SoftError) =>
               if (Thread.currentThread().isInterrupted) done = true
             case Left(e: BeforeCheckpointError.HardError) =>
-              sinkH.emit(ProcessingEvent(System.currentTimeMillis(), shardId,
-                ProcessingEventType.CheckpointFailure(lastSuccess.get, e.getMessage)))
+              sinkH.emit(ProcessingEvent(System.currentTimeMillis(), acc.shardId,
+                ProcessingEventType.CheckpointFailure(acc.lastSuccess, e.getMessage)))
               hardError = Some(e.getMessage); done = true
           }
         }
-        CommitTask(shardId, lastSuccess, success, failed, collected.length.toLong,
-          validated, hardError)
-      }.collect() // tiny: one row per shard
+        commitsAcc.add(CommitTask(acc.shardId, Option(acc.lastSuccess), acc.success,
+          acc.failed, collected.length.toLong, validated, hardError))
+        // Items flow only for shards whose validation completed — a failed
+        // or interrupted shard emits nothing, like the reference failing the
+        // batch before the checkpoint side effects (`processor.rs:1470-1475`).
+        if (validated) collected.iterator else Iterator.empty
+      }
+    }(itemEnc)
 
-      // K4 driver-side: save app checkpoints with infinite soft retry —
-      // never silently skipped (`processor.rs:1607-1629`). Only shards whose
-      // T2 validation COMPLETED commit; shards are independent in the
-      // reference, so validated shards save even when another shard's
-      // hard error fails the batch below.
-      val retryingStore = new RetryingCheckpointStore(store, RetryConfig(maxRetries = None))
-      commits.foreach { c =>
-        // reference checkpoints only when the batch produced items
-        // (`processor.rs:1461-1466`)
-        if (c.itemCount > 0 && c.lastSuccessfulSequence.isDefined && c.validated) {
-          retryingStore.saveCheckpoint(c.shardId, c.lastSuccessfulSequence.get)
-          emitAll(ProcessingEventType.Checkpoint(c.lastSuccessfulSequence.get,
-            success = true, None), c.shardId)
+    // Drive exactly one action over the pass (T2 side effects must run once):
+    // the caller's consumer if provided, else a no-op job for the stats.
+    if (onItems.asInstanceOf[AnyRef] eq GraftProcessor.NoopItems) items.foreach(_ => ())
+    else onItems(items, batchId)
+
+    // Merge accumulator rows: identical duplicates (a consumer running >1
+    // action re-executes the pass) collapse via distinct; the defensive
+    // multi-partial merge keeps conservative semantics (AND validated).
+    val commits = {
+      import scala.jdk.CollectionConverters._
+      commitsAcc.value.asScala.toList.distinct.groupBy(_.shardId).values.map { parts =>
+        parts.reduce { (a, b) =>
+          CommitTask(a.shardId,
+            (a.lastSuccessfulSequence ++ b.lastSuccessfulSequence).maxOption,
+            a.successCount + b.successCount, a.failCount + b.failCount,
+            a.itemCount + b.itemCount, a.validated && b.validated,
+            a.hardError.orElse(b.hardError))
         }
-      }
-      // Hard validation error → fail the micro-batch WITHOUT having saved
-      // that shard's checkpoint: the epoch does not commit and its records
-      // are re-delivered, the analog of `process_batch` propagating
-      // `ProcessorError::CheckpointError` (`processor.rs:1470-1475`).
-      commits.collectFirst { case c if c.hardError.isDefined => c } foreach { c =>
-        throw CheckpointError(
-          s"before_checkpoint hard error on shard ${c.shardId}: ${c.hardError.get}")
-      }
-
-      onItems(processed.flatMap(_.item), batchId)
-
-      val durMs = (System.nanoTime() - t0) / 1000000L
-      emitAll(ProcessingEventType.BatchComplete(
-        commits.map(_.successCount).sum, commits.map(_.failCount).sum, durMs))
-    } finally {
-      processed.unpersist()
-      ()
+      }.toSeq.sortBy(_.shardId)
     }
+
+    // K4 driver-side: save app checkpoints with infinite soft retry —
+    // never silently skipped (`processor.rs:1607-1629`). Only shards whose
+    // T2 validation COMPLETED commit; shards are independent in the
+    // reference, so validated shards save even when another shard's
+    // hard error fails the batch below.
+    val retryingStore = new RetryingCheckpointStore(store, RetryConfig(maxRetries = None))
+    commits.foreach { c =>
+      // reference checkpoints only when the batch produced items
+      // (`processor.rs:1461-1466`)
+      if (c.itemCount > 0 && c.lastSuccessfulSequence.isDefined && c.validated) {
+        retryingStore.saveCheckpoint(c.shardId, c.lastSuccessfulSequence.get)
+        emitAll(ProcessingEventType.Checkpoint(c.lastSuccessfulSequence.get,
+          success = true, None), c.shardId)
+      }
+    }
+    // Hard validation error → fail the micro-batch WITHOUT having saved
+    // that shard's checkpoint: the epoch does not commit and its records
+    // are re-delivered, the analog of `process_batch` propagating
+    // `ProcessorError::CheckpointError` (`processor.rs:1470-1475`).
+    commits.collectFirst { case c if c.hardError.isDefined => c } foreach { c =>
+      throw ProcessorError.CheckpointFailure(c.shardId, CheckpointError(
+        s"before_checkpoint hard error on shard ${c.shardId}: ${c.hardError.get}"))
+    }
+
+    val durMs = (System.nanoTime() - t0) / 1000000L
+    emitAll(ProcessingEventType.BatchComplete(
+      commits.map(_.successCount).sum, commits.map(_.failCount).sum, durMs))
   }
 
   /** O2 — run until drained (AvailableNow), shutdown, or total timeout
-    * (`processor.rs:624-670`). */
+    * (`processor.rs:624-670`). A failed query surfaces as `Left`, never a
+    * throw: `awaitTermination` raises `StreamingQueryException` when the
+    * query dies (e.g. the T2 hard-validation path failing the batch), and
+    * the cause chain is unwrapped back into the [[ProcessorError]] taxonomy
+    * — the analog of `run` returning `Err(ProcessorError::CheckpointError)`
+    * rather than panicking (`processor.rs:1470-1475`). */
   def run(spark: SparkSession, checkpointLocation: String,
       trigger: Trigger = Trigger.AvailableNow(),
       shutdown: ShutdownSignal = ShutdownSignal.never): Either[ProcessorError, Unit] = {
@@ -217,10 +258,28 @@ final class GraftProcessor[T](
         query.awaitTermination(50L)
       }
       Option(query.exception).flatten match {
-        case Some(e) => Left(ProcessorError.ClientError(e.getMessage, e))
+        case Some(e) => Left(unwrapFailure(e))
         case None => Right(())
       }
+    } catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException => Left(unwrapFailure(e))
     } finally cleanup()
+  }
+
+  /** Walk the failure's cause chain (StreamingQueryException → Spark job
+    * wrappers → user/engine error) back to our taxonomy. */
+  private def unwrapFailure(e: Throwable): ProcessorError = {
+    var c: Throwable = e
+    while (c != null) {
+      c match {
+        case pe: ProcessorError => return pe
+        case se: ShardError => return ProcessorError.ShardFailure(se)
+        case ce: CheckpointError => return ProcessorError.CheckpointFailure("?", ce)
+        case _ => ()
+      }
+      c = c.getCause
+    }
+    ProcessorError.ClientError(Option(e.getMessage).getOrElse(e.toString), e)
   }
 
   def cleanup(): Unit = {
@@ -231,4 +290,11 @@ final class GraftProcessor[T](
 
   private def emitAll(et: ProcessingEventType, shardId: String = "*"): Unit =
     sink.emit(ProcessingEvent(System.currentTimeMillis(), shardId, et))
+}
+
+object GraftProcessor {
+  /** Sentinel default for `onItems` — lets `runBatch` detect "no consumer"
+    * and drive its own single no-op action (the T2/commit pass must execute
+    * exactly once per micro-batch). */
+  val NoopItems: (Dataset[_], Long) => Unit = (_, _) => ()
 }
