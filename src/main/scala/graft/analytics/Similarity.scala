@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   *   - e3 embedding near-dup: all pairs with cosine ≥ 0.95, via the same
   *     bucketed candidates — the embedding analog of MinHash dedup.
   *
-  * Cosine values are double folds over float inputs; cross-engine float
-  * summation isn't hash-stable, so e1's oracle pins ONLY (probe, neighbor,
-  * rank) — rank ties are broken by vec_id in both engines. e2/e3 are
-  * probabilistic-recall operators → rows-only checks.
+  * Cosine values are double folds over float inputs; the oracles pin
+  * (probe, neighbor, rank) / id pairs, never raw floats — rank ties are
+  * broken by vec_id in both engines. Every operator here is fully
+  * oracle-derived: the LSH hyperplanes are exact rationals embedded as SQL
+  * literals, so DuckDB recomputes signatures, buckets, assignment, and
+  * top-k independently (r4; previously e2/e3/e4 were rows-only).
   */
 object Similarity {
 
@@ -182,6 +184,98 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** e2 oracle — DuckDB recomputes the ENTIRE LSH definition independently:
+    * the hyperplane matrix is a compile-time constant of exact rationals
+    * (n/1e6, n integer), so its values are embedded as literal lists and the
+    * signature, banding, candidate join, and cosine top-k are all derived in
+    * SQL. Generated from [[graft.functions.HyperplaneConstants]] so the
+    * oracle can never drift from the engine's constants. */
+  private def planesValuesSql: String =
+    graft.functions.HyperplaneConstants.planes.zipWithIndex.map { case (row, p) =>
+      val lst = row.map(w =>
+        s"CAST(${math.round(w * 1000000.0)} AS DOUBLE)/1000000.0").mkString(", ")
+      s"($p, [$lst])"
+    }.mkString(", ")
+
+  def lshCosineOracle: String =
+    s"""WITH pl(p, w) AS (VALUES $planesValuesSql),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |proj AS (SELECT e.vec_id, pl.p,
+      |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * pl.w[i])) AS pr
+      |  FROM e, pl),
+      |sig AS (SELECT vec_id,
+      |    CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig
+      |  FROM proj GROUP BY vec_id),
+      |bands AS (SELECT vec_id, t.b, (sig >> (t.b * 4)) & 15 AS key
+      |  FROM sig CROSS JOIN generate_series(0, 7) t(b)),
+      |cand AS (SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id AS vec_id
+      |  FROM bands pb JOIN bands cb ON pb.b = cb.b AND pb.key = cb.key AND cb.vec_id <> pb.vec_id
+      |  WHERE pb.vec_id < 8),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm FROM e)
+      |SELECT probe_id, neighbor_id, rank FROM (
+      |  SELECT c.probe_id, c.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY c.probe_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) / (a.vnorm * b.vnorm) DESC,
+      |      c.vec_id) AS rank
+      |  FROM cand c JOIN n a ON a.vec_id = c.probe_id JOIN n b ON b.vec_id = c.vec_id)
+      |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
+  /** e3 oracle — same independently-derived signature (planes as literals);
+    * the doubled corpus is ×2 float scaling, which is exact in IEEE
+    * arithmetic on both engines, so signatures and the 0.95 cosine
+    * threshold agree bit-for-bit. */
+  def embeddingNearDupOracle: String =
+    s"""WITH pl(p, w) AS (VALUES $planesValuesSql),
+      |base AS (SELECT vec_id, embedding FROM embeddings
+      |         UNION ALL
+      |         SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) FROM embeddings),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM base),
+      |proj AS (SELECT e.vec_id, pl.p,
+      |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * pl.w[i])) AS pr
+      |  FROM e, pl),
+      |sig AS (SELECT vec_id,
+      |    CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig
+      |  FROM proj GROUP BY vec_id),
+      |bands AS (SELECT vec_id, t.b, (sig >> (t.b * 16)) & 65535 AS key
+      |  FROM sig CROSS JOIN generate_series(0, 1) t(b)),
+      |cand AS (SELECT DISTINCT ba.vec_id AS vec_a, bb.vec_id AS vec_b
+      |  FROM bands ba JOIN bands bb ON ba.b = bb.b AND ba.key = bb.key AND ba.vec_id < bb.vec_id),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm FROM e)
+      |SELECT vec_a, vec_b FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
+      |WHERE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) / (a.vnorm * b.vnorm) >= 0.95
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** e4 oracle — the IVF path has no engine-specific hashing at all
+    * (deterministic codebook + cosine argmax), so DuckDB re-derives
+    * codebook, assignment, probe cells, and the final top-k outright. */
+  val ivfCosineOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm FROM e),
+      |cent AS (SELECT vec_id AS cell_id, v AS cv, vnorm AS cnorm FROM n
+      |         WHERE vec_id % 31 = 0 AND vec_id < 496),
+      |assigned AS (SELECT vec_id, cell_id FROM (
+      |    SELECT n.vec_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) / (n.vnorm * c.cnorm) DESC,
+      |        c.cell_id) AS crk
+      |    FROM n, cent c) WHERE crk = 1),
+      |pcells AS (SELECT probe_id, cell_id FROM (
+      |    SELECT n.vec_id AS probe_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) / (n.vnorm * c.cnorm) DESC,
+      |        c.cell_id) AS crk
+      |    FROM n, cent c WHERE n.vec_id < 8) WHERE crk <= 4)
+      |SELECT probe_id, neighbor_id, rank FROM (
+      |  SELECT p.probe_id, s.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) / (a.vnorm * b.vnorm) DESC,
+      |      s.vec_id) AS rank
+      |  FROM pcells p JOIN assigned s ON s.cell_id = p.cell_id
+      |       JOIN n a ON a.vec_id = p.probe_id
+      |       JOIN n b ON b.vec_id = s.vec_id
+      |  WHERE s.vec_id <> p.probe_id)
+      |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_ann_brute_topk" -> ((s: SparkSession, d: String) => bruteCosineTopK(s, d)),
     "e2_ann_lsh_topk" -> ((s: SparkSession, d: String) => lshCosineTopK(s, d)),
@@ -189,8 +283,10 @@ object Similarity {
     "e4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfCosineTopK(s, d))
   )
 
-  /** e2/e3 omitted: probabilistic recall → rows-only checks. */
   val oracles: Map[String, String] = Map(
-    "e1_ann_brute_topk" -> bruteCosineOracle
+    "e1_ann_brute_topk" -> bruteCosineOracle,
+    "e2_ann_lsh_topk" -> lshCosineOracle,
+    "e3_embedding_neardup" -> embeddingNearDupOracle,
+    "e4_ann_ivf_topk" -> ivfCosineOracle
   )
 }

@@ -55,11 +55,57 @@ object StreamingQueries {
   val streamCountOracle: String =
     "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type"
 
+  /** s2 — sessionization under the oracle gate (VERDICT r3 item 7): the
+    * `session_window` operator (the same surface `Sessionize.sessionCounts`
+    * uses on a stream) run in batch mode over `events`, rolled up per user:
+    * number of 6-hour-gap sessions, the largest session's event count, and
+    * the longest session span. Spark merges events when the next event is
+    * STRICTLY within `gap` of the session end, so the oracle's island break
+    * is `diff >= gap`. All outputs are BIGINT; `span_ms` subtracts the gap
+    * that `session_window.end` appends past the last event. */
+  def sessionStats(s: SparkSession, d: String): DataFrame = {
+    val gapMs = 6L * 3600 * 1000
+    val ev = s.read.parquet(s"$d/events.parquet")
+      .select(col("user_id"),
+        // ts is an epoch-nanos BIGINT (nanosAsLong) — see EventStream
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+    ev.groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        (unix_millis(col("session_window.end")) -
+          unix_millis(col("session_window.start")) - gapMs).as("span_ms"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_events"),
+        max(col("span_ms")).as("max_span_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Gaps-and-islands re-derivation of session_window semantics. */
+  val sessionStatsOracle: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+      |m AS (SELECT user_id, tms,
+      |        CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms) >= 21600000
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM e),
+      |i AS (SELECT user_id, tms,
+      |        sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+      |                       ROWS UNBOUNDED PRECEDING) AS island
+      |      FROM m),
+      |sess AS (SELECT user_id, island, count(*) AS n_events, max(tms) - min(tms) AS span
+      |         FROM i GROUP BY user_id, island)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+      |       CAST(max(n_events) AS BIGINT) AS max_events,
+      |       CAST(max(span) AS BIGINT) AS max_span_ms
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s1_stream_count_by_type" -> (streamCountByType _)
+    "s1_stream_count_by_type" -> (streamCountByType _),
+    "s2_sessions" -> (sessionStats _)
   )
 
   val oracles: Map[String, String] = Map(
-    "s1_stream_count_by_type" -> streamCountOracle
+    "s1_stream_count_by_type" -> streamCountOracle,
+    "s2_sessions" -> sessionStatsOracle
   )
 }
