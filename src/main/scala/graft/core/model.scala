@@ -103,6 +103,13 @@ final case class ProcessorConfig(
     /** Client-level GetRecords retry bound (reference default Some(3),
       * threaded into the client — `src/processor.rs:352,377`, `client.rs:203`). */
     maxRetries: Option[Int] = Some(3),
+    /** O7 fidelity flag (SURVEY §7): when true, an expired iterator renews
+      * through the reference's fallback ladder — stored checkpoint →
+      * last-seen sequence → TrimHorizon (`src/processor.rs:870-994`) —
+      * accepting bounded at-least-once replay. Default false = exact resume
+      * from the last consumed index (no replay), which an indexed client
+      * can always do. */
+    expiryFallbackLadder: Boolean = false,
     monitoring: MonitoringConfig = MonitoringConfig()
 ) {
   /** Validation mirroring `src/processor.rs:1701-1717` (the reference panics

@@ -93,6 +93,7 @@ final class GraftProcessor[T](
       .option("batchSize", config.batchSize.toString)
       .option("maxBatchRetrievalLoops", config.maxBatchRetrievalLoops.getOrElse(10).toString)
       .option("preferStoredCheckpoint", config.preferStoredCheckpoint.toString)
+      .option("expiryFallbackLadder", config.expiryFallbackLadder.toString)
       .option("checkpointStore", instanceId)
       .option("initialPosition", config.initialPosition match {
         case InitialPosition.TrimHorizon => "trim_horizon"

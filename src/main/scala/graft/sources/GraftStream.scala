@@ -35,10 +35,12 @@ import graft.monitoring.{EventSink, IteratorEventType, ProcessingEvent, Processi
   *     is `batchSize × maxBatchRetrievalLoops` records per shard
   *     (`src/processor.rs:997-1213`); `minimumBatchRetrievalTime` maps to the
   *     query's trigger interval (SURVEY §4)
-  *   - O7 iterator expiry: the reader renews by re-deriving the cursor from
-  *     the last consumed index (the indexed analog of the reference's
-  *     checkpoint → last-sequence → TrimHorizon ladder,
-  *     `src/processor.rs:870-994`), emitting Iterator events
+  *   - O7 iterator expiry: by default the reader renews from the last
+  *     consumed index (exact, replay-free — an indexed client can always do
+  *     this); `expiryFallbackLadder=true` opts into the reference's
+  *     checkpoint → last-sequence → TrimHorizon ladder with its deliberate
+  *     at-least-once replay (`src/processor.rs:870-994`), emitting Iterator
+  *     events either way
   *   - O9 end-of-shard: a shard whose offset reached `shardLength` plans no
   *     partition; under `Trigger.AvailableNow` the query drains and stops
   *
@@ -63,6 +65,11 @@ final class GraftSourceOptions(options: CaseInsensitiveStringMap) extends Serial
     Option(options.get("maxbatchretrievalloops")).map(_.toInt).getOrElse(10)
   val preferStoredCheckpoint: Boolean =
     Option(options.get("preferstoredcheckpoint")).forall(_.toBoolean)
+  /** O7 fidelity flag: renew expired iterators through the reference's
+    * checkpoint → last-seq → TrimHorizon ladder (at-least-once) instead of
+    * exact index resume. */
+  val expiryFallbackLadder: Boolean =
+    Option(options.get("expiryfallbackladder")).exists(_.toBoolean)
   /** Optional CheckpointStoreRegistry key consulted for O6. */
   val checkpointStoreKey: Option[String] = Option(options.get("checkpointstore"))
   /** Optional EventSink registry id for Iterator/Shard events. */
@@ -195,7 +202,8 @@ final class GraftMicroBatchStream(opts: GraftSourceOptions)
       val startIdx = s.getOrElse(shardId, 0L)
       if (endIdx > startIdx)
         Some(GraftInputPartition(shardId, startIdx, endIdx, opts.clientKey,
-          opts.streamName, opts.batchSize, opts.eventSinkId): InputPartition)
+          opts.streamName, opts.batchSize, opts.eventSinkId,
+          opts.expiryFallbackLadder, opts.checkpointStoreKey): InputPartition)
       else None
     }.toArray
   }
@@ -214,7 +222,9 @@ final case class GraftInputPartition(
     clientKey: String,
     streamName: String,
     batchSize: Int,
-    eventSinkId: Option[String]
+    eventSinkId: Option[String],
+    expiryFallbackLadder: Boolean = false,
+    checkpointStoreKey: Option[String] = None
 ) extends InputPartition
 
 final class GraftReaderFactory extends PartitionReaderFactory {
@@ -224,47 +234,79 @@ final class GraftReaderFactory extends PartitionReaderFactory {
 
 /** Per-shard reader: pulls `getRecords` pages until the planned end index —
   * the S4 accumulation loop running executor-side, order-preserving within
-  * the shard. O7: an expired iterator is renewed from the last consumed
-  * index (ladder: exact resume; TrimHorizon fallback is unreachable for an
-  * indexed client and so configured away — see class doc). */
+  * the shard. O7: an expired iterator renews by exact index resume (no
+  * replay — always possible for an indexed client); with
+  * `expiryFallbackLadder` it instead walks the reference's ladder —
+  * stored checkpoint → last-seen sequence → TrimHorizon
+  * (`src/processor.rs:870-994`) — re-anchoring `pos` at the renewed
+  * cursor's index, so a fallback landing behind the planned range replays
+  * those records (bounded at-least-once, mirroring `test_suite2.rs:170`)
+  * and never loses the range tail. */
 final class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[InternalRow] {
 
   private val client: IndexedSourceClient =
     SourceClientRegistry.get(p.clientKey).asInstanceOf[IndexedSourceClient]
   private val sink: EventSink = p.eventSinkId.map(EventSink.Registered).getOrElse(EventSink.Noop)
 
-  private var consumed = 0L
+  /** Absolute index of the next record to fetch; fallback renewal may move
+    * it backward (replay), never past `endIdx`. */
+  private var pos = p.startIdx
+  private var lastSeq: Option[String] = None
   private var iterator: Option[String] =
     Some(client.iteratorAtIndex(p.streamName, p.shardId, p.startIdx))
   private val buffer = mutable.Queue.empty[KRecord]
   private var current: KRecord = _
 
   override def next(): Boolean = {
-    while (buffer.isEmpty && consumed < (p.endIdx - p.startIdx) && iterator.isDefined) {
-      val want = math.min(p.batchSize.toLong, p.endIdx - p.startIdx - consumed).toInt
-      val result =
-        try client.getRecords(iterator.get, want)
+    while (buffer.isEmpty && pos < p.endIdx && iterator.isDefined) {
+      val want = math.min(p.batchSize.toLong, p.endIdx - pos).toInt
+      val resultOpt =
+        try Some(client.getRecords(iterator.get, want))
         catch {
           case _: SourceClientError.ExpiredIterator =>
-            // O7 renewal: re-derive from last consumed position
             sink.emit(ProcessingEvent(System.currentTimeMillis(), p.shardId,
               ProcessingEventType.Iterator(IteratorEventType.Expired, None)))
-            val renewed = client.iteratorAtIndex(p.streamName, p.shardId, p.startIdx + consumed)
+            val renewed = renewIterator()
+            pos = client.indexOfIterator(p.streamName, p.shardId, renewed)
+            iterator = Some(renewed)
             sink.emit(ProcessingEvent(System.currentTimeMillis(), p.shardId,
               ProcessingEventType.Iterator(IteratorEventType.Renewed, None)))
-            client.getRecords(renewed, want)
+            None // loop re-evaluates with the re-anchored position
         }
-      buffer.enqueueAll(result.records)
-      consumed += result.records.length
-      iterator = result.nextIterator
-      if (result.records.isEmpty && result.nextIterator.isEmpty) {
-        // O9 end-of-shard
-        return false
+      resultOpt.foreach { result =>
+        buffer.enqueueAll(result.records)
+        pos += result.records.length
+        result.records.lastOption.foreach(r => lastSeq = Some(r.sequenceNumber))
+        iterator = result.nextIterator // None + empty = O9 end-of-shard, loop exits
       }
     }
     if (buffer.isEmpty) false
     else { current = buffer.dequeue(); true }
   }
+
+  /** O7 renewal: exact index resume by default; the reference's fallback
+    * ladder behind the flag. Each rung that fails falls through to the
+    * next, exactly like `get_checkpointed_iterator` → `get_latest_iterator`
+    * → TrimHorizon in the reference. */
+  private def renewIterator(): String =
+    if (!p.expiryFallbackLadder)
+      client.iteratorAtIndex(p.streamName, p.shardId, pos)
+    else {
+      val fromCkpt = p.checkpointStoreKey.flatMap { k =>
+        try graft.core.CheckpointStoreRegistry.get(k)
+          .flatMap(_.getCheckpoint(p.shardId))
+          .map(seq => client.getShardIterator(p.streamName, p.shardId,
+            ShardIteratorType.AfterSequenceNumber(seq)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      def fromLastSeq = lastSeq.flatMap { seq =>
+        try Some(client.getShardIterator(p.streamName, p.shardId,
+          ShardIteratorType.AfterSequenceNumber(seq)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      fromCkpt.orElse(fromLastSeq).getOrElse(
+        client.getShardIterator(p.streamName, p.shardId, ShardIteratorType.TrimHorizon))
+    }
 
   override def get(): InternalRow = {
     val r = current

@@ -82,6 +82,11 @@ class ThrottleRetryingClient(
 trait IndexedSourceClient extends SourceClient {
   def shardLength(streamName: String, shardId: String): Long
   def iteratorAtIndex(streamName: String, shardId: String, index: Long): String
+  /** Absolute record index a cursor points at — the inverse of
+    * [[iteratorAtIndex]]; lets the reader re-anchor its position after an
+    * O7 fallback renewal (which may land BEHIND the planned range → bounded
+    * at-least-once replay, never loss). */
+  def indexOfIterator(streamName: String, shardId: String, iterator: String): Long
 }
 
 /** [[ThrottleRetryingClient]] that preserves the indexed contract (the
@@ -95,6 +100,8 @@ final class IndexedThrottleRetryingClient(
     underlying.shardLength(streamName, shardId)
   override def iteratorAtIndex(streamName: String, shardId: String, index: Long): String =
     underlying.iteratorAtIndex(streamName, shardId, index)
+  override def indexOfIterator(streamName: String, shardId: String, iterator: String): Long =
+    underlying.indexOfIterator(streamName, shardId, iterator)
 }
 
 /** Deterministic in-memory sharded stream: `shardId → ordered records`.
@@ -112,6 +119,9 @@ class InMemorySourceClient(
 
   override def iteratorAtIndex(streamName: String, shardId: String, index: Long): String =
     cursor(shardId, index.toInt)
+
+  override def indexOfIterator(streamName: String, shardId: String, iterator: String): Long =
+    parseCursor(iterator)._2.toLong
 
   protected def cursor(shardId: String, idx: Int): String = s"$shardId#$idx"
   protected def parseCursor(it: String): (String, Int) = {

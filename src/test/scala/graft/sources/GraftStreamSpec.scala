@@ -181,6 +181,64 @@ class GraftStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally { SourceClientRegistry.unregister("c7"); EventSink.unregister("o7-events") }
   }
 
+  /** Expires the Nth getRecords call once — lets ladder tests trigger
+    * expiry mid-partition, after real progress has been made. */
+  private final class ExpireOnCall(shards: Map[String, IndexedSeq[KRecord]], failOn: Int)
+      extends InMemorySourceClient(shards) {
+    private val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def getRecords(iterator: String, limit: Int): GetRecordsResult =
+      if (calls.incrementAndGet() == failOn) throw SourceClientError.ExpiredIterator("expired")
+      else super.getRecords(iterator, limit)
+  }
+
+  private def ladderRead(clientKey: String, extra: Map[String, String]): (Long, Long) = {
+    val reader = spark.readStream.format("graft-stream").option("client", clientKey)
+      .option("batchsize", "10").option("expiryfallbackladder", "true")
+    extra.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load()
+      .writeStream.format("memory").queryName("ladder")
+      .option("checkpointLocation", tmpDir())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val row = spark.sql(
+      "SELECT count(*), count(DISTINCT sequenceNumber) FROM ladder").head()
+    spark.sql("DROP TABLE IF EXISTS ladder")
+    (row.getLong(0), row.getLong(1))
+  }
+
+  test("O7 ladder rung 1: expiry renews from stored checkpoint, replaying records behind it (at-least-once, processor.rs:870-994)") {
+    // checkpoint at seq 19 (index 20); expiry fires on the 4th page (pos 30)
+    // → renewal re-anchors at 20 and records 20..29 are re-delivered
+    val store = new InMemoryCheckpointStore
+    store.saveCheckpoint("shard-0", "0000000019")
+    CheckpointStoreRegistry.register("lad1s", store)
+    SourceClientRegistry.register("lad1", new ExpireOnCall(mkShards(1, 100), failOn = 4))
+    try {
+      val (total, distinct) = ladderRead("lad1",
+        Map("checkpointstore" -> "lad1s", "preferstoredcheckpoint" -> "false"))
+      distinct shouldBe 100 // no loss
+      total shouldBe 110 // 30 before expiry + replay of 20..99
+    } finally { SourceClientRegistry.unregister("lad1"); CheckpointStoreRegistry.unregister("lad1s") }
+  }
+
+  test("O7 ladder rung 2: no checkpoint store, expiry renews after the last-seen sequence (no dupes)") {
+    SourceClientRegistry.register("lad2", new ExpireOnCall(mkShards(1, 100), failOn = 4))
+    try {
+      val (total, distinct) = ladderRead("lad2", Map.empty)
+      distinct shouldBe 100
+      total shouldBe 100 // AfterSequenceNumber(last seen) = exact resume
+    } finally SourceClientRegistry.unregister("lad2")
+  }
+
+  test("O7 ladder rung 3: expiry before any record falls back to TrimHorizon (full delivery)") {
+    SourceClientRegistry.register("lad3", new ExpireOnCall(mkShards(1, 100), failOn = 1))
+    try {
+      val (total, distinct) = ladderRead("lad3", Map.empty)
+      distinct shouldBe 100
+      total shouldBe 100
+    } finally SourceClientRegistry.unregister("lad3")
+  }
+
   test("resharding: newly listed shards are picked up between micro-batches (test_suite2.rs:53-114)") {
     val scripted = new ScriptedSourceClient(mkShards(3, 40))
     val twoShards = Seq(ShardInfo("shard-0"), ShardInfo("shard-1"))
