@@ -298,4 +298,12 @@ object GraftProcessor {
     * and drive its own single no-op action (the T2/commit pass must execute
     * exactly once per micro-batch). */
   val NoopItems: (Dataset[_], Long) => Unit = (_, _) => ()
+
+  /** The documented SURVEY §4 mapping of the reference's
+    * `minimum_batch_retrieval_time` (`src/processor.rs:373-384`): batch
+    * accumulation time becomes the micro-batch trigger interval. Use as
+    * `gp.run(spark, dir, GraftProcessor.continuousTrigger(config))` for a
+    * long-running processor; AvailableNow (drain) ignores it by design. */
+  def continuousTrigger(config: ProcessorConfig): Trigger =
+    Trigger.ProcessingTime(config.minimumBatchRetrievalTimeMs)
 }

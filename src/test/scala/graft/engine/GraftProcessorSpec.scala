@@ -132,6 +132,12 @@ class GraftProcessorSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.all("shard-0") shouldBe "0000000019"
   }
 
+  test("minimum_batch_retrieval_time maps to the continuous trigger interval (SURVEY §4)") {
+    GraftProcessor.continuousTrigger(
+      ProcessorConfig("t", minimumBatchRetrievalTimeMs = 250L)) shouldBe
+      Trigger.ProcessingTime(250L)
+  }
+
   test("invalid config rejected at construction (O1, processor.rs:599-602)") {
     val s = spark; import s.implicits._
     assertThrows[IllegalArgumentException] {
