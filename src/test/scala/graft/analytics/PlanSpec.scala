@@ -78,4 +78,21 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       }
     }
   }
+
+  test("n2 top-1 is a partial+final aggregation, never a window over probe partitions (VERDICT r3)") {
+    val plan = planOf("n2_ngram_jaccard_top1")
+    withClue(s"n2 plan:\n$plan\n") {
+      plan should not include "Window"
+      // struct-max lowers to SortAggregate; the property that matters is
+      // the map-side combine (partial_max) before the probe_id exchange
+      plan should include("partial_max")
+    }
+  }
+
+  test("n1 exact-verify joins broadcast under the size gate (VERDICT r3)") {
+    val plan = planOf("n1_minhash_neardup")
+    withClue(s"n1 plan:\n$plan\n") {
+      plan should include("BroadcastHashJoin")
+    }
+  }
 }
