@@ -55,6 +55,13 @@ final case class CommitTask(
   * is the engine checkpoint (exactly-once restart of stream positions); the
   * [[CheckpointStore]] is the application checkpoint, the analog of the
   * reference's DynamoDB table.
+  *
+  * Contract for `onItems`: it receives the micro-batch's item Dataset and
+  * must run EXACTLY ONE action over it (write, collect, count…) — the
+  * commit pass (T2 validation + stats) executes lazily inside that action.
+  * Running none would skip the epoch's commit; running several re-executes
+  * validation side effects. Omit `onItems` entirely and the engine drives
+  * its own single no-op action.
   */
 final class GraftProcessor[T](
     val config: ProcessorConfig,
