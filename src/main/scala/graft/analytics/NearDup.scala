@@ -107,6 +107,60 @@ object NearDup {
       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** n4 — near-dup CLUSTERING: connected components over the verified
+    * MinHash pair graph, labeling every involved doc with the minimum
+    * doc_id of its component (the canonical representative a dedup pipeline
+    * keeps). This is the step that turns pairwise near-dups into actual
+    * drop decisions.
+    *
+    * Scale shape: iterative min-label propagation — per round one
+    * edges⋈labels shuffle join + a partial+final min aggregation, looping
+    * until a fixpoint (the driver-side check reads ONE aggregate row per
+    * round, never data). Rounds ≤ component diameter; for dedup graphs
+    * (tiny dense clusters) that is 2-3. The 100 TB upgrade path is
+    * large-star/small-star on the same join shape. */
+  def minhashClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashNearDup(s, d).select(col("doc_a"), col("doc_b"))
+    // undirected: propagate labels both ways
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .cache()
+    var changed = true
+    while (changed) {
+      val next = edges
+        .join(labels, edges("doc_b") === labels("node"))
+        .select(edges("doc_a").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old"))
+        .limit(1).count() > 0 // one tiny row to the driver per round
+      labels.unpersist()
+      labels = next
+    }
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Recursive-CTE re-derivation: every doc's component root is the min
+    * doc_id among all docs reachable through the (exact-Jaccard-verified)
+    * pair graph. */
+  val minhashClustersOracle: String =
+    s"""WITH RECURSIVE pairs AS ($minhashOracle),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(node, root) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)
+      |SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   /** Exact n-gram Jaccard as a standalone similarity operator: for the
     * first 20 docs, the most similar other document (probe side broadcast).
     * Top-1 is a partial+final `max(struct)` aggregation, not a window: the
@@ -183,12 +237,14 @@ object NearDup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_minhash_neardup" -> (minhashNearDup _),
     "n2_ngram_jaccard_top1" -> (ngramJaccardTop1 _),
-    "n3_simhash_neardup" -> (simhashNearDup _)
+    "n3_simhash_neardup" -> (simhashNearDup _),
+    "n4_neardup_clusters" -> (minhashClusters _)
   )
 
   /** n3 omitted: simhash values are engine-specific (rows-only check). */
   val oracles: Map[String, String] = Map(
     "n1_minhash_neardup" -> minhashOracle,
-    "n2_ngram_jaccard_top1" -> ngramJaccardOracle
+    "n2_ngram_jaccard_top1" -> ngramJaccardOracle,
+    "n4_neardup_clusters" -> minhashClustersOracle
   )
 }
