@@ -73,6 +73,42 @@ object Sessionize {
       }
   }
 
+  /** Imperative sessionization via flatMapGroupsWithState — the 0..N-emit
+    * stateful extension point (§2.8): a batch of events may CLOSE any
+    * number of finished sessions (each emitted exactly once, when a later
+    * event arrives past the gap) while the live session stays in state.
+    * Contrast with [[statefulSessions]], which re-emits the running
+    * session every trigger. Append mode: only closed, final sessions flow
+    * downstream. */
+  def closedSessions(events: Dataset[UserEvent], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[SessionSummary]) =>
+          // fold this batch's events (in event-time order) through the
+          // open session, closing + emitting whenever a gap is crossed
+          val closed = Vector.newBuilder[SessionSummary]
+          var open = state.getOption.orNull
+          batch.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+            open match {
+              case null =>
+                open = SessionSummary(userId, 1L, t, t)
+              case sess if t - sess.sessionEndMs <= gapMs =>
+                open = SessionSummary(userId, sess.nEvents + 1, sess.sessionStartMs,
+                  math.max(sess.sessionEndMs, t))
+              case sess =>
+                closed += sess // gap crossed → the previous session is final
+                open = SessionSummary(userId, 1L, t, t)
+            }
+          }
+          if (open != null) state.update(open) // live session stays in state
+          closed.result().iterator
+      }
+  }
+
   /** Output-mode helper for the declarative path (append after watermark). */
   val sessionOutputMode: OutputMode = OutputMode.Append()
 }

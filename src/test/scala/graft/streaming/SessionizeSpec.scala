@@ -46,6 +46,35 @@ class SessionizeSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState emits each closed session exactly once; live session stays in state") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = Sessionize.closedSessions(input.toDS(), gapMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(UserEvent(5, "view", ts(0)), UserEvent(5, "click", ts(4)))
+      q.processAllAvailable()
+      // nothing closed yet — the 0-4min session is still live in state
+      spark.sql("SELECT count(*) FROM closed_sessions").head().getLong(0) shouldBe 0L
+      // 30min > gap → closes the first session (2 events), opens a second
+      input.addData(UserEvent(5, "view", ts(30)))
+      q.processAllAvailable()
+      // 90min > gap → closes the second (1 event), opens a third
+      input.addData(UserEvent(5, "view", ts(90)))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT nEvents, sessionStartMs FROM closed_sessions WHERE userId = 5 ORDER BY sessionStartMs")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      rows shouldBe Array((2L, 0L), (1L, 30L * 60000L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS closed_sessions")
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user session state across micro-batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
