@@ -61,6 +61,19 @@ object Dedup {
       |FROM (SELECT regexp_replace(lower(text), '\s+', ' ', 'g') AS nt
       |      FROM (SELECT text FROM documents UNION ALL SELECT text FROM documents))""".stripMargin
 
+  /** Streaming exact dedup: `dropDuplicatesWithinWatermark` keyed on the
+    * content hash — the state store holds only keys seen within the
+    * watermark horizon, so state is BOUNDED (a plain streaming
+    * `dropDuplicates` grows forever — the 100 TB disqualifier). Use for
+    * continuous ingest dedup; the batch variant above is the backfill
+    * path. `df` must carry an event-time column named by `tsCol`. */
+  def streamingDedup(df: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    df.withColumn("h", xxhash64(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("h")
+      .drop("h")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exactDedup _),
     "d2_dedup_stats" -> (dedupStats _)

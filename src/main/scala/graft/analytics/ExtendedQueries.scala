@@ -34,6 +34,30 @@ object ExtendedQueries {
       |GROUP BY ROLLUP (n_name, o_orderpriority)
       |ORDER BY nation, priority""".stripMargin
 
+  /** q16 — CUBE: all grouping-set combinations over (region, market
+    * segment), completing the grouping-sets family next to q11's ROLLUP.
+    * Same NULL-marker coalescing and decimal-sum discipline. */
+  def q16Cube(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("total_balance"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("n_customers"), col("total_balance"))
+      .orderBy(col("region"), col("segment"))
+
+  val q16Oracle: String =
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(c_mktsegment, 'ALL') AS segment,
+      |count(*) AS n_customers,
+      |CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, c_mktsegment)
+      |ORDER BY region, segment""".stripMargin
+
   /** q12 — event-time tumbling window (1 day) over the events stream table.
     * `ts` arrives as epoch-nano BIGINT (no nanos type in Spark); the window
     * start is emitted as a date string so no raw timestamps cross the
@@ -120,6 +144,7 @@ object ExtendedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_rollup" -> (q11Rollup _),
+    "q16_cube" -> (q16Cube _),
     "q12_event_time_window" -> (q12EventTimeWindow _),
     "q13_union_balances" -> (q13UnionBalances _),
     "q14_approx_distinct" -> (q14ApproxDistinct _),
@@ -129,6 +154,7 @@ object ExtendedQueries {
   /** q14 omitted: HLL sketch values are engine-specific (rows-only). */
   val oracles: Map[String, String] = Map(
     "q11_rollup" -> q11Oracle,
+    "q16_cube" -> q16Oracle,
     "q12_event_time_window" -> q12Oracle,
     "q13_union_balances" -> q13Oracle,
     "q15_price_stats_udaf" -> q15Oracle
