@@ -29,6 +29,21 @@ class GraftProcessorSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   private def tmp(): String = Files.createTempDirectory("graft-engine").toString
 
+  /** Like [[newProcessor]] but runs against a CALLER-owned engine
+    * checkpoint dir (restart-semantics tests). */
+  private def newProcessorAt(
+      proc: RecordProcessor[String],
+      store: CheckpointStore,
+      shards: Map[String, IndexedSeq[KRecord]],
+      ckptDir: String): Either[ProcessorError, Unit] = {
+    val s = spark; import s.implicits._
+    collected.clear()
+    new GraftProcessor[String](ProcessorConfig("t"), proc,
+      new InMemorySourceClient(shards), store,
+      onItems = (ds, _) => { collected.addAll(java.util.Arrays.asList(ds.collect(): _*)); () })
+      .run(spark, ckptDir)
+  }
+
   private def newProcessor(
       proc: RecordProcessor[String],
       store: CheckpointStore,
@@ -130,6 +145,34 @@ class GraftProcessorSpec extends AnyFunSuite with Matchers with SparkSpec {
     // then succeeded; everything else clean
     collected.size() shouldBe 19
     store.all("shard-0") shouldBe "0000000019"
+  }
+
+  test("after a hard validation failure the epoch is uncommitted: restart re-delivers the batch (processor.rs:1470-1475)") {
+    val store = new InMemoryCheckpointStore
+    val shards = mkShards(1, 10)
+    val ckptDir = tmp()
+    // run 1: hard validator fails the batch — nothing checkpointed, nothing emitted
+    newProcessorAt(new HardValidator, store, shards, ckptDir) should matchPattern { case Left(_) => }
+    store.all shouldBe empty
+    collected.size() shouldBe 0
+    // run 2, SAME engine checkpoint dir, benign processor → the failed
+    // epoch re-runs from its logged offsets and all 10 records arrive
+    newProcessorAt(new Echo, store, shards, ckptDir) shouldBe Right(())
+    collected.size() shouldBe 10
+    store.all("shard-0") shouldBe "0000000009"
+  }
+
+  test("a non-retriable client failure surfaces as Left(ClientError), never a throw (O2 contract)") {
+    val denied = new InMemorySourceClient(mkShards(1, 10)) {
+      override def getRecords(iterator: String, limit: Int): graft.sources.GetRecordsResult =
+        throw graft.sources.SourceClientError.AccessDenied("nope")
+    }
+    val s = spark; import s.implicits._
+    val gp = new GraftProcessor[String](ProcessorConfig("t"), new Echo, denied,
+      new InMemoryCheckpointStore)
+    gp.run(spark, tmp()) should matchPattern {
+      case Left(ProcessorError.ClientError(_, _)) =>
+    }
   }
 
   test("minimum_batch_retrieval_time maps to the continuous trigger interval (SURVEY §4)") {
