@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event-time stateful processing over the event stream — the Structured
   * Streaming surface SURVEY §2.8 maps to (`withWatermark`, `session_window`,
@@ -107,6 +107,39 @@ object Sessionize {
           if (open != null) state.update(open) // live session stays in state
           closed.result().iterator
       }
+  }
+
+  final case class UserCount(userId: Long, nEvents: Long)
+
+  /** Per-user running totals on `transformWithState` — Spark 4's
+    * successor to `mapGroupsWithState` (typed named-state handles, TTL,
+    * timers; RocksDB-backed state store required). State here is one
+    * `ValueState[Long]` per user with an optional TTL so idle users
+    * age out of the store — the bounded-state discipline a 100 TB
+    * continuous pipeline needs. */
+  final class RunningCountProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, UserEvent, UserCount] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, ttl)
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserCount] = {
+      val c = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(c)
+      Iterator.single(UserCount(userId, c))
+    }
+  }
+
+  /** Running per-user event counts with TTL'd state. Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider` on the session. */
+  def runningCounts(events: Dataset[UserEvent],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new RunningCountProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Output-mode helper for the declarative path (append after watermark). */
