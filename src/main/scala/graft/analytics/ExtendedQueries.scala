@@ -77,6 +77,42 @@ object ExtendedQueries {
       |count(*) AS n_events, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** q17 — lag window: per-user inter-event gaps (count / max / mean in
+    * ms), the sequence-analytics shape (lead/lag) the window family was
+    * missing. Order within a user is (ts, event_id) so timestamp ties are
+    * deterministic on both engines; `ts` stays integer nanos until the
+    * single final division (exact ints → one IEEE division → hash-stable,
+    * r2 rules). */
+  def q17EventGaps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // gaps in MICROsecond ints: Spark's nanosAsLong keeps full nano
+    // precision but DuckDB reads TIMESTAMP(NANOS) at micro precision —
+    // floor-dividing nanos vs micros drifts by 1 ms at carry boundaries
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    events(s, d)
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_ms", expr("(tus - prev) div 1000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("gap_ms")).as("max_gap_ms"),
+        (sum(col("gap_ms")).cast("double") / count(lit(1))).as("avg_gap_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  val q17Oracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    (tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)) // 1000 AS gap_ms
+      |  FROM e)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+      |  CAST(CAST(sum(gap_ms) AS BIGINT) AS DOUBLE) / count(*) AS avg_gap_ms
+      |FROM g WHERE gap_ms IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** q13 — UNION ALL across entity kinds + re-aggregation. */
   def q13UnionBalances(s: SparkSession, d: String): DataFrame =
     customer(s, d).select(lit("customer").as("kind"), col("c_acctbal").as("bal"))
@@ -145,6 +181,7 @@ object ExtendedQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_rollup" -> (q11Rollup _),
     "q16_cube" -> (q16Cube _),
+    "q17_event_gaps" -> (q17EventGaps _),
     "q12_event_time_window" -> (q12EventTimeWindow _),
     "q13_union_balances" -> (q13UnionBalances _),
     "q14_approx_distinct" -> (q14ApproxDistinct _),
@@ -155,6 +192,7 @@ object ExtendedQueries {
   val oracles: Map[String, String] = Map(
     "q11_rollup" -> q11Oracle,
     "q16_cube" -> q16Oracle,
+    "q17_event_gaps" -> q17Oracle,
     "q12_event_time_window" -> q12Oracle,
     "q13_union_balances" -> q13Oracle,
     "q15_price_stats_udaf" -> q15Oracle
