@@ -178,7 +178,54 @@ object ExtendedQueries {
       |CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q18 — exact interpolated percentiles (Spark `percentile` vs DuckDB
+    * `quantile_cont`). Restricted to quarter quantiles on integer-valued
+    * quantities: q·(n−1) and the interpolation weights are then exact
+    * binary fractions, so lower + frac·(upper−lower) is bit-identical
+    * regardless of each engine's formula ordering. (0.95-style quantiles
+    * would NOT hash-match — 0.95 has no finite binary representation.) */
+  def q18Quantiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q18Oracle: String =
+    """SELECT l_returnflag,
+      |quantile_cont(l_quantity, 0.25) AS p25,
+      |quantile_cont(l_quantity, 0.5) AS p50,
+      |quantile_cont(l_quantity, 0.75) AS p75,
+      |count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q19 — pivot (long→wide): event counts per day × type. The pivot list
+    * is explicit (no discovery scan) and missing cells are filled with 0 so
+    * both engines emit non-null BIGINT columns. */
+  def q19Pivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("day",
+        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0)
+      .orderBy(col("day"))
+
+  val q19Oracle: String =
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |count(*) FILTER (event_type = 'click') AS click,
+      |count(*) FILTER (event_type = 'error') AS error,
+      |count(*) FILTER (event_type = 'purchase') AS purchase,
+      |count(*) FILTER (event_type = 'signup') AS signup,
+      |count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_quantiles" -> (q18Quantiles _),
+    "q19_pivot" -> (q19Pivot _),
     "q11_rollup" -> (q11Rollup _),
     "q16_cube" -> (q16Cube _),
     "q17_event_gaps" -> (q17EventGaps _),
@@ -190,6 +237,8 @@ object ExtendedQueries {
 
   /** q14 omitted: HLL sketch values are engine-specific (rows-only). */
   val oracles: Map[String, String] = Map(
+    "q18_quantiles" -> q18Oracle,
+    "q19_pivot" -> q19Oracle,
     "q11_rollup" -> q11Oracle,
     "q16_cube" -> q16Oracle,
     "q17_event_gaps" -> q17Oracle,

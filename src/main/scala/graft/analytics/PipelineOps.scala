@@ -1,0 +1,216 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline composition layer: the operators a pretraining
+  * corpus build runs BETWEEN the per-document analytics (TextAnalytics) and
+  * the dedup families (Dedup/NearDup) — as-of attribution joins,
+  * deterministic stratified sampling, sequence packing (chunking), PII-style
+  * redaction, and an end-to-end filter→dedup→sample→stats pipeline.
+  *
+  * Determinism discipline (r2 rules): every oracle-checked output is exact
+  * integers, strings, or a single IEEE division of exact integers; sampling
+  * uses md5 (identical lowercase hex in Spark and DuckDB), never `rand()`.
+  *
+  * Scale notes are per-operator; the common theme is one shuffle keyed by
+  * the entity id, no all-pairs, no driver-side loops.
+  */
+object PipelineOps {
+
+  import Tables._
+
+  /** p1 — as-of join (point-in-time attribution): for each `purchase`
+    * event, the latest `click` by the same user at-or-before it.
+    *
+    * Spark has no ASOF JOIN (DuckDB does — the oracle uses it); a range
+    * join would explode to O(clicks × purchases) per user. Instead: union
+    * both sides tagged, ONE shuffle by user_id, sort by (time, side), and
+    * a running `last(click, ignoreNulls)` window — the classic distributed
+    * merge-based as-of. Clicks are pre-collapsed to one row per
+    * (user, microsecond) (max event_id) so timestamp ties cannot make the
+    * result order-dependent on either engine.
+    *
+    * 100 TB: cost is one shuffle + per-user sort; skew is bounded by the
+    * hottest user's event count, with no quadratic term anywhere.
+    */
+  def p1AsofAttribution(s: SparkSession, d: String): DataFrame = {
+    // ts is epoch-nanos BIGINT (nanosAsLong); compute in microseconds so
+    // the oracle's epoch_us(ts) sees identical integers (q17 precision rule)
+    val ev = events(s, d).select(
+      col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+      col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id").as("p_id"))
+
+    // side 0 = click, 1 = purchase: a click at the exact same microsecond
+    // sorts first, so it is visible to the purchase (ASOF `>=` semantics)
+    val tagged = clicks.select(
+        col("user_id"), col("us"), lit(0).as("side"),
+        col("click_id"), lit(null).cast("long").as("p_id"))
+      .unionByName(purchases.select(
+        col("user_id"), col("us"), lit(1).as("side"),
+        lit(null).cast("long").as("click_id"), col("p_id")))
+
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("click_us",
+        last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("p_id").isNotNull && col("last_click").isNotNull)
+      .select(col("p_id"), col("user_id"), col("last_click").as("click_id"),
+        (col("us") - col("click_us")).as("gap_us"))
+      .orderBy(col("p_id"))
+  }
+
+  val p1Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+      |clicks AS (SELECT user_id, us, max(event_id) AS click_id
+      |           FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+      |purch AS (SELECT event_id AS p_id, user_id, us
+      |          FROM e WHERE event_type = 'purchase')
+      |SELECT p.p_id, p.user_id, c.click_id, p.us - c.us AS gap_us
+      |FROM purch p ASOF JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.us >= c.us
+      |ORDER BY p_id""".stripMargin
+
+  /** p2 — deterministic stratified sampling: per-language rates via a hex
+    * threshold on md5(doc_id). Unlike `rand()`/TABLESAMPLE, the kept set is
+    * a pure function of the data — reproducible across engines, runs, and
+    * cluster sizes (the property a training-data pipeline actually needs
+    * for ablations). en≈20%, zh≈40%, others≈60% of docs.
+    *
+    * 100 TB: shuffle-free — a codegen'd filter on a scan. */
+  def p2StratifiedSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+          .as("bucket"))
+      .filter(col("bucket") < expr(
+        "CASE lang WHEN 'en' THEN '33' WHEN 'zh' THEN '66' ELSE '99' END"))
+      .orderBy(col("doc_id"))
+
+  val p2Oracle: String =
+    """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  CASE lang WHEN 'en' THEN '33' WHEN 'zh' THEN '66' ELSE '99' END
+      |ORDER BY doc_id""".stripMargin
+
+  /** p3 — sequence packing prep: split every document into fixed 32-word
+    * windows (chunk text + its word count). The explode multiplies rows,
+    * never bytes²; each chunk row carries only its own slice.
+    *
+    * 100 TB: narrow (no shuffle) — scan → explode → project; output
+    * partitioning follows the input files. */
+  def p3TokenChunks(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, (size(w)-1) div 32)")).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
+        expr("array_join(slice(w, i*32+1, 32), ' ')").as("chunk"),
+        expr("size(slice(w, i*32+1, 32))").cast("long").as("n_words"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val p3Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c AS (SELECT doc_id, w, unnest(range(0, (len(w)-1)//32 + 1)) AS chunk_id FROM d)
+      |SELECT doc_id, chunk_id,
+      |  array_to_string(w[chunk_id*32+1 : chunk_id*32+32], ' ') AS chunk,
+      |  len(w[chunk_id*32+1 : chunk_id*32+32]) AS n_words
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** p4 — PII-style redaction: mask a denylist of terms (word-boundary
+    * regex, RE2-and-Java compatible) and count the masked hits per doc.
+    *
+    * 100 TB: shuffle-free codegen'd projection. */
+  private val redactPattern = "\\b(customer|order|value|key)\\b"
+
+  def p4Redact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), redactPattern, "<MASKED>").as("redacted"),
+        // SQL string literals eat one level of backslash escaping, so the
+        // \b word boundaries must be doubled inside expr()
+        size(expr(
+          s"regexp_extract_all(text, '${redactPattern.replace("\\", "\\\\")}', 0)"))
+          .cast("long").as("n_masked"))
+      .orderBy(col("doc_id"))
+
+  val p4Oracle: String =
+    """SELECT doc_id,
+      |regexp_replace(text, '\b(customer|order|value|key)\b', '<MASKED>', 'g') AS redacted,
+      |len(regexp_extract_all(text, '\b(customer|order|value|key)\b')) AS n_masked
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** p5 — the composed corpus build: quality filter (uniq ratio ≥ 0.5,
+    * ≥ 20 words) → exact dedup on text (keep the lowest doc_id, its lang
+    * via min_by) → 50% deterministic hash sample → per-language corpus
+    * stats. One query exercising filter, dedup, sampling, and aggregation
+    * as a single Catalyst plan (filters reach the scan; the only shuffles
+    * are the dedup groupBy and the final small rollup).
+    *
+    * 100 TB: the text-keyed dedup groupBy is the sole wide stage over the
+    * full corpus — same shape as d1, where the shuffle key discipline
+    * (hash, not text) would apply; here text itself is grouped because the
+    * aggregate needs min_by over it, matching the oracle exactly. */
+  def p5QualityPipeline(s: SparkSession, d: String): DataFrame = {
+    val wordsArr = split(col("text"), " ")
+    val nWords = size(wordsArr).cast("long")
+    val uniqRatio = size(array_distinct(wordsArr)).cast("double") / size(wordsArr)
+    val kept = documents(s, d)
+      .filter(nWords >= 20 && uniqRatio >= lit(0.5))
+    val deduped = kept
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), min_by(col("lang"), col("doc_id")).as("lang"))
+    val sampled = deduped
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "80")
+    sampled
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_words"),
+        (sum(size(split(col("text"), " ")).cast("long")).cast("double") /
+          count(lit(1))).as("avg_words"))
+      .orderBy(col("lang"))
+  }
+
+  val p5Oracle: String =
+    """WITH kept AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 20
+      |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) >= 0.5),
+      |deduped AS (
+      |  SELECT text, min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang
+      |  FROM kept GROUP BY text),
+      |sampled AS (
+      |  SELECT * FROM deduped
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+      |  CAST(CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE)
+      |    / count(*) AS avg_words
+      |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_asof_attribution" -> (p1AsofAttribution _),
+    "p2_stratified_sample" -> (p2StratifiedSample _),
+    "p3_token_chunks" -> (p3TokenChunks _),
+    "p4_redact" -> (p4Redact _),
+    "p5_quality_pipeline" -> (p5QualityPipeline _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p1_asof_attribution" -> p1Oracle,
+    "p2_stratified_sample" -> p2Oracle,
+    "p3_token_chunks" -> p3Oracle,
+    "p4_redact" -> p4Oracle,
+    "p5_quality_pipeline" -> p5Oracle
+  )
+}

@@ -1,0 +1,87 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Pipeline-composition operators (PipelineOps): semantics pinned against
+  * in-Scala brute force at sf0.001, plus the plan shapes that must survive
+  * a 100 TB scale-up (as-of = one union+window pass, not a range join;
+  * sampling/chunking/redaction = narrow, no hash shuffle). */
+class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("p1 as-of join matches per-user brute force (latest click at-or-before each purchase)") {
+    import org.apache.spark.sql.{functions => F}
+    val ev = Tables.events(spark, sfDir)
+      .select(F.col("event_id"), F.col("user_id"), F.expr("ts div 1000").as("us"), F.col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // brute force: collapse click ties to max event_id per (user, us) first,
+    // exactly as the operator documents
+    val clicks = ev.filter(_._4 == "click").groupBy(e => (e._2, e._3))
+      .map { case ((u, us), es) => (u, us, es.map(_._1).max) }.toSeq
+    val expected = ev.filter(_._4 == "purchase").flatMap { case (pid, u, pus, _) =>
+      val prior = clicks.filter(c => c._1 == u && c._2 <= pus)
+      if (prior.isEmpty) None
+      else {
+        val best = prior.maxBy(c => (c._2, c._3))
+        Some((pid, u, best._3, pus - best._2))
+      }
+    }.sortBy(_._1).toSeq
+
+    val got = PipelineOps.p1AsofAttribution(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("p1 plan is union+window, never a range/cartesian join") {
+    val plan = PipelineOps.p1AsofAttribution(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "SortMergeJoin"
+  }
+
+  test("p2/p3/p4 are narrow: no hash-partition shuffle in the plan") {
+    Seq(
+      PipelineOps.p2StratifiedSample(spark, sfDir),
+      PipelineOps.p3TokenChunks(spark, sfDir),
+      PipelineOps.p4Redact(spark, sfDir)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      withClue(plan) { plan should not include "hashpartitioning" }
+    }
+  }
+
+  test("p2 sampling is deterministic and stratified (en rate < default rate)") {
+    val df = PipelineOps.p2StratifiedSample(spark, sfDir)
+    val a = df.collect().map(_.getLong(0)).toSeq
+    val b = PipelineOps.p2StratifiedSample(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    a shouldBe b // pure function of the data, not rand()
+    val total = Tables.documents(spark, sfDir).count()
+    a.size.toLong should be < total
+  }
+
+  test("p3 chunking covers every word exactly once") {
+    import org.apache.spark.sql.{functions => F}
+    val totWords = Tables.documents(spark, sfDir)
+      .select(F.sum(F.size(F.split(F.col("text"), " ")))).collect()(0).getLong(0)
+    val chunkWords = PipelineOps.p3TokenChunks(spark, sfDir)
+      .select(F.sum(F.col("n_words"))).collect()(0).getLong(0)
+    assert(chunkWords == totWords)
+  }
+
+  test("p4 masks exactly the denylist terms") {
+    val rows = PipelineOps.p4Redact(spark, sfDir).collect()
+    rows.foreach { r =>
+      val redacted = r.getString(1)
+      redacted.split(" ") should not contain oneOf("customer", "order", "value", "key")
+      val masks = "<MASKED>".r.findAllIn(redacted).size
+      masks shouldBe r.getLong(2)
+    }
+  }
+}
