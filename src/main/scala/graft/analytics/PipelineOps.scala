@@ -198,7 +198,44 @@ object PipelineOps {
       |    / count(*) AS avg_words
       |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** p6 — mixture rebalance: downsample every (lang, source) stratum to
+    * its language's smallest source so the per-language source mix is
+    * uniform (the "domain reweighting" step of a corpus build). The keep
+    * rule is pure integer arithmetic on doc_id (`doc_id % n_src < m`), so
+    * the kept set is deterministic and engine-portable. Stratum sizes ride
+    * on two broadcast joins (the aggregates are tiny); the corpus itself
+    * is scanned once, filtered, re-aggregated.
+    *
+    * 100 TB: one full-scan + two broadcasts + one small shuffle — the
+    * stats side is O(langs × sources), never corpus-sized. */
+  def p6MixtureRebalance(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val counts = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_src"))
+    val mins = counts.groupBy(col("lang")).agg(min(col("n_src")).as("m"))
+    docs
+      .join(broadcast(counts), Seq("lang", "source"))
+      .join(broadcast(mins), Seq("lang"))
+      .filter(pmod(col("doc_id"), col("n_src")) < col("m"))
+      .groupBy(col("lang"), col("source"))
+      .agg(first(col("n_src")).as("n_src"), count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val p6Oracle: String =
+    """WITH counts AS (
+      |  SELECT lang, source, count(*) AS n_src FROM documents GROUP BY 1, 2),
+      |mins AS (SELECT lang, min(n_src) AS m FROM counts GROUP BY 1)
+      |SELECT d.lang, d.source, c.n_src, count(*) AS n_kept
+      |FROM documents d
+      |JOIN counts c ON d.lang = c.lang AND d.source = c.source
+      |JOIN mins mm ON d.lang = mm.lang
+      |WHERE d.doc_id % c.n_src < mm.m
+      |GROUP BY d.lang, d.source, c.n_src
+      |ORDER BY d.lang, d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p6_mixture_rebalance" -> (p6MixtureRebalance _),
     "p1_asof_attribution" -> (p1AsofAttribution _),
     "p2_stratified_sample" -> (p2StratifiedSample _),
     "p3_token_chunks" -> (p3TokenChunks _),
@@ -207,6 +244,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p6_mixture_rebalance" -> p6Oracle,
     "p1_asof_attribution" -> p1Oracle,
     "p2_stratified_sample" -> p2Oracle,
     "p3_token_chunks" -> p3Oracle,

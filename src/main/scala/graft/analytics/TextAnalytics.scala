@@ -152,7 +152,54 @@ object TextAnalytics {
       |count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** t7 — repetition signals (the Gopher-rule family): duplicate-word
+    * fraction and the most-frequent-2-gram fraction. The 2-gram top count
+    * is a distributed explode→count→max, not a per-row loop, so the heavy
+    * part is two partial+final aggregations keyed by doc.
+    *
+    * `sequence(1, n-1)` is guarded: Spark generates DESCENDING sequences
+    * when start > stop (a 1-word doc would yield [1,0], not []). */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val w = "split(text, ' ')"
+    val docs = documents(s, d)
+    val stats = docs.select(
+      col("doc_id"),
+      size(expr(w)).cast("long").as("n_words"),
+      size(array_distinct(expr(w))).cast("long").as("n_uniq"))
+    val grams = docs.select(
+      col("doc_id"),
+      explode(expr(
+        s"CASE WHEN size($w) > 1 THEN transform(sequence(1, size($w)-1), " +
+          s"i -> concat(element_at($w, i), ' ', element_at($w, i+1))) " +
+          "ELSE array() END")).as("gram"))
+    val gramAgg = grams
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_grams"))
+    stats.join(gramAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (lit(1.0) - col("n_uniq").cast("double") / col("n_words")).as("dup_word_frac"),
+        coalesce(col("top_cnt").cast("double") / col("n_grams"), lit(0.0))
+          .as("top2gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_uniq FROM d),
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+      |      FROM d WHERE len(w) > 1),
+      |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      |ga AS (SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS n_grams
+      |       FROM gc GROUP BY 1)
+      |SELECT s.doc_id,
+      |  1.0 - CAST(n_uniq AS DOUBLE) / n_words AS dup_word_frac,
+      |  coalesce(CAST(top_cnt AS DOUBLE) / n_grams, 0.0) AS top2gram_frac
+      |FROM s LEFT JOIN ga USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t7_repetition" -> (repetition _),
     "t1_text_stats" -> (textStats _),
     "t2_quality_score" -> (qualityScore _),
     "t3_lang_id" -> (langId _),
@@ -162,6 +209,7 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "t7_repetition" -> repetitionOracle,
     "t1_text_stats" -> textStatsOracle,
     "t2_quality_score" -> qualityScoreOracle,
     "t3_lang_id" -> langIdOracle,
