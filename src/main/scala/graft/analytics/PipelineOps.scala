@@ -26,11 +26,13 @@ object PipelineOps {
     *
     * Spark has no ASOF JOIN (DuckDB does — the oracle uses it); a range
     * join would explode to O(clicks × purchases) per user. Instead: union
-    * both sides tagged, ONE shuffle by user_id, sort by (time, side), and
-    * a running `last(click, ignoreNulls)` window — the classic distributed
-    * merge-based as-of. Clicks are pre-collapsed to one row per
-    * (user, microsecond) (max event_id) so timestamp ties cannot make the
-    * result order-dependent on either engine.
+    * both sides tagged, ONE shuffle by user_id, sort by
+    * (time, side, click_id), and a running `last(click, ignoreNulls)`
+    * window — the classic distributed merge-based as-of. Timestamp ties
+    * are resolved by the sort itself: among clicks at the same
+    * microsecond, `last` sees the max click_id (exactly what the oracle's
+    * pre-collapsed `max(event_id)` picks), and a click at a purchase's
+    * exact microsecond sorts first so it is visible (ASOF `>=`).
     *
     * 100 TB: cost is one shuffle + per-user sort; skew is bounded by the
     * hottest user's event count, with no quadratic term anywhere.
@@ -42,13 +44,11 @@ object PipelineOps {
       col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
       col("event_type"))
     val clicks = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id"), col("us"))
-      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("us"), col("event_id").as("click_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("us"), col("event_id").as("p_id"))
 
-    // side 0 = click, 1 = purchase: a click at the exact same microsecond
-    // sorts first, so it is visible to the purchase (ASOF `>=` semantics)
+    // side 0 = click, 1 = purchase
     val tagged = clicks.select(
         col("user_id"), col("us"), lit(0).as("side"),
         col("click_id"), lit(null).cast("long").as("p_id"))
@@ -56,7 +56,8 @@ object PipelineOps {
         col("user_id"), col("us"), lit(1).as("side"),
         lit(null).cast("long").as("click_id"), col("p_id")))
 
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("side"), col("click_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))

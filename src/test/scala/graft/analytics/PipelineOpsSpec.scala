@@ -37,13 +37,18 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("p1 plan is union+window, never a range/cartesian join") {
+  test("p1 plan is union+window with ONE hash shuffle, never a range/cartesian join") {
     val plan = PipelineOps.p1AsofAttribution(spark, sfDir)
       .queryExecution.executedPlan.toString
     plan should include("Window")
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "SortMergeJoin"
+    // the whole as-of costs one shuffle by user (the trailing range
+    // exchange is only the presentation orderBy)
+    withClue(plan) {
+      "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    }
   }
 
   test("p2/p3/p4 are narrow: no hash-partition shuffle in the plan") {
