@@ -157,27 +157,31 @@ object PipelineOps {
     * as a single Catalyst plan (filters reach the scan; the only shuffles
     * are the dedup groupBy and the final small rollup).
     *
-    * 100 TB: the text-keyed dedup groupBy is the sole wide stage over the
-    * full corpus — same shape as d1, where the shuffle key discipline
-    * (hash, not text) would apply; here text itself is grouped because the
-    * aggregate needs min_by over it, matching the oracle exactly. */
+    * 100 TB: the dedup groupBy is the sole corpus-wide shuffle and it
+    * follows d1's discipline — the shuffle key is the 8-byte
+    * `xxhash64(text)` and rows carry only (hash, doc_id, lang, n_words),
+    * never the text. The oracle groups the text itself: identical output
+    * absent 64-bit collisions (same documented caveat as d1). */
   def p5QualityPipeline(s: SparkSession, d: String): DataFrame = {
     val wordsArr = split(col("text"), " ")
     val nWords = size(wordsArr).cast("long")
     val uniqRatio = size(array_distinct(wordsArr)).cast("double") / size(wordsArr)
     val kept = documents(s, d)
       .filter(nWords >= 20 && uniqRatio >= lit(0.5))
+      .select(xxhash64(col("text")).as("h"), col("doc_id"), col("lang"),
+        nWords.as("n_words"))
     val deduped = kept
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"), min_by(col("lang"), col("doc_id")).as("lang"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("n_words"), col("doc_id")).as("n_words"))
     val sampled = deduped
       .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "80")
     sampled
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("total_words"),
-        (sum(size(split(col("text"), " ")).cast("long")).cast("double") /
-          count(lit(1))).as("avg_words"))
+        sum(col("n_words")).as("total_words"),
+        (sum(col("n_words")).cast("double") / count(lit(1))).as("avg_words"))
       .orderBy(col("lang"))
   }
 
