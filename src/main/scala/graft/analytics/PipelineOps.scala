@@ -109,14 +109,19 @@ object PipelineOps {
     *
     * 100 TB: narrow (no shuffle) — scan → explode → project; output
     * partitioning follows the input files. */
-  def p3TokenChunks(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  /** Core chunker over any (doc_id, text) frame — [[p3TokenChunks]] binds
+    * it to the documents table; the property spec feeds it random corpora. */
+  def tokenChunks(docs: DataFrame, chunkWords: Int = 32): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"),
-        explode(expr("sequence(0, (size(w)-1) div 32)")).as("i"))
+        explode(expr(s"sequence(0, (size(w)-1) div $chunkWords)")).as("i"))
       .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
-        expr("array_join(slice(w, i*32+1, 32), ' ')").as("chunk"),
-        expr("size(slice(w, i*32+1, 32))").cast("long").as("n_words"))
+        expr(s"array_join(slice(w, i*$chunkWords+1, $chunkWords), ' ')").as("chunk"),
+        expr(s"size(slice(w, i*$chunkWords+1, $chunkWords))").cast("long").as("n_words"))
+
+  def p3TokenChunks(s: SparkSession, d: String): DataFrame =
+    tokenChunks(documents(s, d))
       .orderBy(col("doc_id"), col("chunk_id"))
 
   val p3Oracle: String =

@@ -80,6 +80,30 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     assert(chunkWords == totWords)
   }
 
+  test("chunker properties on random corpora: conservation, bound, reconstruction") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x1", "y2")
+    val docs = (0 until 40).map { id =>
+      val n = rng.nextInt(70) + 1 // 1..70 words — covers <1 chunk and >2 chunks
+      (id.toLong, Seq.fill(n)(words(rng.nextInt(words.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val chunks = PipelineOps.tokenChunks(df, chunkWords = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    chunks.foreach { case (_, _, chunk, n) =>
+      n should be <= 8L
+      n should be >= 1L
+      chunk.split(" ").length.toLong shouldBe n
+    }
+    // per-doc: chunks reassemble the original text in chunk_id order
+    docs.foreach { case (id, text) =>
+      val mine = chunks.filter(_._1 == id).sortBy(_._2)
+      mine.map(_._3).mkString(" ") shouldBe text
+      mine.map(_._4).sum shouldBe text.split(" ").length.toLong
+    }
+  }
+
   test("p4 masks exactly the denylist terms") {
     val rows = PipelineOps.p4Redact(spark, sfDir).collect()
     rows.foreach { r =>

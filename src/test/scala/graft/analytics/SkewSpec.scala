@@ -36,6 +36,24 @@ class SkewSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("salted join equals plain join on random data and salt counts (seeded)") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(11)
+    (1 to 3).foreach { round =>
+      val facts = (0 until 2000)
+        .map(i => (rng.nextInt(30).toLong, i.toLong)).toDF("k", "payload")
+      val dims = (0 until 30).map(k => (k.toLong, s"d$k")).toDF("k", "k_name")
+      val nSalts = Seq(1, 3, 16)(round - 1)
+      val plain = facts.join(dims, "k")
+        .select("k", "payload", "k_name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      val salted = Skew.saltedJoin(facts, dims, "k", nSalts)
+        .select("k", "payload", "k_name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      withClue(s"nSalts=$nSalts") { salted shouldBe plain }
+    }
+  }
+
   test("AQE splits the skewed partition at runtime (skew=true in the final plan)") {
     val confs = Seq(
       "spark.sql.adaptive.enabled" -> "true",
