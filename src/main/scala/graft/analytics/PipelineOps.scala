@@ -142,11 +142,7 @@ object PipelineOps {
     documents(s, d)
       .select(col("doc_id"),
         regexp_replace(col("text"), redactPattern, "<MASKED>").as("redacted"),
-        // SQL string literals eat one level of backslash escaping, so the
-        // \b word boundaries must be doubled inside expr()
-        size(expr(
-          s"regexp_extract_all(text, '${redactPattern.replace("\\", "\\\\")}', 0)"))
-          .cast("long").as("n_masked"))
+        regexp_count(col("text"), lit(redactPattern)).cast("long").as("n_masked"))
       .orderBy(col("doc_id"))
 
   val p4Oracle: String =

@@ -25,6 +25,8 @@ object Skew {
   def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
       nSalts: Int): DataFrame = {
     require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    require(!facts.columns.contains("graft_salt") && !dim.columns.contains("graft_salt"),
+      "saltedJoin reserves the column name 'graft_salt'; rename it on the input")
     val salted = facts.withColumn("graft_salt",
       pmod(xxhash64(struct(facts.columns.map(col): _*)), lit(nSalts.toLong)))
     val replicated = dim

@@ -23,6 +23,23 @@ object StreamJoin {
   final case class Click(cUser: Long, clickId: Long, clickTs: Timestamp)
   final case class Purchase(pUser: Long, purchaseId: Long, purchaseTs: Timestamp)
 
+  private def joinImpl(
+      clicks: Dataset[Click],
+      purchases: Dataset[Purchase],
+      lookback: String,
+      watermark: String,
+      joinType: String): DataFrame = {
+    val c = clicks.withWatermark("clickTs", watermark)
+    val p = purchases.withWatermark("purchaseTs", watermark)
+    p.join(c,
+        col("cUser") === col("pUser") &&
+          col("clickTs") <= col("purchaseTs") &&
+          col("clickTs") >= col("purchaseTs") - expr(s"INTERVAL $lookback"),
+        joinType)
+      .select(col("purchaseId"), col("pUser").as("userId"), col("clickId"),
+        (unix_millis(col("purchaseTs")) - unix_millis(col("clickTs"))).as("gap_ms"))
+  }
+
   /** Inner interval join: all clicks by the same user in
     * (purchaseTs − lookback, purchaseTs]. Output includes the click→purchase
     * gap in ms. */
@@ -30,16 +47,8 @@ object StreamJoin {
       clicks: Dataset[Click],
       purchases: Dataset[Purchase],
       lookback: String = "1 hour",
-      watermark: String = "10 minutes"): DataFrame = {
-    val c = clicks.withWatermark("clickTs", watermark)
-    val p = purchases.withWatermark("purchaseTs", watermark)
-    p.join(c,
-        col("cUser") === col("pUser") &&
-          col("clickTs") <= col("purchaseTs") &&
-          col("clickTs") >= col("purchaseTs") - expr(s"INTERVAL $lookback"))
-      .select(col("purchaseId"), col("pUser").as("userId"), col("clickId"),
-        (unix_millis(col("purchaseTs")) - unix_millis(col("clickTs"))).as("gap_ms"))
-  }
+      watermark: String = "10 minutes"): DataFrame =
+    joinImpl(clicks, purchases, lookback, watermark, "inner")
 
   /** Left-outer variant: purchases with NO qualifying click still emit (null
     * click columns) once the watermark passes the end of their join window —
@@ -48,15 +57,6 @@ object StreamJoin {
       clicks: Dataset[Click],
       purchases: Dataset[Purchase],
       lookback: String = "1 hour",
-      watermark: String = "10 minutes"): DataFrame = {
-    val c = clicks.withWatermark("clickTs", watermark)
-    val p = purchases.withWatermark("purchaseTs", watermark)
-    p.join(c,
-        col("cUser") === col("pUser") &&
-          col("clickTs") <= col("purchaseTs") &&
-          col("clickTs") >= col("purchaseTs") - expr(s"INTERVAL $lookback"),
-        "left_outer")
-      .select(col("purchaseId"), col("pUser").as("userId"), col("clickId"),
-        (unix_millis(col("purchaseTs")) - unix_millis(col("clickTs"))).as("gap_ms"))
-  }
+      watermark: String = "10 minutes"): DataFrame =
+    joinImpl(clicks, purchases, lookback, watermark, "left_outer")
 }

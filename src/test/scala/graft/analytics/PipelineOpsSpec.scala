@@ -108,7 +108,7 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     val rows = PipelineOps.p4Redact(spark, sfDir).collect()
     rows.foreach { r =>
       val redacted = r.getString(1)
-      redacted.split(" ") should not contain oneOf("customer", "order", "value", "key")
+      redacted.split(" ") should contain noneOf ("customer", "order", "value", "key")
       val masks = "<MASKED>".r.findAllIn(redacted).size
       masks shouldBe r.getLong(2)
     }
