@@ -234,7 +234,65 @@ object NearDup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** n5 — SimHash with ENGINE-NEUTRAL token hashes, closing the oracle gap
+    * n3 documents: token hash = first 15 hex chars of md5(token) as a
+    * 60-bit integer (identical lowercase-hex md5 in Spark and DuckDB;
+    * 15 chars keeps the parse inside a signed BIGINT under ANSI mode).
+    * The oracle re-derives the full per-bit vote, signature, banding, and
+    * Hamming verify in SQL, so the whole simhash pipeline — not just its
+    * row count — is cross-engine checked. Same plan shape as n3: per-row
+    * codegen'd vote fold, 4×15-bit banded bucket self-join, `bit_count`
+    * verify; bits 60–63 are constant 0 on both engines.
+    */
+  def simhashPortable(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val tokens = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    val sigs = documents(s, d)
+      .withColumn("th", transform(tokens, t =>
+        conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")))
+      .select(col("doc_id"), expr("graft_simhash(th)").as("simhash"))
+      .withColumn("bands", array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFFL).as("key"))): _*))
+    val banded = sigs.select(col("doc_id"), col("simhash"), explode(col("bands")).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val simhashPortableOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS th FROM t),
+      |bits AS (
+      |  SELECT doc_id, b.bit,
+      |    sum(CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h, (SELECT unnest(range(0, 64)) AS bit) b
+      |  GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+      |      AS simhash
+      |  FROM bits GROUP BY 1),
+      |banded AS (
+      |  SELECT doc_id, simhash, b.b AS band, (simhash >> (b.b * 15)) & 32767 AS key
+      |  FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+      |    bit_count(xor(a.simhash, bb.simhash)) AS hamming
+      |  FROM banded a JOIN banded bb
+      |    ON a.band = bb.band AND a.key = bb.key AND a.doc_id < bb.doc_id)
+      |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+      |FROM pairs WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n5_simhash_portable" -> (simhashPortable _),
     "n1_minhash_neardup" -> (minhashNearDup _),
     "n2_ngram_jaccard_top1" -> (ngramJaccardTop1 _),
     "n3_simhash_neardup" -> (simhashNearDup _),
@@ -243,6 +301,7 @@ object NearDup {
 
   /** n3 omitted: simhash values are engine-specific (rows-only check). */
   val oracles: Map[String, String] = Map(
+    "n5_simhash_portable" -> simhashPortableOracle,
     "n1_minhash_neardup" -> minhashOracle,
     "n2_ngram_jaccard_top1" -> ngramJaccardOracle,
     "n4_neardup_clusters" -> minhashClustersOracle
