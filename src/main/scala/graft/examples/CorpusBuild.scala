@@ -1,0 +1,68 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.analytics.PipelineOps
+
+/** End-to-end training-corpus build: the composition a user of this
+  * library actually runs — quality filter → exact dedup → deterministic
+  * stratified sample → fixed-window chunking — landing a chunked corpus
+  * plus per-language stats as parquet.
+  *
+  * Usage: runMain graft.examples.CorpusBuild [sfDir] [outDir]
+  *
+  * Every stage stays declarative so this whole build is ONE Catalyst plan
+  * per output: the filters fuse into the scan, the only corpus-wide
+  * shuffle is the dedup groupBy on the 8-byte content hash, and the
+  * sample/chunk stages are narrow.
+  */
+object CorpusBuild {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_corpus"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    // 1. quality gate: length + uniqueness (t2-style signals)
+    val w = split(col("text"), " ")
+    val quality = docs.filter(
+      size(w) >= 20 &&
+        size(array_distinct(w)).cast("double") / size(w) >= 0.5)
+
+    // 2. exact dedup: hash-keyed, min doc_id wins (d1 discipline — only
+    //    (hash, doc_id) cross the shuffle; text rejoins on the survivors)
+    val keep = quality
+      .select(xxhash64(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = quality.join(keep, "doc_id")
+
+    // 3. deterministic stratified sample (md5 threshold per language)
+    val sampled = deduped.filter(
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) <
+        expr("CASE lang WHEN 'en' THEN '33' WHEN 'zh' THEN '66' ELSE '99' END"))
+
+    // 4. pack into 32-word chunks and land the corpus
+    PipelineOps.tokenChunks(sampled.select(col("doc_id"), col("text")))
+      .write.mode("overwrite").parquet(s"$outDir/chunks")
+
+    val stats = sampled.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_words"))
+      .orderBy(col("lang"))
+    stats.write.mode("overwrite").parquet(s"$outDir/stats")
+
+    val total = spark.read.parquet(s"$outDir/chunks").count()
+    println(s"corpus build complete: $total chunks -> $outDir")
+    stats.show(100, truncate = false)
+    spark.stop()
+  }
+}
