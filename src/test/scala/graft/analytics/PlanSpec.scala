@@ -49,8 +49,8 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>")
   }
 
-  test("dimension joins are broadcast, not shuffled (q3, q10)") {
-    Seq("q3_revenue_by_nation", "q10_region_priority").foreach { name =>
+  test("dimension joins are broadcast, not shuffled (q3, q10, p6)") {
+    Seq("q3_revenue_by_nation", "q10_region_priority", "p6_mixture_rebalance").foreach { name =>
       val plan = planOf(name)
       withClue(s"$name:\n") {
         plan should include("BroadcastHashJoin")
