@@ -223,7 +223,38 @@ object ExtendedQueries {
       |count(*) FILTER (event_type = 'view') AS view
       |FROM events GROUP BY day ORDER BY day""".stripMargin
 
+  /** q20 — scalar subqueries via the SQL entry path: orders priced above
+    * the corpus average, counted per priority. Demonstrates `spark.sql`
+    * over registered views (the API surface a SQL-first user drives) and
+    * the uncorrelated-scalar-subquery planner path (subquery → broadcast
+    * scalar). "price > avg" is evaluated as the integer cross-product
+    * `price_cents · n > sum_cents` — no division anywhere, so the
+    * comparison is exact on both engines (avg-of-decimal rounds
+    * differently in Spark vs DuckDB). */
+  def q20AboveAvgOrders(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_orders_v")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_above
+        |FROM graft_orders_v
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+        |        * (SELECT count(*) FROM graft_orders_v) >
+        |      (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       FROM graft_orders_v)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q20Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_above
+      |FROM orders
+      |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+      |        * (SELECT count(*) FROM orders) >
+      |      (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |       FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_above_avg_orders" -> (q20AboveAvgOrders _),
     "q18_quantiles" -> (q18Quantiles _),
     "q19_pivot" -> (q19Pivot _),
     "q11_rollup" -> (q11Rollup _),
@@ -237,6 +268,7 @@ object ExtendedQueries {
 
   /** q14 omitted: HLL sketch values are engine-specific (rows-only). */
   val oracles: Map[String, String] = Map(
+    "q20_above_avg_orders" -> q20Oracle,
     "q18_quantiles" -> q18Oracle,
     "q19_pivot" -> q19Oracle,
     "q11_rollup" -> q11Oracle,

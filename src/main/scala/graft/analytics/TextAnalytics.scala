@@ -198,7 +198,36 @@ object TextAnalytics {
       |  coalesce(CAST(top_cnt AS DOUBLE) / n_grams, 0.0) AS top2gram_frac
       |FROM s LEFT JOIN ga USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** t8 — exact top-5 tokens per language (vocabulary heavy-hitters):
+    * explode → count → ranked window with a deterministic (count desc,
+    * token asc) tie-break. The explode shuffles (lang, token) pairs, the
+    * window partitions by lang — both partial+final aggregable; the
+    * sketch-free exact counterpart to frequent-items estimators. */
+  def topTokens(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("token"))
+    documents(s, d)
+      .select(col("lang"), explode(words(lower(col("text")))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("token"), col("n"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val topTokensOracle: String =
+    """SELECT lang, CAST(rk AS BIGINT) AS rk, token, n FROM (
+      |  SELECT lang, token, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+      |  FROM (SELECT lang, token, count(*) AS n
+      |        FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+      |              FROM documents) t
+      |        GROUP BY lang, token) c) ranked
+      |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t8_top_tokens" -> (topTokens _),
     "t7_repetition" -> (repetition _),
     "t1_text_stats" -> (textStats _),
     "t2_quality_score" -> (qualityScore _),
@@ -209,6 +238,7 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "t8_top_tokens" -> topTokensOracle,
     "t7_repetition" -> repetitionOracle,
     "t1_text_stats" -> textStatsOracle,
     "t2_quality_score" -> qualityScoreOracle,
