@@ -61,6 +61,18 @@ class StoreSpec extends AnyFunSuite {
     assert(s2.getCheckpoint("missing").isEmpty)
   }
 
+  test("key prefix namespaces stores sharing a directory (store/dynamodb.rs:417-427)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-pfx").toString
+    val a = new FileCheckpointStore(dir, "app1-")
+    val b = new FileCheckpointStore(dir, "app2-")
+    a.saveCheckpoint("shard-1", "5")
+    b.saveCheckpoint("shard-1", "9")
+    assert(a.getCheckpoint("shard-1").contains("5"))
+    assert(b.getCheckpoint("shard-1").contains("9"))
+    // the stored key combines prefix and shard id, like prefixed_key
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "app1-shard-1.ckpt")))
+  }
+
   test("retrying store: bounded-retry save surfaces failure by default; swallow is opt-in (store/dynamodb.rs:173-182)") {
     var swallowed = 0
     val failing = new CheckpointStore {

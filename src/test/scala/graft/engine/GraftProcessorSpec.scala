@@ -126,6 +126,23 @@ class GraftProcessorSpec extends AnyFunSuite with Matchers with SparkSpec {
     result shouldBe Left(ProcessorError.TotalProcessingTimeout)
   }
 
+  test("timeout during a stuck checkpoint save still returns TotalProcessingTimeout (processor.rs:2615)") {
+    // a save that blocks far longer than the total timeout: run must
+    // interrupt it via query.stop() and return the timeout error, not hang
+    val stuckStore = new CheckpointStore {
+      override def getCheckpoint(shardId: String): Option[String] = None
+      override def saveCheckpoint(shardId: String, sequenceNumber: String): Unit =
+        Thread.sleep(120000L)
+    }
+    val gp = newProcessor(new Echo, stuckStore, mkShards(1, 10),
+      ProcessorConfig("t", totalTimeoutMs = Some(1000L)))
+    val t0 = System.nanoTime()
+    val result = gp.run(spark, tmp(), Trigger.ProcessingTime(100))
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    result shouldBe Left(ProcessorError.TotalProcessingTimeout)
+    assert(wallMs < 60000L, s"run took ${wallMs}ms — the stuck save was not interrupted")
+  }
+
   test("concurrency cap serializes shard work: 4 shards x 200ms, cap 2 => >= 400ms (test_suite2.rs:216-273)") {
     val store = new InMemoryCheckpointStore
     val gp = newProcessor(new Slow200, store, mkShards(4, 1),
