@@ -253,7 +253,47 @@ object ExtendedQueries {
       |       FROM orders)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q21 — INTERSECT (distinct set semantics), completing the set-op
+    * family next to q9's EXCEPT and q13's UNION ALL: nations present in
+    * BOTH the customer and supplier bases. */
+  def q21Intersect(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").cast("long").as("nationkey"))
+      .intersect(supplier(s, d).select(col("s_nationkey").cast("long").as("nationkey")))
+      .join(broadcast(nation(s, d)), col("nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"))
+      .orderBy(col("nation"))
+
+  val q21Oracle: String =
+    """SELECT n_name AS nation FROM nation
+      |WHERE n_nationkey IN (
+      |  SELECT CAST(c_nationkey AS BIGINT) FROM customer
+      |  INTERSECT
+      |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+      |ORDER BY nation""".stripMargin
+
+  /** q22 — semi-structured JSON extraction: the events `props` column is a
+    * JSON string; pull `$.k` out (Spark `get_json_object`, DuckDB `->>`),
+    * cast to BIGINT, and aggregate per event type. Exact integer outputs
+    * keep the hash stable. */
+  def q22JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  val q22Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      |min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+      |CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_intersect" -> (q21Intersect _),
+    "q22_json_extract" -> (q22JsonExtract _),
     "q20_above_avg_orders" -> (q20AboveAvgOrders _),
     "q18_quantiles" -> (q18Quantiles _),
     "q19_pivot" -> (q19Pivot _),
@@ -268,6 +308,8 @@ object ExtendedQueries {
 
   /** q14 omitted: HLL sketch values are engine-specific (rows-only). */
   val oracles: Map[String, String] = Map(
+    "q21_intersect" -> q21Oracle,
+    "q22_json_extract" -> q22Oracle,
     "q20_above_avg_orders" -> q20Oracle,
     "q18_quantiles" -> q18Oracle,
     "q19_pivot" -> q19Oracle,
