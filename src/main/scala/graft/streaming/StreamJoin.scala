@@ -50,6 +50,16 @@ object StreamJoin {
       watermark: String = "10 minutes"): DataFrame =
     joinImpl(clicks, purchases, lookback, watermark, "inner")
 
+  /** Stream-static enrichment: a streaming Dataset joined to a static
+    * (batch) dimension frame. The static side re-plans per micro-batch and
+    * broadcasts under the usual threshold — no streaming state at all, the
+    * cheapest join shape there is. Use for dimension lookups on a live
+    * stream (the Kinesis-processor analog: decorating records with
+    * reference data inside process_record, but declarative and
+    * broadcast-planned). */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   /** Left-outer variant: purchases with NO qualifying click still emit (null
     * click columns) once the watermark passes the end of their join window —
     * the "unattributed conversions" feed. Same state-eviction bounds. */

@@ -42,6 +42,29 @@ class StreamJoinSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("stream-static enrichment broadcasts the dimension, no streaming state") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cUser", "tier")
+    val q = StreamJoin.enrich(clicks.toDS().toDF(), dim, "cUser")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      clicks.addData(Click(1, 100, ts(1)), Click(2, 200, ts(2)), Click(3, 300, ts(3)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT clickId, tier FROM enriched ORDER BY clickId")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      // user 3 has no dim row → dropped by the inner join
+      rows.toSeq shouldBe Seq((100L, "gold"), (200L, "silver"))
+      val plan = q.lastProgress.sources.length
+      plan shouldBe 1 // single streaming source; the dim side is static
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS enriched")
+    }
+  }
+
   test("left-outer join emits unattributed purchases with null click after the watermark") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
