@@ -291,7 +291,34 @@ object ExtendedQueries {
       |CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q23 — correlated EXISTS through the SQL planner path (rewritten to a
+    * semi join by Catalyst; q8 is the DataFrame-API twin): customers with
+    * at least one urgent open order. */
+  def q23ExistsCorrelated(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_orders_v")
+    customer(s, d).createOrReplaceTempView("graft_customer_v")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM graft_customer_v c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM graft_orders_v o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q23Oracle: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_exists_correlated" -> (q23ExistsCorrelated _),
     "q21_intersect" -> (q21Intersect _),
     "q22_json_extract" -> (q22JsonExtract _),
     "q20_above_avg_orders" -> (q20AboveAvgOrders _),
@@ -308,6 +335,7 @@ object ExtendedQueries {
 
   /** q14 omitted: HLL sketch values are engine-specific (rows-only). */
   val oracles: Map[String, String] = Map(
+    "q23_exists_correlated" -> q23Oracle,
     "q21_intersect" -> q21Oracle,
     "q22_json_extract" -> q22Oracle,
     "q20_above_avg_orders" -> q20Oracle,

@@ -240,7 +240,40 @@ object PipelineOps {
       |GROUP BY d.lang, d.source, c.n_src
       |ORDER BY d.lang, d.source""".stripMargin
 
+  /** p7 — deterministic WEIGHTED sampling: each document is kept with
+    * probability equal to its uniqueness ratio (higher-quality docs are
+    * more likely to survive — the importance-sampling step of a corpus
+    * build). The keep rule is the exact integer cross-product
+    * `hash48 · n_words < n_uniq · 2^48`: a 48-bit md5-derived uniform
+    * variate compared against the rational weight with no division and no
+    * doubles anywhere, so it is reproducible and engine-portable (the same
+    * trick as q20's above-average threshold). 48 bits (not 60) keeps
+    * `hash48 · n_words` inside a signed BIGINT under ANSI mode. */
+  def p7WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(w).cast("long").as("n_words"),
+        size(array_distinct(w)).cast("long").as("n_uniq"),
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("h48"))
+      .filter(col("h48") * col("n_words") < col("n_uniq") * lit(281474976710656L))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("n_uniq"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p7Oracle: String =
+    """SELECT doc_id, lang,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+      |FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+      |        * len(string_split(text, ' ')) <
+      |      len(list_distinct(string_split(text, ' '))) * 281474976710656
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p7_weighted_sample" -> (p7WeightedSample _),
     "p6_mixture_rebalance" -> (p6MixtureRebalance _),
     "p1_asof_attribution" -> (p1AsofAttribution _),
     "p2_stratified_sample" -> (p2StratifiedSample _),
@@ -250,6 +283,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p7_weighted_sample" -> p7Oracle,
     "p6_mixture_rebalance" -> p6Oracle,
     "p1_asof_attribution" -> p1Oracle,
     "p2_stratified_sample" -> p2Oracle,
