@@ -247,8 +247,12 @@ object PipelineOps {
     * `hash48 · n_words < n_uniq · 2^48`: a 48-bit md5-derived uniform
     * variate compared against the rational weight with no division and no
     * doubles anywhere, so it is reproducible and engine-portable (the same
-    * trick as q20's above-average threshold). 48 bits (not 60) keeps
-    * `hash48 · n_words` inside a signed BIGINT under ANSI mode. */
+    * trick as q20's above-average threshold). The cross-product is
+    * evaluated in exact wide-decimal arithmetic (int128 on the DuckDB
+    * side): `h48 · n_words ≤ 2^48 · 2^63` always fits in 38 digits, so —
+    * unlike the r4 BIGINT form, which wrapped silently once a document hit
+    * 32768 words (ADVICE r4) — the keep decision is exact for any document
+    * Spark can hold. */
   def p7WeightedSample(s: SparkSession, d: String): DataFrame = {
     val w = split(col("text"), " ")
     documents(s, d)
@@ -257,7 +261,8 @@ object PipelineOps {
         size(array_distinct(w)).cast("long").as("n_uniq"),
         conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
           .cast("long").as("h48"))
-      .filter(col("h48") * col("n_words") < col("n_uniq") * lit(281474976710656L))
+      .filter(col("h48").cast("decimal(38,0)") * col("n_words") <
+        col("n_uniq").cast("decimal(38,0)") * lit(281474976710656L))
       .select(col("doc_id"), col("lang"), col("n_words"), col("n_uniq"))
       .orderBy(col("doc_id"))
   }
@@ -267,12 +272,58 @@ object PipelineOps {
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
       |FROM documents
-      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+      |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS HUGEINT)
       |        * len(string_split(text, ' ')) <
-      |      len(list_distinct(string_split(text, ' '))) * 281474976710656
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS HUGEINT) * 281474976710656
       |ORDER BY doc_id""".stripMargin
 
+  /** p8 — batch INTERVAL join, the oracle twin of
+    * [[graft.streaming.StreamJoin.attributionJoin]] (VERDICT r4 #4): ALL
+    * clicks by the same user in the closed window
+    * `[purchase_us − lookback, purchase_us]` — every qualifying pair, not
+    * p1's latest-only refinement. Same contract as the stream-stream
+    * interval join (`clickTs <= purchaseTs && clickTs >= purchaseTs −
+    * lookback`), so the streaming operator's semantics are now
+    * oracle-checked through this twin.
+    *
+    * Scale shape: a naive `user ⋈ user + range filter` degenerates to
+    * O(clicks × purchases) per user. Instead each click lands in ONE
+    * lookback-sized time bin and each purchase probes TWO (its own and the
+    * previous — any in-window click is in one of them, and only one, so no
+    * dedup pass is needed): the join is a plain equi-join on
+    * (user_id, bin) whose fan-out is bounded by per-bin occupancy, the
+    * standard distributed interval-join binning. */
+  def p8IntervalJoin(s: SparkSession, d: String,
+      lookbackUs: Long = 3600000000L): DataFrame = {
+    val ev = events(s, d).select(
+      col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+      col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("c_us"),
+        col("event_id").as("click_id"), expr(s"us div $lookbackUs").as("bin"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"), col("event_id").as("p_id"))
+      .withColumn("bin",
+        explode(array(expr(s"p_us div $lookbackUs") - 1, expr(s"p_us div $lookbackUs"))))
+    purchases.join(clicks, Seq("user_id", "bin"))
+      .filter(col("c_us") <= col("p_us") && col("c_us") >= col("p_us") - lookbackUs)
+      .select(col("p_id"), col("user_id"), col("click_id"),
+        (col("p_us") - col("c_us")).as("gap_us"))
+      .orderBy(col("p_id"), col("click_id"))
+  }
+
+  val p8Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)
+      |SELECT p.event_id AS p_id, p.user_id, c.event_id AS click_id,
+      |  p.us - c.us AS gap_us
+      |FROM e p JOIN e c
+      |  ON c.user_id = p.user_id
+      | AND c.us BETWEEN p.us - 3600000000 AND p.us
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |ORDER BY p_id, click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p8_interval_join" -> ((s: SparkSession, d: String) => p8IntervalJoin(s, d)),
     "p7_weighted_sample" -> (p7WeightedSample _),
     "p6_mixture_rebalance" -> (p6MixtureRebalance _),
     "p1_asof_attribution" -> (p1AsofAttribution _),
@@ -283,6 +334,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p8_interval_join" -> p8Oracle,
     "p7_weighted_sample" -> p7Oracle,
     "p6_mixture_rebalance" -> p6Oracle,
     "p1_asof_attribution" -> p1Oracle,

@@ -104,8 +104,12 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"))
       .distinct()
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    // probe vectors only — candidates always carry probe_id < 8, so the
+    // broadcast is 8 rows, never the corpus (a driver-OOM at 100 TB otherwise)
+    val probeVecs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     candidates
-      .join(broadcast(emb.select(col("vec_id").as("probe_id"), col("v").as("pv"))), "probe_id")
+      .join(broadcast(probeVecs), "probe_id")
       .join(emb.select(col("vec_id"), col("v")), "vec_id")
       .withColumn("cosine", cosine("pv", "v"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -10,8 +10,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the behavior that must survive a 100 TB scale-up (SURVEY §4).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // Each spark.read.parquet call pays a footer-read schema-inference job;
+  // the registered queries read the same handful of tables hundreds of
+  // times per session, so the (session, path) → DataFrame plan is memoized
+  // (a DataFrame is just a logical plan — reuse within a session is free).
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    // evict plans from stopped sessions so the map stays bounded
+    cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    cache.getOrElseUpdate((spark, path), spark.read.parquet(path))
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

@@ -57,11 +57,25 @@ final case class CommitTask(
   * reference's DynamoDB table.
   *
   * Contract for `onItems`: it receives the micro-batch's item Dataset and
-  * must run EXACTLY ONE action over it (write, collect, count…) — the
-  * commit pass (T2 validation + stats) executes lazily inside that action.
-  * Running none would skip the epoch's commit; running several re-executes
-  * validation side effects. Omit `onItems` entirely and the engine drives
-  * its own single no-op action.
+  * should run EXACTLY ONE full action over it (write, collect, count…) —
+  * the commit pass (T2 validation + stats) executes lazily inside that
+  * action. The engine ENFORCES coverage: if the consumer runs no action, or
+  * a partial one (`take`/`show`/`limit` touch only some partitions), a
+  * dedicated engine pass re-drives the untouched partitions so no shard's
+  * validation/checkpoint is ever silently skipped and no hard error is
+  * masked; `beforeCheckpoint` may then re-run for already-covered shards
+  * (identical commit rows collapse). Running several actions likewise
+  * re-executes validation side effects. Omit `onItems` entirely and the
+  * engine drives its own single no-op action.
+  *
+  * Delivery semantics for `onItems` on MIXED-OUTCOME batches: items from
+  * validated shards are consumed BEFORE the batch fails for another shard's
+  * hard validation error, so on Spark's retry of the failed epoch the
+  * consumer sees those items again — AT-LEAST-ONCE output, matching the
+  * reference where a failed batch is re-delivered in full
+  * (`processor.rs:1470-1475`). Consumers needing exactly-once output must
+  * write idempotently (e.g. keyed upsert by (shardId, sequenceNumber)) or
+  * buffer until the epoch commits.
   */
 final class GraftProcessor[T](
     val config: ProcessorConfig,
@@ -139,9 +153,12 @@ final class GraftProcessor[T](
     val commitsAcc =
       session.sparkContext.collectionAccumulator[CommitTask](s"graft-commits-$batchId")
 
+    val partsAcc = session.sparkContext.longAccumulator(s"graft-parts-$batchId")
+
     val proc = processor
     val sinkH = sinkHandle
     val items: Dataset[T] = processed.mapPartitions { it =>
+      partsAcc.add(1L) // commit-pass coverage marker (see below)
       // Contiguous per-shard accumulation (one shard never spans partitions)
       final class ShardAcc(val shardId: String) {
         var success = 0L; var failed = 0L
@@ -192,8 +209,23 @@ final class GraftProcessor[T](
 
     // Drive exactly one action over the pass (T2 side effects must run once):
     // the caller's consumer if provided, else a no-op job for the stats.
+    // Planned-partition count is known at planning time (no job) — the
+    // coverage floor for the commit pass.
+    val plannedPartitions = items.rdd.getNumPartitions.toLong
     if (onItems.asInstanceOf[AnyRef] eq GraftProcessor.NoopItems) items.foreach(_ => ())
-    else onItems(items, batchId)
+    else {
+      onItems(items, batchId)
+      // Coverage enforcement (ADVICE r4): a consumer running no action — or
+      // a partial one (take/show/limit evaluate only some partitions) —
+      // leaves shards whose CommitTasks never reached the accumulator:
+      // their checkpoints would be silently skipped and, worse, a hard
+      // validation error would go undetected and the epoch would commit. A
+      // partition either runs the commit pass fully or not at all (the fold
+      // above is eager), so partition-count coverage is exact. On a gap,
+      // one dedicated pass guarantees every shard commits; duplicate
+      // CommitTasks collapse via the distinct below.
+      if (partsAcc.value < plannedPartitions) items.foreach(_ => ())
+    }
 
     // Merge accumulator rows: identical duplicates (a consumer running >1
     // action re-executes the pass) collapse via distinct; the defensive

@@ -108,17 +108,25 @@ final class GraftTable(opts: GraftSourceOptions) extends Table with SupportsRead
 
 /** Offset = per-shard consumed-record count. */
 final case class GraftOffset(positions: Map[String, Long]) extends Offset {
+  // backslash escaped FIRST, then quotes — escaping quotes alone would
+  // make a shard id ending in '\' serialize to `\"`, which reads back as
+  // an escaped quote (caught by the r5 round-trip property spec)
   override def json(): String =
     positions.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${k.replace("\"", "\\\"")}":$v""" }
+      .map { case (k, v) =>
+        s""""${k.replace("\\", "\\\\").replace("\"", "\\\"")}":$v"""
+      }
       .mkString("{", ",", "}")
 }
 object GraftOffset {
   def fromJson(json: String): GraftOffset = {
-    // flat {"shard":123,...} map — parsed without a JSON lib dependency
+    // flat {"shard":123,...} map — parsed without a JSON lib dependency;
+    // \x → x unescapes both \" and \\ in one left-to-right pass
+    val unescape = "\\\\(.)".r
     val m = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r
       .findAllMatchIn(json)
-      .map(mm => mm.group(1).replace("\\\"", "\"") -> mm.group(2).toLong)
+      .map(mm => unescape.replaceAllIn(mm.group(1),
+        g => scala.util.matching.Regex.quoteReplacement(g.group(1))) -> mm.group(2).toLong)
       .toMap
     GraftOffset(m)
   }
@@ -241,7 +249,10 @@ final class GraftReaderFactory extends PartitionReaderFactory {
   * (`src/processor.rs:870-994`) — re-anchoring `pos` at the renewed
   * cursor's index, so a fallback landing behind the planned range replays
   * those records (bounded at-least-once, mirroring `test_suite2.rs:170`)
-  * and never loses the range tail. */
+  * and never loses the range tail: a rung landing AHEAD of the cursor is
+  * clamped back to it (forward re-anchoring only happens when the cursor's
+  * index itself is no longer retained, and then it is surfaced as a
+  * Renewed event carrying the skipped range). */
 final class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[InternalRow] {
 
   private val client: IndexedSourceClient =
@@ -267,8 +278,27 @@ final class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader
             sink.emit(ProcessingEvent(System.currentTimeMillis(), p.shardId,
               ProcessingEventType.Iterator(IteratorEventType.Expired, None)))
             val renewed = renewIterator()
-            pos = client.indexOfIterator(p.streamName, p.shardId, renewed)
-            iterator = Some(renewed)
+            val renewedIdx = client.indexOfIterator(p.streamName, p.shardId, renewed)
+            if (renewedIdx <= pos) { // replay (at-least-once) — always safe
+              pos = renewedIdx
+              iterator = Some(renewed)
+            } else {
+              // ADVICE r4: a ladder rung landing AHEAD of the cursor (e.g.
+              // an app checkpoint saved by this epoch's failed earlier
+              // attempt) must not silently skip unread in-range records —
+              // clamp back to the cursor while the stream still retains it;
+              // only if that index is gone (trimmed) accept the forward
+              // anchor, surfaced as a Renewed event carrying the skip.
+              try iterator = Some(client.iteratorAtIndex(p.streamName, p.shardId, pos))
+              catch {
+                case scala.util.control.NonFatal(_) =>
+                  sink.emit(ProcessingEvent(System.currentTimeMillis(), p.shardId,
+                    ProcessingEventType.Iterator(IteratorEventType.Renewed,
+                      Some(s"forward re-anchor skipped records [$pos, $renewedIdx)"))))
+                  pos = renewedIdx
+                  iterator = Some(renewed)
+              }
+            }
             sink.emit(ProcessingEvent(System.currentTimeMillis(), p.shardId,
               ProcessingEventType.Iterator(IteratorEventType.Renewed, None)))
             None // loop re-evaluates with the re-anchored position

@@ -60,8 +60,11 @@ object Sessionize {
             val updated = prev match {
               case Some(sess) if times.isEmpty => sess
               case Some(sess) if times.min - sess.sessionEndMs <= gapMs =>
+                // a cross-batch late event may precede the open session's
+                // start — min() keeps the span correct (ADVICE r4)
                 SessionSummary(userId, sess.nEvents + times.length,
-                  sess.sessionStartMs, math.max(sess.sessionEndMs, times.max))
+                  math.min(sess.sessionStartMs, times.min),
+                  math.max(sess.sessionEndMs, times.max))
               case _ if times.nonEmpty =>
                 SessionSummary(userId, times.length.toLong, times.min, times.max)
               case _ => SessionSummary(userId, 0, 0, 0)
@@ -79,33 +82,54 @@ object Sessionize {
     * event arrives past the gap) while the live session stays in state.
     * Contrast with [[statefulSessions]], which re-emits the running
     * session every trigger. Append mode: only closed, final sessions flow
-    * downstream. */
-  def closedSessions(events: Dataset[UserEvent], gapMs: Long = 30 * 60 * 1000L)
-      : Dataset[SessionSummary] = {
+    * downstream.
+    *
+    * With `eventTimeTimeout=true` (requires `withWatermark` upstream) an
+    * idle session also closes when the watermark passes its end + gap —
+    * the final session per user EMITS and its state EXPIRES, bounding
+    * state for continuous ingest (ADVICE r4; with NoTimeout the last open
+    * session per user stays in state forever and never emits). */
+  def closedSessions(events: Dataset[UserEvent], gapMs: Long = 30 * 60 * 1000L,
+      eventTimeTimeout: Boolean = false): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    val timeout =
+      if (eventTimeTimeout) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.userId)
       .flatMapGroupsWithState[SessionSummary, SessionSummary](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeout) {
         (userId: Long, batch: Iterator[UserEvent], state: GroupState[SessionSummary]) =>
-          // fold this batch's events (in event-time order) through the
-          // open session, closing + emitting whenever a gap is crossed
-          val closed = Vector.newBuilder[SessionSummary]
-          var open = state.getOption.orNull
-          batch.map(_.ts.getTime).toSeq.sorted.foreach { t =>
-            open match {
-              case null =>
-                open = SessionSummary(userId, 1L, t, t)
-              case sess if t - sess.sessionEndMs <= gapMs =>
-                open = SessionSummary(userId, sess.nEvents + 1, sess.sessionStartMs,
-                  math.max(sess.sessionEndMs, t))
-              case sess =>
-                closed += sess // gap crossed → the previous session is final
-                open = SessionSummary(userId, 1L, t, t)
+          if (state.hasTimedOut) { // watermark passed end + gap: final close
+            val last = state.get
+            state.remove()
+            Iterator.single(last)
+          } else {
+            // fold this batch's events (in event-time order) through the
+            // open session, closing + emitting whenever a gap is crossed
+            val closed = Vector.newBuilder[SessionSummary]
+            var open = state.getOption.orNull
+            batch.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+              open match {
+                case null =>
+                  open = SessionSummary(userId, 1L, t, t)
+                case sess if t - sess.sessionEndMs <= gapMs =>
+                  // a cross-batch late event may precede the open session's
+                  // start — min() keeps the span correct (ADVICE r4)
+                  open = SessionSummary(userId, sess.nEvents + 1,
+                    math.min(sess.sessionStartMs, t), math.max(sess.sessionEndMs, t))
+                case sess =>
+                  closed += sess // gap crossed → the previous session is final
+                  open = SessionSummary(userId, 1L, t, t)
+              }
             }
+            if (open != null) {
+              state.update(open) // live session stays in state
+              if (eventTimeTimeout)
+                state.setTimeoutTimestamp(open.sessionEndMs + gapMs)
+            }
+            closed.result().iterator
           }
-          if (open != null) state.update(open) // live session stays in state
-          closed.result().iterator
       }
   }
 

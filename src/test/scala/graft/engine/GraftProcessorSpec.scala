@@ -99,6 +99,29 @@ class GraftProcessorSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.all("shard-0") shouldBe "0000000009"
   }
 
+  test("commit coverage: a consumer running NO action still commits every shard (ADVICE r4)") {
+    val s = spark; import s.implicits._
+    val store = new InMemoryCheckpointStore
+    val gp = new GraftProcessor[String](ProcessorConfig("t"), new Echo,
+      new InMemorySourceClient(mkShards(2, 50)), store,
+      onItems = (_, _) => ()) // consumer never materializes the Dataset
+    gp.run(spark, tmp()) shouldBe Right(())
+    store.all shouldBe Map("shard-0" -> "0000000049", "shard-1" -> "0000000049")
+  }
+
+  test("commit coverage: a PARTIAL action (take) cannot mask another shard's hard validation error (ADVICE r4)") {
+    val s = spark; import s.implicits._
+    val store = new InMemoryCheckpointStore
+    // take(1) satisfies itself from the first partition, so without the
+    // coverage pass shard-3's hard error never reaches the accumulator and
+    // the epoch would commit a batch the reference requires to fail
+    val gp = new GraftProcessor[String](ProcessorConfig("t"), new HardOnShard3,
+      new InMemorySourceClient(mkShards(4, 50)), store,
+      onItems = (ds, _) => { ds.take(1); () })
+    gp.run(spark, tmp()) should matchPattern { case Left(_) => }
+    store.all.get("shard-3") shouldBe None
+  }
+
   test("checkpoint save is retried until success, never skipped (test_suite3.rs:429, ADVICE r1)") {
     flakySaves.set(0)
     val store = new FlakySaveStore(failures = 3)
@@ -226,6 +249,13 @@ object GraftProcessorSpec {
     override def processRecord(r: KRecord, m: RecordMetadata) = Right(Some(r.dataUtf8))
     override def beforeCheckpoint(items: Seq[String], meta: CheckpointMetadata) =
       Left(BeforeCheckpointError.HardError("validation says no"))
+  }
+
+  final class HardOnShard3 extends RecordProcessor[String] {
+    override def processRecord(r: KRecord, m: RecordMetadata) = Right(Some(r.dataUtf8))
+    override def beforeCheckpoint(items: Seq[String], meta: CheckpointMetadata) =
+      if (meta.shardId == "shard-3") Left(BeforeCheckpointError.HardError("shard-3 says no"))
+      else Right(())
   }
 
   final class SoftValidator extends RecordProcessor[String] {

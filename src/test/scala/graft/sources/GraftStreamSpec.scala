@@ -276,4 +276,20 @@ class GraftStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     (1 to 4).foreach(_ => scripted.scriptGetRecordsError(SourceClientError.Throttled("t")))
     assertThrows[SourceClientError.Throttled](retrying.getRecords(it, 10))
   }
+
+  test("GraftOffset json round-trips arbitrary shard ids (property, VERDICT r4 #7)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // shard ids stressing the escaper: quotes, backslashes, colons, braces,
+    // digits — anything printable a hand-rolled JSON codec could trip on
+    val idChar = Gen.frequency(
+      (8, Gen.alphaNumChar), (2, Gen.const('"')), (2, Gen.const('\\')),
+      (1, Gen.oneOf(':', ',', '{', '}', '-', '_', ' ', '.')))
+    val shardId = Gen.nonEmptyListOf(idChar).map(_.mkString)
+    val positions = Gen.mapOf(Gen.zip(shardId, Gen.chooseNum(0L, Long.MaxValue)))
+    val prop = Prop.forAll(positions) { m =>
+      GraftOffset.fromJson(GraftOffset(m).json()) == GraftOffset(m)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    withClue(res.status.toString)(res.passed shouldBe true)
+  }
 }

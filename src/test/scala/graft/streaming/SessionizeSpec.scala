@@ -75,6 +75,68 @@ class SessionizeSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("closedSessions: a cross-batch late event earlier than the open session's start extends it backward (ADVICE r4)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = Sessionize.closedSessions(input.toDS(), gapMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(UserEvent(9, "view", ts(20)))
+      q.processAllAvailable()
+      // late event BEFORE the open session's start — merges (|diff| ≤ gap)
+      // and must pull the start back to 12min, not leave it at 20min
+      input.addData(UserEvent(9, "view", ts(12)))
+      q.processAllAvailable()
+      input.addData(UserEvent(9, "view", ts(60))) // gap crossed → closes it
+      q.processAllAvailable()
+      val row = spark.sql(
+        "SELECT nEvents, sessionStartMs, sessionEndMs FROM late_sessions WHERE userId = 9")
+        .head()
+      (row.getLong(0), row.getLong(1), row.getLong(2)) shouldBe
+        ((2L, 12L * 60000L, 20L * 60000L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS late_sessions")
+    }
+  }
+
+  test("closedSessions with event-time timeout: idle final session emits and its state expires (ADVICE r4)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = Sessionize.closedSessions(
+        input.toDS().withWatermark("ts", "0 seconds"),
+        gapMs = 10 * 60000L, eventTimeTimeout = true)
+      .writeStream.format("memory").queryName("timeout_sessions")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // events sit above the initial watermark (epoch 0) so none are late
+      input.addData(UserEvent(8, "view", ts(30)), UserEvent(8, "click", ts(32)))
+      q.processAllAvailable()
+      // still open: nothing closed it and the watermark (32min) is before
+      // the timeout timestamp (end 32min + gap 10min)
+      spark.sql("SELECT count(*) FROM timeout_sessions WHERE userId = 8")
+        .head().getLong(0) shouldBe 0L
+      // another user's event pushes the watermark past 42min → user 8's
+      // idle session times out: emits ONCE with final counts, state gone
+      input.addData(UserEvent(99, "view", ts(60)))
+      q.processAllAvailable()
+      input.addData(UserEvent(98, "view", ts(61))) // extra trigger: no re-emit
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT nEvents, sessionStartMs, sessionEndMs FROM timeout_sessions WHERE userId = 8")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      rows shouldBe Array((2L, 30L * 60000L, 32L * 60000L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS timeout_sessions")
+    }
+  }
+
   test("transformWithState keeps typed per-user ValueState across micro-batches (RocksDB store)") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
