@@ -6,15 +6,20 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata, plus decode / feature-extract / frame-sample operators.
   *
-  * The DECODE step is a STUB — this container has no image/audio codecs, so
-  * [[StubMediaDecoder]] produces a deterministic fake (byte histogram) where
-  * a real deployment would plug a codec. Everything around it — the schema,
-  * the typed Dataset path, per-partition batching via `mapPartitions`, the
-  * frame-sample explode — is the real Spark plumbing and is tested.
+  * The DECODE step is REAL: payloads for m2 are binary PPM (P6) images —
+  * the simplest uncompressed raster format, parseable without codec
+  * libraries — and [[PpmDecoder]] is a complete spec-conformant parser
+  * (magic, comment/whitespace handling, header ints, raw interleaved RGB).
+  * A production deployment swaps in a JPEG/PNG/audio decoder behind the
+  * same [[MediaDecoder]] boundary; the Spark plumbing around it — typed
+  * Dataset, per-partition batching via `mapPartitions`, schema — is
+  * format-independent.
   *
-  * The media table is derived deterministically from `documents` (payload =
-  * UTF-8 bytes of the text, kind = doc_id mod 3), so the non-stub operators
-  * are oracle-checkable against SQL over `documents`.
+  * The media tables are derived deterministically from `documents`
+  * (pixel bytes = a cycle of `md5(text)` hex chars; kind = doc_id mod 3),
+  * so even the decoded pixel statistics are oracle-checkable: DuckDB
+  * re-derives the pixel stream from `md5(text)` and must reproduce the
+  * decoder's channel means exactly.
   *
   * Scale: per-row/per-partition only — no shuffle until the explicit
   * aggregations; payloads never serialize through the driver.
@@ -33,33 +38,78 @@ object Multimodal {
       duration_ms: Long
   )
 
+  /** Decoded raster features: dimensions from the HEADER (not the metadata
+    * columns) plus exact per-channel sums — means are derived in the plan so
+    * the rounding stays inside Catalyst. */
   final case class MediaFeatures(
       media_id: Long,
-      kind: String,
-      n_bytes: Long,
-      histogram: Array[Double] // 16-bin byte-value histogram (the stubbed "decode")
+      width: Long,
+      height: Long,
+      n_pixels: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long
   )
 
-  /** Decoder boundary. A production impl wraps actual codecs; the stub is
-    * deterministic so tests and rows-only checks are stable. */
+  /** Decoder boundary. [[PpmDecoder]] is the built-in raster impl; a
+    * production deployment plugs codec-backed decoders here. */
   trait MediaDecoder extends Serializable {
     def decode(media: Media): MediaFeatures
   }
 
-  /** STUB: "features" = normalized 16-bin histogram of payload bytes —
-    * stands in for pixel/spectrogram features (no codecs in this env). */
-  object StubMediaDecoder extends MediaDecoder {
+  /** Binary PPM (P6) parser: `P6 <ws> width <ws> height <ws> maxval
+    * <single ws> <raw RGB triples>`, where any whitespace run may contain
+    * `#`-to-end-of-line comments. Rejects anything malformed — this is a
+    * real parser, not a stub keyed to the generator. */
+  object PpmDecoder extends MediaDecoder {
     override def decode(m: Media): MediaFeatures = {
-      val bins = new Array[Double](16)
-      var i = 0
-      while (i < m.payload.length) {
-        bins((m.payload(i) & 0xFF) >> 4) += 1.0
+      val bytes = m.payload
+      var pos = 0
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"media ${m.media_id}: bad PPM — $msg")
+      def isWs(b: Byte): Boolean =
+        b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f'
+      // whitespace run, where '#' starts a comment running to end-of-line
+      def skipWs(): Unit = {
+        var more = true
+        while (more && pos < bytes.length) {
+          if (isWs(bytes(pos))) pos += 1
+          else if (bytes(pos) == '#')
+            while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          else more = false
+        }
+      }
+      def readInt(): Int = {
+        skipWs()
+        if (pos >= bytes.length || bytes(pos) < '0' || bytes(pos) > '9')
+          fail(s"expected integer at offset $pos")
+        var v = 0
+        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+          v = v * 10 + (bytes(pos) - '0'); pos += 1
+        }
+        v
+      }
+      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') fail("magic != P6")
+      pos = 2
+      val w = readInt()
+      val h = readInt()
+      val maxval = readInt()
+      if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
+      // exactly ONE whitespace byte separates the header from pixel data
+      if (pos >= bytes.length || !isWs(bytes(pos))) fail("missing raster separator")
+      pos += 1
+      val nPx = w.toLong * h
+      if (bytes.length - pos < nPx * 3) fail(s"truncated raster (${bytes.length - pos} < ${nPx * 3})")
+      var r = 0L; var g = 0L; var b = 0L
+      var i = 0L
+      while (i < nPx) {
+        val off = pos + (i * 3).toInt
+        r += bytes(off) & 0xFF
+        g += bytes(off + 1) & 0xFF
+        b += bytes(off + 2) & 0xFF
         i += 1
       }
-      val n = math.max(1, m.payload.length).toDouble
-      var b = 0
-      while (b < 16) { bins(b) /= n; b += 1 }
-      MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, bins)
+      MediaFeatures(m.media_id, w.toLong, h.toLong, nPx, r, g, b)
     }
   }
 
@@ -95,18 +145,63 @@ object Multimodal {
       |CAST(sum(n_chars * 40) AS BIGINT) AS total_duration_ms
       |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
 
+  private val ppmW = 15
+  private val ppmH = 11
+
+  /** PPM image table: every document rendered as a 15×11 binary PPM whose
+    * pixel bytes cycle through the 32 lowercase-hex chars of `md5(text)` —
+    * deterministic, ASCII-only, and re-derivable in SQL. 495 = 15·11·3 is
+    * coprime-ish with the 32-char cycle (495 mod 32 = 15) and 3 ∤ 32, so the
+    * three channels sample DIFFERENT residues and get distinct means — a
+    * decoder that misdeinterleaves channels fails the oracle. */
+  def ppmTable(s: SparkSession, d: String): DataFrame = {
+    val nPixelBytes = ppmW * ppmH * 3 // 495
+    val repeats = nPixelBytes / 32 + 1
+    documents(s, d).select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      encode(concat(lit(s"P6\n$ppmW $ppmH\n255\n"),
+        substring(repeat(md5(encode(col("text"), "UTF-8")), repeats), 1, nPixelBytes)),
+        "UTF-8").as("payload"),
+      lit("image/x-portable-pixmap").as("mime"),
+      lit(ppmW).as("width"),
+      lit(ppmH).as("height"),
+      lit(0L).as("duration_ms"))
+  }
+
   /** m2 — feature extraction through the decoder boundary: typed Dataset →
-    * mapPartitions (per-partition batch, executor-side) → features.
-    * Stub-backed → registered rows-only. */
+    * mapPartitions (per-partition batch, executor-side) → parsed header dims
+    * + per-channel pixel means. Fully oracle-checked: DuckDB re-derives the
+    * raster from `md5(text)` and recomputes the channel means. */
   def mediaFeatures(s: SparkSession, d: String,
-      decoder: MediaDecoder = StubMediaDecoder): DataFrame = {
+      decoder: MediaDecoder = PpmDecoder): DataFrame = {
     import s.implicits._
-    val media: Dataset[Media] = mediaTable(s, d).as[Media]
+    val media: Dataset[Media] = ppmTable(s, d).as[Media]
     media.mapPartitions(_.map(decoder.decode))
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        round(element_at(col("histogram"), 8), 6).as("bin7"))
+      .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+        round(col("sum_r") / col("n_pixels"), 6).as("mean_r"),
+        round(col("sum_g") / col("n_pixels"), 6).as("mean_g"),
+        round(col("sum_b") / col("n_pixels"), 6).as("mean_b"))
       .orderBy(col("media_id"))
   }
+
+  /** The oracle rebuilds the pixel stream independently: byte i of the
+    * raster is the ASCII code of hex char (i mod 32) of md5(text), channel
+    * = i mod 3. Means can never tie at the round-half boundary: the channel
+    * sum is an integer and sum·10⁶/165 is exactly half-integral only if
+    * 33 | sum, in which case it is even — so HALF_UP (Spark) and HALF_EVEN
+    * agree and the 6-decimal rounding is engine-portable. */
+  val mediaFeaturesOracle: String =
+    """WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+      |px AS (SELECT media_id, CAST(i AS INT) AS i,
+      |         unicode(substr(h, (CAST(i AS INT) % 32) + 1, 1)) AS b
+      |       FROM m, unnest(generate_series(0, 494)) AS t(i))
+      |SELECT media_id, CAST(15 AS BIGINT) AS width, CAST(11 AS BIGINT) AS height,
+      |  CAST(165 AS BIGINT) AS n_pixels,
+      |  round(sum(CASE WHEN i % 3 = 0 THEN b END) / 165.0, 6) AS mean_r,
+      |  round(sum(CASE WHEN i % 3 = 1 THEN b END) / 165.0, 6) AS mean_g,
+      |  round(sum(CASE WHEN i % 3 = 2 THEN b END) / 165.0, 6) AS mean_b
+      |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
 
   /** m3 — frame sampling: one row per sampled frame of each video payload,
     * frame = contiguous byte slice (the real op would seek keyframes).
@@ -136,9 +231,9 @@ object Multimodal {
     "m3_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d))
   )
 
-  /** m2 omitted: stub-decoder output (rows-only check). */
   val oracles: Map[String, String] = Map(
     "m1_media_stats" -> mediaStatsOracle,
+    "m2_media_features" -> mediaFeaturesOracle,
     "m3_frame_sample" -> frameSampleOracle
   )
 }

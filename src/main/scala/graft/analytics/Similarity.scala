@@ -280,17 +280,55 @@ object Similarity {
       |  WHERE s.vec_id <> p.probe_id)
       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
+  /** e5 — recall@5 of the two approximate paths (LSH e2, IVF e4) against
+    * the brute-force ground truth (e1), per probe, as exact integers:
+    * regression insurance for LSH/IVF parameter changes — a band-width or
+    * nProbe tweak that silently costs recall flips this query's hash even
+    * if e2/e4 stay internally consistent. Pure composition of the three
+    * ANN plans: top-k sets are tiny (8 probes × 5), so the joins are
+    * broadcast-sized no matter the corpus. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val brute = bruteCosineTopK(s, d).select(col("probe_id"), col("neighbor_id"))
+    val lsh = lshCosineTopK(s, d).select(col("probe_id"), col("neighbor_id"),
+      lit(1).as("lhit"))
+    val ivf = ivfCosineTopK(s, d).select(col("probe_id"), col("neighbor_id"),
+      lit(1).as("ihit"))
+    brute
+      .join(lsh, Seq("probe_id", "neighbor_id"), "left")
+      .join(ivf, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("lhit")).as("lsh_hits"), count(col("ihit")).as("ivf_hits"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** e5 oracle — the e1/e2/e4 oracles verbatim as CTEs (DuckDB supports a
+    * nested WITH inside a CTE body), so the recall check inherits their
+    * independent re-derivations rather than trusting the engine's output. */
+  def annRecallOracle: String =
+    s"""WITH brute AS ($bruteCosineOracle),
+      |lsh AS ($lshCosineOracle),
+      |ivf AS ($ivfCosineOracle)
+      |SELECT b.probe_id,
+      |  count(l.probe_id) AS lsh_hits,
+      |  count(i.probe_id) AS ivf_hits
+      |FROM brute b
+      |LEFT JOIN lsh l ON l.probe_id = b.probe_id AND l.neighbor_id = b.neighbor_id
+      |LEFT JOIN ivf i ON i.probe_id = b.probe_id AND i.neighbor_id = b.neighbor_id
+      |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_ann_brute_topk" -> ((s: SparkSession, d: String) => bruteCosineTopK(s, d)),
     "e2_ann_lsh_topk" -> ((s: SparkSession, d: String) => lshCosineTopK(s, d)),
     "e3_embedding_neardup" -> (embeddingNearDup _),
-    "e4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfCosineTopK(s, d))
+    "e4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfCosineTopK(s, d)),
+    "e5_ann_recall" -> (annRecall _)
   )
 
   val oracles: Map[String, String] = Map(
     "e1_ann_brute_topk" -> bruteCosineOracle,
     "e2_ann_lsh_topk" -> lshCosineOracle,
     "e3_embedding_neardup" -> embeddingNearDupOracle,
-    "e4_ann_ivf_topk" -> ivfCosineOracle
+    "e4_ann_ivf_topk" -> ivfCosineOracle,
+    "e5_ann_recall" -> annRecallOracle
   )
 }

@@ -1,0 +1,70 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.analytics.Multimodal.{Media, PpmDecoder}
+
+/** [[Multimodal.PpmDecoder]] is a real binary-PPM (P6) parser, not a stub
+  * keyed to the generator — so it is tested against the FORMAT: arbitrary
+  * header whitespace, `#` comments, channel deinterleaving, and malformed
+  * input rejection, none of which the generated payloads exercise. */
+class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def media(payload: Array[Byte]): Media =
+    Media(7L, "image", payload, "image/x-portable-pixmap", 0, 0, 0L)
+
+  private def ppm(header: String, pixels: Array[Int]): Array[Byte] =
+    header.getBytes("UTF-8") ++ pixels.map(_.toByte)
+
+  test("decodes a minimal P6 image with exact per-channel sums") {
+    // 2x1: pixels (10,20,30) and (40,50,60) — channels must deinterleave
+    val f = PpmDecoder.decode(media(ppm("P6\n2 1\n255\n", Array(10, 20, 30, 40, 50, 60))))
+    f.width shouldBe 2L
+    f.height shouldBe 1L
+    f.n_pixels shouldBe 2L
+    f.sum_r shouldBe 50L
+    f.sum_g shouldBe 70L
+    f.sum_b shouldBe 90L
+  }
+
+  test("handles comments, CRLF, and multi-space header whitespace") {
+    val f = PpmDecoder.decode(media(
+      ppm("P6 # magic\r\n  # a comment line\n 1\t2 # dims\n255 ",
+        Array(255, 0, 0, 255, 0, 0))))
+    f.width shouldBe 1L
+    f.height shouldBe 2L
+    f.sum_r shouldBe 510L
+    f.sum_g shouldBe 0L
+  }
+
+  test("pixel bytes are unsigned (values > 127 do not go negative)") {
+    val f = PpmDecoder.decode(media(ppm("P6\n1 1\n255\n", Array(200, 201, 202))))
+    (f.sum_r, f.sum_g, f.sum_b) shouldBe ((200L, 201L, 202L))
+  }
+
+  test("rejects bad magic, truncated raster, and unsupported maxval") {
+    an[IllegalArgumentException] should be thrownBy
+      PpmDecoder.decode(media(ppm("P5\n1 1\n255\n", Array(1, 2, 3))))
+    an[IllegalArgumentException] should be thrownBy
+      PpmDecoder.decode(media(ppm("P6\n2 2\n255\n", Array(1, 2, 3)))) // 3 < 12 bytes
+    an[IllegalArgumentException] should be thrownBy
+      PpmDecoder.decode(media(ppm("P6\n1 1\n65535\n", Array(1, 2, 3)))) // 2-byte samples unsupported
+  }
+
+  test("m2 decodes the generated corpus: header dims parsed, means bounded by hex-char codes") {
+    val rows = Multimodal.mediaFeatures(spark, "/root/testdata/sf0.001").collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getLong(r.fieldIndex("width")) shouldBe 15L
+      r.getLong(r.fieldIndex("height")) shouldBe 11L
+      r.getLong(r.fieldIndex("n_pixels")) shouldBe 165L
+      // pixel bytes are ASCII codes of [0-9a-f]: '0'=48 .. 'f'=102
+      Seq("mean_r", "mean_g", "mean_b").foreach { c =>
+        val m = r.getDouble(r.fieldIndex(c))
+        m should (be >= 48.0 and be <= 102.0)
+      }
+    }
+  }
+}

@@ -26,7 +26,8 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // e4 (IVF) legitimately scores every vector against a BOUNDED broadcast
     // codebook (nCells rows) — an unconditioned broadcast join by design;
     // the assertion still requires the codebook side to be broadcast.
-    val codebookJoins = Set("e4_ann_ivf_topk")
+    // e5 composes e4's plan, so it inherits the same sanctioned join.
+    val codebookJoins = Set("e4_ann_ivf_topk", "e5_ann_recall")
     planBased.foreach { name =>
       val plan = planOf(name)
       withClue(s"$name plan:\n$plan\n") {
