@@ -74,13 +74,55 @@ object Dedup {
       .dropDuplicatesWithinWatermark("h")
       .drop("h")
 
+  /** d3 — benchmark DECONTAMINATION: flag corpus documents sharing any word
+    * 5-gram with a held-out benchmark set (docs 0–19 stand in for an eval
+    * suite), reporting the shared-shingle count per (corpus, benchmark)
+    * pair. This is the n-gram-collision decontamination step every serious
+    * pretraining pipeline runs against its eval benchmarks.
+    *
+    * Scale shape: the benchmark side is SMALL by construction (eval suites
+    * are thousands of docs, the corpus is billions) → its exploded shingle
+    * hashes BROADCAST, and the corpus streams through one codegen'd
+    * shingle+explode pass with a broadcast-hash join on the 8-byte hash. No
+    * corpus shuffle at all; the only exchange is the final tiny
+    * (doc, bench) aggregation. Matches the string-shingle oracle modulo
+    * xxhash64 collisions, like n1. */
+  def decontaminate(s: SparkSession, d: String, n: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = documents(s, d).select(col("doc_id"),
+      expr(s"explode(graft_shingle_hashes(split(regexp_replace(lower(text), '\\\\s+', ' '), ' '), $n)) AS h"))
+    val bench = sh.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    sh.filter(col("doc_id") >= 20)
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  val decontaminateOracle: String =
+    """WITH w AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |d AS (SELECT doc_id, CASE WHEN len(ws) >= 5 THEN
+      |    list_distinct(list_transform(generate_series(1, len(ws) - 4),
+      |      i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+      |  ELSE [] END AS sh FROM w)
+      |SELECT c.doc_id, b.doc_id AS bench_id,
+      |  CAST(len(list_intersect(c.sh, b.sh)) AS BIGINT) AS n_shared
+      |FROM d c JOIN d b ON b.doc_id < 20 AND c.doc_id >= 20
+      |WHERE len(list_intersect(c.sh, b.sh)) >= 1
+      |ORDER BY c.doc_id, bench_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exactDedup _),
-    "d2_dedup_stats" -> (dedupStats _)
+    "d2_dedup_stats" -> (dedupStats _),
+    "d3_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d))
   )
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> exactDedupOracle,
-    "d2_dedup_stats" -> dedupStatsOracle
+    "d2_dedup_stats" -> dedupStatsOracle,
+    "d3_decontaminate" -> decontaminateOracle
   )
 }

@@ -131,6 +131,13 @@ object NearDup {
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
       .cache()
+    // Convergence via label-sum: the node set is fixed and per-node labels
+    // are NON-INCREASING under min-propagation, so Σlabel strictly
+    // decreases iff any label changed. One aggregate row to the driver per
+    // round — and the same action materializes the round's cache, so each
+    // round is ONE job (r4 ran a second join+count job just to detect
+    // convergence).
+    var prevSum: java.math.BigDecimal = null
     var changed = true
     while (changed) {
       val next = edges
@@ -139,9 +146,12 @@ object NearDup {
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old"))
-        .limit(1).count() > 0 // one tiny row to the driver per round
+      // decimal sum: exact at any node-count/id-range (a wrapped long sum
+      // could alias two different label states)
+      val row = next.agg(sum(col("label").cast("decimal(38,0)"))).head
+      val s = if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
+      changed = prevSum == null || s.compareTo(prevSum) != 0
+      prevSum = s
       labels.unpersist()
       labels = next
     }

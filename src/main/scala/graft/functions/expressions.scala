@@ -403,7 +403,9 @@ object GraftFunctions {
     ("graft_cosine", (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
     ("graft_jaccard_sorted", (c: Seq[Expression]) => JaccardSorted(c(0), c(1))),
     ("graft_hyperplane_sig", (c: Seq[Expression]) => HyperplaneSignature(c.head)),
-    ("graft_shingle_hashes", (c: Seq[Expression]) => ShingleHashes(c.head, 3))
+    // optional 2nd arg: shingle width n (a literal), default word 3-grams
+    ("graft_shingle_hashes", (c: Seq[Expression]) => ShingleHashes(c.head,
+      if (c.length > 1) c(1).eval().asInstanceOf[Number].intValue() else 3))
   )
 
   def register(spark: SparkSession): Unit =

@@ -109,6 +109,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("d3 decontamination broadcasts the benchmark side; corpus never shuffles pre-join") {
+    val plan = planOf("d3_decontaminate")
+    withClue(s"d3 plan:\n$plan\n") {
+      plan should include("BroadcastHashJoin")
+      // the only exchange is the final (doc_id, bench_id) aggregation —
+      // one hashpartitioning, none of them carrying the raw shingle hash
+      // stream of the corpus side
+      "Exchange hashpartitioning\\(h#".r.findAllIn(plan).length shouldBe 0
+    }
+  }
+
   test("n1 plan construction launches no eager jobs (VERDICT r4: no count()-gated broadcast)") {
     val tracker = spark.sparkContext.statusTracker
     // First construction may pay one-time parquet schema inference; the
