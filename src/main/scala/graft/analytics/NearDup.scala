@@ -231,9 +231,14 @@ object NearDup {
     // graft_simhash expression (one tight loop per row).
     graft.functions.GraftFunctions.register(s)
     val tokens = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    // cached: one 16-byte row per doc — the bucket self-join below would
+    // otherwise recompute the per-token hash fold on BOTH sides. At scale
+    // this is the "materialize the signature table once" step (it is tiny
+    // relative to the corpus); n1 does the same for its minhash sigs.
     val sigs = documents(s, d)
       .withColumn("th", transform(tokens, t => xxhash64(t)))
       .select(col("doc_id"), expr("graft_simhash(th)").as("simhash"))
+      .cache()
       .withColumn("bands", array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*))
@@ -259,11 +264,15 @@ object NearDup {
     */
   def simhashPortable(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val tokens = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    // native per-row loop (graft_md5_prefix_hashes) — the higher-order
+    // transform(…md5…conv…) formulation is interpreted per token and was
+    // this query's whole cost; bit-equality with it is spec-pinned and the
+    // engine-neutral oracle below re-derives the same hashes in SQL
     val sigs = documents(s, d)
-      .withColumn("th", transform(tokens, t =>
-        conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")))
+      .withColumn("th", expr(
+        "graft_md5_prefix_hashes(split(regexp_replace(lower(text), '\\\\s+', ' '), ' '))"))
       .select(col("doc_id"), expr("graft_simhash(th)").as("simhash"))
+      .cache() // see n3: don't md5 the corpus twice for the self-join
       .withColumn("bands", array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFFL).as("key"))): _*))

@@ -307,6 +307,54 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `graft_md5_prefix_hashes(array<string>) → array<bigint>` — per-token
+  * 60-bit hashes: the first 15 lowercase-hex chars of md5(token) as an
+  * integer, i.e. the top 60 bits of the digest. Bit-identical to the
+  * interpreted `transform(toks, t -> conv(substring(md5(t), 1, 15), 16,
+  * 10))` pipeline n5 used (engine-NEUTRAL hashes — DuckDB re-derives the
+  * same values from `md5()`), but one tight per-row loop instead of a
+  * boxing lambda per token. */
+case class Md5PrefixHashes(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_md5_prefix_hashes"
+
+  // MessageDigest is stateful and not thread-safe; the expression object is
+  // shared via addReferenceObj across a stage's tasks → per-thread instance
+  @transient private lazy val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  def compute(tokens: ArrayData): GenericArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](n)
+    val md = digest.get()
+    var i = 0
+    while (i < n) {
+      val d = md.digest(tokens.getUTF8String(i).getBytes) // digest() resets
+      // first 15 hex chars = top 60 bits: big-endian first 8 bytes >>> 4
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("md5px", this, classOf[Md5PrefixHashes].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixHashes =
+    copy(child = newChild)
+}
+
 /** Hyperplane constants for the sign-LSH signature: 32 planes × 64 dims of
   * deterministic centered pseudo-uniforms (splitmix64-derived). */
 object HyperplaneConstants {
@@ -405,7 +453,8 @@ object GraftFunctions {
     ("graft_hyperplane_sig", (c: Seq[Expression]) => HyperplaneSignature(c.head)),
     // optional 2nd arg: shingle width n (a literal), default word 3-grams
     ("graft_shingle_hashes", (c: Seq[Expression]) => ShingleHashes(c.head,
-      if (c.length > 1) c(1).eval().asInstanceOf[Number].intValue() else 3))
+      if (c.length > 1) c(1).eval().asInstanceOf[Number].intValue() else 3)),
+    ("graft_md5_prefix_hashes", (c: Seq[Expression]) => Md5PrefixHashes(c.head))
   )
 
   def register(spark: SparkSession): Unit =

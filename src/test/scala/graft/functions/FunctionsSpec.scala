@@ -71,6 +71,14 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     emb.selectExpr("graft_cosine(v, v) AS c").filter("abs(c - 1.0) > 1e-12").count() shouldBe 0
   }
 
+  test("graft_md5_prefix_hashes == conv(substring(md5, 1, 15), 16, 10) per token") {
+    val both = docs.selectExpr(
+      "graft_md5_prefix_hashes(ws) AS native",
+      "transform(ws, t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 15), 16, 10) AS BIGINT)) AS composed")
+    both.filter("native != composed").count() shouldBe 0
+    both.filter("size(native) > 0").count() should be > 400L
+  }
+
   test("graft_hyperplane_sig is stable and spreads across buckets") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
