@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.analytics.PipelineOps
 
 /** End-to-end training-corpus build: the composition a user of this
-  * library actually runs — quality filter → exact dedup → deterministic
-  * stratified sample → fixed-window chunking — landing a chunked corpus
-  * plus per-language stats as parquet.
+  * library actually runs — quality filter → exact dedup → benchmark
+  * decontamination → deterministic stratified sample → fixed-window
+  * chunking — landing a chunked corpus plus per-language stats as
+  * parquet.
   *
   * Usage: runMain graft.examples.CorpusBuild [sfDir] [outDir]
   *
@@ -45,12 +46,24 @@ object CorpusBuild {
       .select(col("doc_id"))
     val deduped = quality.join(keep, "doc_id")
 
-    // 3. deterministic stratified sample (md5 threshold per language)
-    val sampled = deduped.filter(
+    // 3. benchmark decontamination (d3 discipline): drop corpus docs
+    //    sharing any word 5-gram with the held-out benchmark set (docs
+    //    0-19 stand in) — benchmark shingles broadcast, corpus streams,
+    //    the drop is a left_anti on the flagged ids
+    graft.functions.GraftFunctions.register(spark)
+    val shingled = deduped.select(col("doc_id"), expr(
+      "explode(graft_shingle_hashes(split(regexp_replace(lower(text), '\\\\s+', ' '), ' '), 5)) AS h"))
+    val contaminated = shingled.filter(col("doc_id") >= 20)
+      .join(broadcast(shingled.filter(col("doc_id") < 20).select(col("h"))), "h")
+      .select(col("doc_id")).distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 4. deterministic stratified sample (md5 threshold per language)
+    val sampled = clean.filter(
       substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) <
         expr("CASE lang WHEN 'en' THEN '33' WHEN 'zh' THEN '66' ELSE '99' END"))
 
-    // 4. pack into 32-word chunks and land the corpus
+    // 5. pack into 32-word chunks and land the corpus
     PipelineOps.tokenChunks(sampled.select(col("doc_id"), col("text")))
       .write.mode("overwrite").parquet(s"$outDir/chunks")
 
