@@ -53,6 +53,27 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
       PpmDecoder.decode(media(ppm("P6\n1 1\n65535\n", Array(1, 2, 3)))) // 2-byte samples unsupported
   }
 
+  test("property: decode inverts encode for arbitrary dims/pixels/header noise") {
+    // deterministic pseudo-random cases — construct a PPM with arbitrary
+    // dimensions, pixel bytes, and header whitespace/comment noise, then
+    // check the decoder against an independently-computed ground truth
+    val rnd = new scala.util.Random(0xC0FFEE)
+    (1 to 200).foreach { _ =>
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(24)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256))
+      val ws = () => Seq(" ", "\n", "\t", "\r\n", " # noise\n", "\n#c\n ")(rnd.nextInt(6))
+      val header = s"P6${ws()}$w${ws()}$h${ws()}255\n"
+      val f = PpmDecoder.decode(media(ppm(header, px)))
+      f.width shouldBe w.toLong
+      f.height shouldBe h.toLong
+      f.n_pixels shouldBe (w * h).toLong
+      f.sum_r shouldBe px.grouped(3).map(_(0).toLong).sum
+      f.sum_g shouldBe px.grouped(3).map(_(1).toLong).sum
+      f.sum_b shouldBe px.grouped(3).map(_(2).toLong).sum
+    }
+  }
+
   test("m2 decodes the generated corpus: header dims parsed, means bounded by hex-char codes") {
     val rows = Multimodal.mediaFeatures(spark, "/root/testdata/sf0.001").collect()
     rows.length should be > 0
