@@ -221,6 +221,50 @@ object NearDup {
       |  WHERE a.doc_id < 20)
       |WHERE rk = 1 ORDER BY probe_id""".stripMargin
 
+  /** STREAMING near-dup: flag incoming documents that near-duplicate a
+    * static corpus — the incremental form of n1 for continuous ingest
+    * (the batch pipeline re-scans the corpus; ingest must not).
+    *
+    * Shape: the corpus side is computed ONCE per micro-batch plan as a
+    * static DataFrame (at scale: a pre-materialized signature/band index,
+    * e.g. the bucketed layout from [[graft.sources.Bucketing]]); the
+    * stream side computes signatures per arriving row and equi-joins the
+    * band index (stream-static joins are STATELESS in Spark). Band-key
+    * collisions produce duplicate candidate pairs, so the pair stream is
+    * deduped with `dropDuplicatesWithinWatermark` — state bounded by the
+    * watermark horizon, same discipline as [[Dedup.streamingDedup]].
+    *
+    * `stream` must carry (`doc_id`, `text`, event-time `tsCol`). Output:
+    * one row per (arriving doc, corpus match) with exact Jaccard ≥
+    * `threshold`. */
+  def streamingNearDup(stream: DataFrame, corpus: DataFrame, tsCol: String,
+      threshold: Double = 0.5, watermark: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val corpusSh = corpus
+      .select(col("doc_id").as("match_id"), shingleHashes(col("text")).as("match_sh"))
+      .filter(size(col("match_sh")) > 0)
+    val corpusBands = corpusSh.select(col("match_id"), posexplode(
+        array((0 until numBands).map(b =>
+          xxhash64(lit(b), slice(expr("graft_minhash(match_sh)"), b * bandRows + 1, bandRows))): _*))
+        .as(Seq("band", "bandHash")))
+    val streamSigs = stream
+      .select(col(tsCol), col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", expr("graft_minhash(sh)"))
+    val streamBands = streamSigs.select(col(tsCol), col("doc_id"), col("sh"), posexplode(
+        array((0 until numBands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * bandRows + 1, bandRows))): _*))
+        .as(Seq("band", "bandHash")))
+    streamBands
+      .join(corpusBands, Seq("band", "bandHash"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("doc_id", "match_id")
+      .join(corpusSh, "match_id")
+      .withColumn("jaccard", expr("graft_jaccard_sorted(sh, match_sh)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("match_id"), col("jaccard"))
+  }
+
   /** SimHash: 64-bit fingerprint by per-bit voting over token hashes —
     * per-row fold, codegen'd, no shuffle. Near-dup = banded bucket join on
     * 4×16-bit sub-keys, verified by Hamming distance ≤ 6 via bit_count.
