@@ -138,6 +138,68 @@ object ExtendedQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** q24 — PORTABLE HyperLogLog, closing the oracle gap q14 documents (the
+    * way n5 did for n3): the full sketch — hash, register bucketing, rank,
+    * harmonic sum, estimate — built from engine-NEUTRAL primitives so
+    * DuckDB re-derives it bit-for-bit:
+    *
+    *   - hash: first 15 hex chars of md5(user_id) as a 60-bit integer
+    *     (identical in both engines);
+    *   - m = 64 registers from the low 6 bits; rank ρ = 55 − bitlength of
+    *     the remaining 54-bit field — INTEGER ops only (`bin()` string
+    *     length; a float log2 would diverge at ULP boundaries);
+    *   - harmonic sum scaled by 2⁵⁵: Σ 2^(55−M_b) over registers is an
+    *     exact BIGINT (≤ 2⁶¹), empty registers contribute 2⁵⁵;
+    *   - estimate = (α₆₄·m²·2⁵⁵) / S — ONE double literal (embedded
+    *     identically in both engines) and ONE IEEE division, so the result
+    *     is bit-identical. Canonical HLL's small-range linear-counting
+    *     branch (`m·ln(m/V)`) only applies when some register is EMPTY
+    *     (V > 0); it is deliberately omitted here because libm `ln`
+    *     implementations can differ at the ULP, and m = 64 saturates all
+    *     registers at the test cardinalities (V = 0 → canonical HLL uses
+    *     the raw estimator anyway).
+    *
+    * This is the aggregation shape a 100 TB distinct-count actually uses:
+    * partial per-partition register maxes merge associatively; only
+    * (event_type, bucket, M) rows cross the shuffle. */
+  def q24HllPortable(s: SparkSession, d: String): DataFrame = {
+    // α₆₄·m²·2⁵⁵ precomputed once; MUST print identically in the oracle
+    val numerator = 0.709 * 4096 * (1L << 55).toDouble
+    events(s, d)
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .select(col("event_type"),
+        col("hv").bitwiseAND(63L).as("bucket"),
+        shiftright(col("hv"), 6).as("rest"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(when(col("rest") === 0L, lit(55L))
+        .otherwise(lit(55L) - length(bin(col("rest"))))).as("m"))
+      .groupBy(col("event_type"))
+      .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))")) +
+        (lit(64L) - count(lit(1))) * lit(1L << 55)).as("stot"))
+      .select(col("event_type"),
+        round(lit(numerator) / col("stot"), 4).as("est_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val q24Oracle: String = {
+    val numerator = 0.709 * 4096 * (1L << 55).toDouble
+    s"""WITH h AS (SELECT event_type,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+      |  FROM events),
+      |r AS (SELECT event_type, hv & 63 AS bucket, hv >> 6 AS rest FROM h),
+      |reg AS (SELECT event_type, bucket,
+      |    max(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END) AS m
+      |  FROM r GROUP BY 1, 2),
+      |s AS (SELECT event_type,
+      |    sum(CAST(1 AS BIGINT) << CAST(55 - m AS INT)) +
+      |      (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS stot
+      |  FROM reg GROUP BY 1)
+      |SELECT event_type, round(CAST($numerator AS DOUBLE) / stot, 4) AS est_users
+      |FROM s ORDER BY event_type""".stripMargin
+  }
+
   /** Typed UDAF (Aggregator[IN,BUF,OUT]) — the engine's user-defined
     * aggregate surface. All outputs are exact integers (cents), so the
     * oracle matches despite arbitrary partial-aggregation order. */
@@ -330,11 +392,14 @@ object ExtendedQueries {
     "q12_event_time_window" -> (q12EventTimeWindow _),
     "q13_union_balances" -> (q13UnionBalances _),
     "q14_approx_distinct" -> (q14ApproxDistinct _),
+    "q24_hll_portable" -> (q24HllPortable _),
     "q15_price_stats_udaf" -> (q15PriceStatsUdaf _)
   )
 
-  /** q14 omitted: HLL sketch values are engine-specific (rows-only). */
+  /** q14 omitted: HLL++ sketch values are engine-specific (rows-only);
+    * q24 is its fully-oracle-checked portable twin. */
   val oracles: Map[String, String] = Map(
+    "q24_hll_portable" -> q24Oracle,
     "q23_exists_correlated" -> q23Oracle,
     "q21_intersect" -> q21Oracle,
     "q22_json_extract" -> q22Oracle,
