@@ -30,7 +30,9 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dest = args.lift(1).getOrElse("/root/repo/localdata/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
-    val off = 1000000000L
+    // key-shift stride; when scaling an ALREADY-scaled dir, pass a stride
+    // larger than copies_prev × stride_prev so shifted ids cannot collide
+    val off = args.lift(3).map(_.toLong).getOrElse(1000000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

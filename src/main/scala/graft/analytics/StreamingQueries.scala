@@ -34,19 +34,23 @@ object StreamingQueries {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-stream-q").toString
     val itemsDir = s"$tmp/items"
-    // Shard count scales with stream volume — the Kinesis model (a stream
-    // is resharded as throughput grows; S1 re-lists shards): ~12.5k
-    // records/shard, floor 8 (sf≤0.1 keeps the historical 8-shard layout),
-    // cap 64. Keeps per-shard batch counts roughly CONSTANT across SFs, so
-    // engine wall-clock scales with per-shard depth, not corpus size —
-    // without it the fixed 8-shard layout made s1 the one super-linear
-    // query in the sf1 rehearsal (SCALE.md). The count() is a parquet
-    // metadata read, and the mock client materializes the table anyway.
+    // BOTH production sizing knobs scale with stream volume (SCALE.md):
+    //  - shard count — the Kinesis model (a stream is resharded as
+    //    throughput grows; S1 re-lists shards): ~12.5k records/shard,
+    //    floor 8 (sf ≤ 0.1 keeps the historical 8-shard layout), cap 256;
+    //  - admission cap (records/batch) — sized so per-batch DATA work
+    //    dominates per-batch fixed cost (epoch planning, offset commit,
+    //    sink commit): ~25 batches/shard, floor 500 (identical to the
+    //    historical config for every sf ≤ 1).
+    // Without these the fixed 8×500 layout made s1 super-linear in the
+    // sf1/sf10 rehearsals. The count() is a parquet metadata read, and the
+    // mock client materializes the table anyway.
     val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val shards = math.max(8L, math.min(64L, nEvents / 12500L)).toInt
+    val shards = math.max(8L, math.min(256L, nEvents / 12500L)).toInt
+    val batch = math.max(500L, nEvents / (shards * 25L)).toInt
     val client = EventStream.clientFromParquet(spark, s"$sfDir/events.parquet", numShards = shards)
     val gp = new GraftProcessor[String](
-      ProcessorConfig("events", batchSize = 500),
+      ProcessorConfig("events", batchSize = batch),
       new EventTypeProcessor,
       client,
       new InMemoryCheckpointStore,

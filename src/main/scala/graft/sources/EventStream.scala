@@ -33,14 +33,18 @@ object EventStream {
         timestamp_micros(expr("ts div 1000")).as("approximateArrivalTimestamp"),
         concat(lit("shard-"), pmod(col("user_id"), lit(numShards)).cast("string")).as("shardId"),
         col("ts").as("ord"))
+      .orderBy(col("shardId"), col("ord"), col("sequenceNumber"))
       .as[(String, String, Array[Byte], Option[java.sql.Timestamp], String, Long)]
       .collect()
-    val shards = rows.toIndexedSeq
-      .map { case (seq, pk, data, ts, shard, ord) => (KRecord(seq, pk, data, ts, shard), ord) }
-      .groupBy(_._1.shardId)
-      .map { case (shard, rs) =>
-        shard -> rs.sortBy(r => (r._2, r._1.sequenceNumber)).map(_._1)
-      }
-    new InMemorySourceClient(shards)
+    // rows arrive pre-sorted by (shard, ord, seq) — Spark does the sort
+    // distributed; the driver only splits consecutive runs (a driver-side
+    // groupBy+sortBy was the dominant cost of the mock at 10M+ records)
+    val shards = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[KRecord]]
+    rows.foreach { case (seq, pk, data, ts, shard, _) =>
+      shards.getOrElseUpdate(shard, scala.collection.mutable.ArrayBuffer.empty)
+        .append(KRecord(seq, pk, data, ts, shard))
+    }
+    new InMemorySourceClient(shards.view.mapValues(_.toIndexedSeq).toMap)
   }
 }
