@@ -128,8 +128,13 @@ object Similarity {
     val doubled = base.unionByName(
       base.withColumn("vec_id", col("vec_id") + 1000000L)
         .withColumn("embedding", transform(col("embedding"), x => x * 2.0f)))
+    // cached: the signature scan feeds BOTH self-join sides and BOTH
+    // verify joins — uncached, the cast + 32-plane projection runs 4× over
+    // the doubled corpus (measured 48 s at sf10; the sig table is the
+    // "materialize signatures once" step, same as n1/n3/n5)
     val emb = withVec(doubled, "embedding")
       .select(col("vec_id"), col("v"), signature(col("v")).as("sig"))
+      .cache()
     // id-only candidate pairs from bucket self-join; vectors join back
     // AFTER dedup — the distinct shuffles 16-byte pairs, never vectors
     val banded = withBands(emb).select(col("vec_id"), explode(col("bands")).as("bk"))
