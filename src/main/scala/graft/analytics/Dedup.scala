@@ -114,15 +114,75 @@ object Dedup {
       |WHERE len(list_intersect(c.sh, b.sh)) >= 1
       |ORDER BY c.doc_id, bench_id""".stripMargin
 
+  /** d4 — BLOOM-FILTER decontamination: the sketch-backed twin of d3. d3
+    * joins the corpus against the exact benchmark shingle set; at 100 TB the
+    * production variant ships a fixed-size Bloom filter of the benchmark
+    * shingles to every executor instead (kilobytes, not the shingle list),
+    * accepting a deterministic false-positive rate for a corpus-side
+    * membership test that never shuffles.
+    *
+    * The filter is PORTABLE so DuckDB re-derives it bit-for-bit (the q24/n5
+    * technique): m = 2^14 bits, k = 2 probes per 5-gram shingle, bit
+    * positions from independent hex slices of md5(shingle). The engine
+    * models the bitset as the distinct set-bit positions (a few-KB broadcast
+    * relation — the relational encoding of the same array an executor-local
+    * filter would hold); corpus membership is two broadcast LEFT SEMI joins
+    * (p1 set AND p2 set), then a per-doc count of flagged distinct shingles.
+    * Output includes Bloom false positives by design — identically on both
+    * engines, so the hash gate still pins it exactly. */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val W = "split(regexp_replace(lower(text), '\\\\s+', ' '), ' ')"
+    val shingleArr = expr(
+      s"""CASE WHEN size($W) >= 5 THEN array_distinct(transform(sequence(1, size($W) - 4),
+         |  i -> concat_ws(' ', element_at($W, i), element_at($W, i+1), element_at($W, i+2),
+         |                 element_at($W, i+3), element_at($W, i+4))))
+         |ELSE array() END""".stripMargin)
+    def probe(hexStart: Int): org.apache.spark.sql.Column =
+      conv(substring(md5(col("sh").cast("binary")), hexStart, 4), 16, 10)
+        .cast("long") % 16384
+    val pos = documents(s, d)
+      .select(col("doc_id"), explode(shingleArr).as("sh"))
+      .select(col("doc_id"), probe(1).as("p1"), probe(5).as("p2"))
+    val bits = pos.filter(col("doc_id") < 20)
+      .select(explode(array(col("p1"), col("p2"))).as("pos")).distinct()
+    pos.filter(col("doc_id") >= 20)
+      .join(broadcast(bits.as("b1")), col("p1") === col("b1.pos"), "left_semi")
+      .join(broadcast(bits.as("b2")), col("p2") === col("b2.pos"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bloomDecontaminateOracle: String =
+    """WITH w AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 5 THEN
+      |    list_distinct(list_transform(generate_series(1, len(ws) - 4),
+      |      i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+      |  ELSE [] END) AS s FROM w),
+      |p AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(s), 1, 4) AS BIGINT) % 16384 AS p1,
+      |    CAST('0x' || substr(md5(s), 5, 4) AS BIGINT) % 16384 AS p2
+      |  FROM sh),
+      |bits AS (SELECT DISTINCT pos FROM
+      |  (SELECT unnest([p1, p2]) AS pos FROM p WHERE doc_id < 20))
+      |SELECT doc_id, count(*) AS n_flagged
+      |FROM p WHERE doc_id >= 20
+      |  AND p1 IN (SELECT pos FROM bits) AND p2 IN (SELECT pos FROM bits)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exactDedup _),
     "d2_dedup_stats" -> (dedupStats _),
-    "d3_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d))
+    "d3_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
+    "d4_bloom_decontaminate" -> (bloomDecontaminate _)
   )
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> exactDedupOracle,
     "d2_dedup_stats" -> dedupStatsOracle,
-    "d3_decontaminate" -> decontaminateOracle
+    "d3_decontaminate" -> decontaminateOracle,
+    "d4_bloom_decontaminate" -> bloomDecontaminateOracle
   )
 }

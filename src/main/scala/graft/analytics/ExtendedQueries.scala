@@ -77,6 +77,35 @@ object ExtendedQueries {
       |count(*) AS n_events, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** q25 — SLIDING (hopping) event-time window, completing the window
+    * family next to q12's tumbling windows: 10-minute windows every
+    * 5 minutes, so each event lands in exactly two overlapping windows.
+    * Uses the built-in `window()` with an explicit slide — the same operator
+    * Structured Streaming plans for windowed stream aggregations, so this is
+    * the batch oracle twin of the streaming shape. The oracle replicates
+    * Spark's epoch-aligned window assignment arithmetically: each event's
+    * two window starts are floor(t/slide)·slide and that minus one slide.
+    * Window bounds are emitted as epoch-micro BIGINTs (no raw timestamps
+    * cross the hash). */
+  def q25SlidingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("tt", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("tt"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"), col("n_events"), col("n_users"))
+      .orderBy(col("w_start_us"), col("event_type"))
+
+  val q25Oracle: String =
+    """WITH e AS (SELECT epoch_us(ts) AS us, event_type, user_id FROM events),
+      |w AS (SELECT unnest([(us // 300000000) * 300000000,
+      |                     (us // 300000000) * 300000000 - 300000000]) AS w_start_us,
+      |    event_type, user_id FROM e)
+      |SELECT w_start_us, event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM w GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin
+
   /** q17 — lag window: per-user inter-event gaps (count / max / mean in
     * ms), the sequence-analytics shape (lead/lag) the window family was
     * missing. Order within a user is (ts, event_id) so timestamp ties are
@@ -390,6 +419,7 @@ object ExtendedQueries {
     "q16_cube" -> (q16Cube _),
     "q17_event_gaps" -> (q17EventGaps _),
     "q12_event_time_window" -> (q12EventTimeWindow _),
+    "q25_sliding_window" -> (q25SlidingWindow _),
     "q13_union_balances" -> (q13UnionBalances _),
     "q14_approx_distinct" -> (q14ApproxDistinct _),
     "q24_hll_portable" -> (q24HllPortable _),
@@ -410,6 +440,7 @@ object ExtendedQueries {
     "q16_cube" -> q16Oracle,
     "q17_event_gaps" -> q17Oracle,
     "q12_event_time_window" -> q12Oracle,
+    "q25_sliding_window" -> q25Oracle,
     "q13_union_balances" -> q13Oracle,
     "q15_price_stats_udaf" -> q15Oracle
   )

@@ -226,7 +226,111 @@ object TextAnalytics {
       |        GROUP BY lang, token) c) ranked
       |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
 
+  /** t9 — top-3 TF-IDF terms per document, the classic salient-term
+    * extraction a corpus explorer runs. Determinism discipline: the score is
+    * `(tf · N) / df` — an exact BIGINT product through ONE IEEE division, so
+    * it is bit-identical cross-engine (a `ln(N/df)` idf would diverge at the
+    * ULP); ties break on the token string.
+    *
+    * Scale shape: tf is one (doc, token) partial+final aggregation; df
+    * re-aggregates tf by token (no second corpus scan); the tf⋈df equi-join
+    * shuffles on the token key; N is a one-row broadcast. The final window
+    * partitions by doc — each stage is partial-aggregable, nothing is
+    * quadratic in corpus size. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).createOrReplaceTempView("graft_docs_v")
+    // N arrives as an uncorrelated SCALAR SUBQUERY (the q20 planner path):
+    // Catalyst evaluates the one-row count once and embeds it as a literal —
+    // no join node, so the corpus-side plan is just agg → join(df) → window.
+    // (A crossJoin(broadcast(n)) formulation constant-folds its join key and
+    // degenerates to a BroadcastNestedLoopJoin — the shape the global
+    // no-cartesian gate exists to forbid.)
+    s.sql(
+      """WITH tf AS (SELECT doc_id, token, count(1) AS tf
+        |  FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS token
+        |        FROM graft_docs_v)
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, count(1) AS df FROM tf GROUP BY token),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf AS tf, df.df AS df,
+        |    CAST(tf.tf * (SELECT count(*) FROM graft_docs_v) AS DOUBLE) / df.df AS score
+        |  FROM tf JOIN df ON tf.token = df.token),
+        |r AS (SELECT doc_id, token, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+        |  FROM sc)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, df, score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
+  }
+
+  val tfidfOracle: String =
+    """WITH tf AS (SELECT doc_id, token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |        FROM documents) t
+      |  GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |sc AS (SELECT doc_id, token, tf, df,
+      |    CAST(tf * n_docs AS DOUBLE) / df AS score
+      |  FROM tf JOIN df USING (token) CROSS JOIN n),
+      |r AS (SELECT doc_id, token, tf, df, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+      |  FROM sc)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, df, score
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** t10 — portable COUNT-MIN SKETCH over the global token stream: the
+    * approximate heavy-hitters twin of t8's exact top-k, the way q24 twins
+    * q14's HLL. Depth 2 × width 256, bucket indexes from independent hex
+    * slices of md5(token) — engine-neutral, so DuckDB rebuilds the identical
+    * sketch and the overestimates (hash-collision inflated counts, the CMS
+    * signature property) hash-match exactly.
+    *
+    * Scale shape: ONE (token, b0, b1) partial+final aggregation is the only
+    * corpus-wide work (b0/b1 are functions of the token, so adding them to
+    * the key is free); both 256-row counter tables re-aggregate that result
+    * and broadcast back onto the exact top-10 — at 100 TB the sketch rows
+    * crossing the final shuffle number 512 regardless of corpus size. */
+  def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bucket(hexStart: Int): Column =
+      conv(substring(md5(col("token").cast("binary")), hexStart, 3), 16, 10)
+        .cast("long") % 256
+    val exact = documents(s, d)
+      .select(explode(words(lower(col("text")))).as("token"))
+      .select(col("token"), bucket(1).as("b0"), bucket(4).as("b1"))
+      .groupBy(col("token"), col("b0"), col("b1"))
+      .agg(count(lit(1)).as("n_exact"))
+    val c0 = exact.groupBy(col("b0")).agg(sum(col("n_exact")).as("c0"))
+    val c1 = exact.groupBy(col("b1")).agg(sum(col("n_exact")).as("c1"))
+    val w = Window.orderBy(col("n_exact").desc, col("token"))
+    exact.orderBy(col("n_exact").desc, col("token")).limit(10)
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(c0), "b0")
+      .join(broadcast(c1), "b1")
+      .select(col("rk").cast("long").as("rk"), col("token"), col("n_exact"),
+        least(col("c0"), col("c1")).as("cms_est"))
+      .orderBy(col("rk"))
+  }
+
+  val cmsHeavyHittersOracle: String =
+    """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents),
+      |tb AS (SELECT token,
+      |    CAST('0x' || substr(md5(token), 1, 3) AS BIGINT) % 256 AS b0,
+      |    CAST('0x' || substr(md5(token), 4, 3) AS BIGINT) % 256 AS b1
+      |  FROM tok),
+      |ex AS (SELECT token, b0, b1, count(*) AS n_exact FROM tb GROUP BY 1, 2, 3),
+      |c0 AS (SELECT b0, CAST(sum(n_exact) AS BIGINT) AS c0 FROM ex GROUP BY 1),
+      |c1 AS (SELECT b1, CAST(sum(n_exact) AS BIGINT) AS c1 FROM ex GROUP BY 1),
+      |top AS (SELECT token, b0, b1, n_exact,
+      |    row_number() OVER (ORDER BY n_exact DESC, token) AS rk FROM ex)
+      |SELECT CAST(rk AS BIGINT) AS rk, token, n_exact,
+      |  least(c0.c0, c1.c1) AS cms_est
+      |FROM top JOIN c0 USING (b0) JOIN c1 USING (b1)
+      |WHERE rk <= 10 ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_cms_heavy_hitters" -> (cmsHeavyHitters _),
+    "t9_tfidf" -> (tfidf _),
     "t8_top_tokens" -> (topTokens _),
     "t7_repetition" -> (repetition _),
     "t1_text_stats" -> (textStats _),
@@ -238,6 +342,8 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "t10_cms_heavy_hitters" -> cmsHeavyHittersOracle,
+    "t9_tfidf" -> tfidfOracle,
     "t8_top_tokens" -> topTokensOracle,
     "t7_repetition" -> repetitionOracle,
     "t1_text_stats" -> textStatsOracle,

@@ -120,6 +120,37 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("d4 bloom membership is two broadcast semi-joins; corpus side never shuffles pre-agg") {
+    val plan = planOf("d4_bloom_decontaminate")
+    withClue(s"d4 plan:\n$plan\n") {
+      // the bitset relation broadcasts into BOTH probe tests — the corpus
+      // side streams through LeftSemi joins without an exchange of its own
+      "BroadcastHashJoin .*LeftSemi".r.findAllIn(plan).length shouldBe 2
+      // the only corpus-side exchange is the final per-doc aggregation
+      "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length shouldBe 1
+    }
+  }
+
+  test("t10 CMS counter tables broadcast onto the top-k; sketch rows never shuffle the corpus") {
+    val plan = planOf("t10_cms_heavy_hitters")
+    withClue(s"t10 plan:\n$plan\n") {
+      // both depth-row counter tables (≤256 rows each) join via broadcast
+      "BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
+      plan should not include "CartesianProduct"
+    }
+  }
+
+  test("t9 TF-IDF: N is a broadcast scalar; tf→df reuses the token aggregation") {
+    val plan = planOf("t9_tfidf")
+    withClue(s"t9 plan:\n$plan\n") {
+      // the one-row corpus count must arrive as an evaluated scalar
+      // subquery, never a nested-loop cross of the tf⋈df stream
+      plan.toLowerCase should include("subquery")
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should include("HashAggregate")
+    }
+  }
+
   test("n1 plan construction launches no eager jobs (VERDICT r4: no count()-gated broadcast)") {
     val tracker = spark.sparkContext.statusTracker
     // First construction may pay one-time parquet schema inference; the
