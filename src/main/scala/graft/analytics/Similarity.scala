@@ -321,7 +321,100 @@ object Similarity {
       |LEFT JOIN ivf i ON i.probe_id = b.probe_id AND i.neighbor_id = b.neighbor_id
       |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
 
+  /** c1 — K-MEANS CLUSTERING (Lloyd's) over the embedding corpus: K=4,
+    * two full assignment iterations, init centroids = the first K vectors.
+    * This is the semantic-clustering primitive behind embedding-based corpus
+    * curation (topic balancing, semantic dedup cells, IVF codebook
+    * training — e4 consumes exactly this artifact class).
+    *
+    * The whole derivation is ENGINE-NEUTRAL integer arithmetic so DuckDB
+    * replays both iterations bit-for-bit (the q24/n5 discipline):
+    *
+    *   - coordinates quantized once: q_i = round(x_i · 10^6) + 10^6 — an
+    *     exact, strictly-positive BIGINT grid (inputs are |x| < 0.6);
+    *   - distances are integer squared-L2 folds: Σ (q_i − c_i)² ≤ 64·(1.2·10^6)²
+    *     ≈ 9·10^13, comfortably inside int64; argmin ties break on cluster id;
+    *   - updated centroids are FLOOR-DIVIDED means, `sum div n` on positive
+    *     ints — exact in both engines (a real-valued mean would reintroduce
+    *     cross-engine rounding at the ULP).
+    *
+    * Scale shape (the e4 codebook pattern): each iteration is one scan of
+    * the corpus against a K-row broadcast codebook (the one sanctioned
+    * broadcast-nested-loop), then a (cid, pos) partial+final aggregation
+    * whose output is K·dim rows regardless of corpus size. The quantized
+    * corpus is cached across the two iterations. Iteration count is fixed
+    * (2) — the production pattern for huge corpora, where each Lloyd round
+    * is a full job and convergence-to-fixpoint is not run to exhaustion. */
+  def kmeansClusters(s: SparkSession, d: String, kClusters: Int = 4): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000)")
+        .as("q"))
+      .cache()
+    val init = emb.filter(col("vec_id") < kClusters)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      emb.join(broadcast(cents))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("q"), col("cid"))
+    }
+    val cents1 = assign(init)
+      .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("cq"))
+    assign(cents1)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("vec_id")).as("id_sum"),
+        min(col("vec_id")).as("min_id"),
+        max(col("vec_id")).as("max_id"))
+      .select(col("cid").as("cluster_id"), col("n_members"), col("id_sum"),
+        col("min_id"), col("max_id"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** c1 oracle — DuckDB replays quantization, both assignment rounds, and
+    * the floor-divided centroid update independently; `//` on the positive
+    * sums matches Spark's `div` exactly. */
+  val kmeansOracle: String =
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS q
+      |  FROM embeddings),
+      |init AS (SELECT vec_id AS cid, q AS cq FROM q WHERE vec_id < 4),
+      |d1 AS (SELECT q.vec_id, q.q, i.cid,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      j -> (q.q[j] - i.cq[j]) * (q.q[j] - i.cq[j]))) AS dist
+      |  FROM q CROSS JOIN init i),
+      |a1 AS (SELECT vec_id, q, cid FROM (
+      |    SELECT vec_id, q, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      |    FROM d1) WHERE rk = 1),
+      |e1 AS (SELECT cid, j AS pos, q[j] AS v
+      |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js),
+      |c1m AS (SELECT cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS m
+      |  FROM e1 GROUP BY 1, 2),
+      |c1 AS (SELECT cid, list(m ORDER BY pos) AS cq FROM c1m GROUP BY 1),
+      |d2 AS (SELECT q.vec_id, i.cid,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      j -> (q.q[j] - i.cq[j]) * (q.q[j] - i.cq[j]))) AS dist
+      |  FROM q CROSS JOIN c1 i),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      |    FROM d2) WHERE rk = 1)
+      |SELECT cid AS cluster_id, count(*) AS n_members,
+      |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+      |  min(vec_id) AS min_id, max(vec_id) AS max_id
+      |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_kmeans" -> ((s: SparkSession, d: String) => kmeansClusters(s, d)),
     "e1_ann_brute_topk" -> ((s: SparkSession, d: String) => bruteCosineTopK(s, d)),
     "e2_ann_lsh_topk" -> ((s: SparkSession, d: String) => lshCosineTopK(s, d)),
     "e3_embedding_neardup" -> (embeddingNearDup _),
@@ -330,6 +423,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "c1_kmeans" -> kmeansOracle,
     "e1_ann_brute_topk" -> bruteCosineOracle,
     "e2_ann_lsh_topk" -> lshCosineOracle,
     "e3_embedding_neardup" -> embeddingNearDupOracle,

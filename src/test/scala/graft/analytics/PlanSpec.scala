@@ -27,7 +27,9 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // codebook (nCells rows) — an unconditioned broadcast join by design;
     // the assertion still requires the codebook side to be broadcast.
     // e5 composes e4's plan, so it inherits the same sanctioned join.
-    val codebookJoins = Set("e4_ann_ivf_topk", "e5_ann_recall")
+    // c1 (k-means) assigns against its K-row broadcast centroid table —
+    // the same sanctioned codebook shape, once per Lloyd iteration.
+    val codebookJoins = Set("e4_ann_ivf_topk", "e5_ann_recall", "c1_kmeans")
     planBased.foreach { name =>
       val plan = planOf(name)
       withClue(s"$name plan:\n$plan\n") {
