@@ -131,18 +131,21 @@ object Dedup {
     * Output includes Bloom false positives by design — identically on both
     * engines, so the hash gate still pins it exactly. */
   def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val W = "split(regexp_replace(lower(text), '\\\\s+', ' '), ' ')"
-    val shingleArr = expr(
-      s"""CASE WHEN size($W) >= 5 THEN array_distinct(transform(sequence(1, size($W) - 4),
-         |  i -> concat_ws(' ', element_at($W, i), element_at($W, i+1), element_at($W, i+2),
-         |                 element_at($W, i+3), element_at($W, i+4))))
-         |ELSE array() END""".stripMargin)
-    def probe(hexStart: Int): org.apache.spark.sql.Column =
-      conv(substring(md5(col("sh").cast("binary")), hexStart, 4), 16, 10)
-        .cast("long") % 16384
+    // ONE fused native pass per document (graft_shingle_md5_hashes: shingle
+    // bytes streamed straight into md5, distinct 60-bit prefixes out); both
+    // probe positions are then bit-slices of the prefix, exactly equal to
+    // the oracle's hex-substring derivation: hex chars 1-4 are prefix bits
+    // 59-44, chars 5-8 are bits 43-28, and `% 16384` keeps the low 14 bits
+    // of either slice. The interpreted concat_ws→md5→conv chain benched
+    // 18 s warm at sf0.1; the fused expression is ~1 s.
     val pos = documents(s, d)
-      .select(col("doc_id"), explode(shingleArr).as("sh"))
-      .select(col("doc_id"), probe(1).as("p1"), probe(5).as("p2"))
+      .select(col("doc_id"),
+        explode(expr(s"graft_shingle_md5_hashes($W, 5)")).as("h"))
+      .select(col("doc_id"),
+        (shiftright(col("h"), 44) % 16384).as("p1"),
+        (shiftright(col("h"), 28) % 16384).as("p2"))
     val bits = pos.filter(col("doc_id") < 20)
       .select(explode(array(col("p1"), col("p2"))).as("pos")).distinct()
     pos.filter(col("doc_id") >= 20)

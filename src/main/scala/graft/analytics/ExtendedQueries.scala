@@ -362,6 +362,27 @@ object ExtendedQueries {
       |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
       |ORDER BY nation""".stripMargin
 
+  /** q26 — EXCEPT ALL (bag semantics, multiplicity max(m₁−m₂, 0)),
+    * completing the set-op family's multiset half next to q21's distinct
+    * INTERSECT: per nation, how many customer rows survive after each
+    * supplier row cancels one. Exercises Spark's `exceptAll` rewrite
+    * (count-aggregate + generate), which has no distinct-set shortcut. */
+  def q26ExceptAll(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").cast("long").as("nationkey"))
+      .exceptAll(supplier(s, d).select(col("s_nationkey").cast("long").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n_remaining"))
+      .join(broadcast(nation(s, d)), col("nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_remaining"))
+      .orderBy(col("nation"))
+
+  val q26Oracle: String =
+    """SELECT n_name AS nation, count(*) AS n_remaining FROM (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |  EXCEPT ALL
+      |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t
+      |JOIN nation ON nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY nation""".stripMargin
+
   /** q22 — semi-structured JSON extraction: the events `props` column is a
     * JSON string; pull `$.k` out (Spark `get_json_object`, DuckDB `->>`),
     * cast to BIGINT, and aggregate per event type. Exact integer outputs
@@ -411,6 +432,7 @@ object ExtendedQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_exists_correlated" -> (q23ExistsCorrelated _),
     "q21_intersect" -> (q21Intersect _),
+    "q26_except_all" -> (q26ExceptAll _),
     "q22_json_extract" -> (q22JsonExtract _),
     "q20_above_avg_orders" -> (q20AboveAvgOrders _),
     "q18_quantiles" -> (q18Quantiles _),
@@ -432,6 +454,7 @@ object ExtendedQueries {
     "q24_hll_portable" -> q24Oracle,
     "q23_exists_correlated" -> q23Oracle,
     "q21_intersect" -> q21Oracle,
+    "q26_except_all" -> q26Oracle,
     "q22_json_extract" -> q22Oracle,
     "q20_above_avg_orders" -> q20Oracle,
     "q18_quantiles" -> q18Oracle,

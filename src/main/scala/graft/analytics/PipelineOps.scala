@@ -322,7 +322,52 @@ object PipelineOps {
       |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       |ORDER BY p_id, click_id""".stripMargin
 
+  /** p9 — per-SOURCE QUOTA CAP: keep at most `cap` documents per source,
+    * selected deterministically by md5(doc_id) hash order — the "cap docs
+    * per domain" step every web-scale corpus build runs so no single crawl
+    * source dominates the mixture. Reports per-source total vs kept plus a
+    * kept-set checksum, so the oracle pins exactly WHICH documents survive.
+    *
+    * Scale shape: the keep rule is `row_number() ≤ cap` per source, which
+    * Catalyst rewrites to a partial WindowGroupLimit BEFORE the shuffle —
+    * each map partition forwards at most `cap` rows per source, so the
+    * exchange carries O(partitions · cap) rows per source no matter how hot
+    * the source is (gated in PlanSpec). The totals side is a plain
+    * partial+final count. A `sum(CASE rk ≤ cap)` formulation would defeat
+    * the pushdown — every row would cross the shuffle just to be discarded
+    * by the flag. */
+  def p9SourceCap(s: SparkSession, d: String, cap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    val kept = docs
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    totals.join(kept, "source")
+      .select(col("source"), col("n_total"), col("n_kept"), col("kept_id_sum"))
+      .orderBy(col("source"))
+  }
+
+  val p9Oracle: String =
+    """WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hk
+      |  FROM documents),
+      |r AS (SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+      |  FROM h),
+      |kept AS (SELECT source, count(*) AS n_kept,
+      |    CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+      |  FROM r WHERE rk <= 20 GROUP BY 1),
+      |totals AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1)
+      |SELECT source, n_total, n_kept, kept_id_sum
+      |FROM totals JOIN kept USING (source) ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p9_source_cap" -> ((s: SparkSession, d: String) => p9SourceCap(s, d)),
     "p8_interval_join" -> ((s: SparkSession, d: String) => p8IntervalJoin(s, d)),
     "p7_weighted_sample" -> (p7WeightedSample _),
     "p6_mixture_rebalance" -> (p6MixtureRebalance _),
@@ -334,6 +379,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p9_source_cap" -> p9Oracle,
     "p8_interval_join" -> p8Oracle,
     "p7_weighted_sample" -> p7Oracle,
     "p6_mixture_rebalance" -> p6Oracle,

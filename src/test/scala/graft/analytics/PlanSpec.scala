@@ -153,6 +153,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("p9 quota cap pushes a partial WindowGroupLimit below the shuffle") {
+    val plan = planOf("p9_source_cap")
+    withClue(s"p9 plan:\n$plan\n") {
+      // rk ≤ cap must prune map-side: at most `cap` rows per source leave
+      // each partition, bounding the exchange even for a pathological
+      // hot source
+      plan should include("WindowGroupLimit")
+      "WindowGroupLimit .*Partial".r.findAllIn(plan).length should be >= 1
+    }
+  }
+
   test("n1 plan construction launches no eager jobs (VERDICT r4: no count()-gated broadcast)") {
     val tracker = spark.sparkContext.statusTracker
     // First construction may pay one-time parquet schema inference; the

@@ -79,6 +79,19 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     both.filter("size(native) > 0").count() should be > 400L
   }
 
+  test("graft_shingle_md5_hashes == sorted distinct md5-prefix of concat_ws 5-grams") {
+    val both = docs.selectExpr(
+      "graft_shingle_md5_hashes(ws, 5) AS native",
+      """CASE WHEN size(ws) >= 5 THEN array_sort(array_distinct(transform(
+        |  transform(sequence(1, size(ws) - 4),
+        |    i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1),
+        |         element_at(ws, i+2), element_at(ws, i+3), element_at(ws, i+4))),
+        |  s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 15), 16, 10) AS BIGINT))))
+        |ELSE array() END AS composed""".stripMargin)
+    both.filter("native != composed").count() shouldBe 0
+    both.filter("size(native) > 0").count() should be > 400L
+  }
+
   test("graft_hyperplane_sig is stable and spreads across buckets") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
