@@ -113,13 +113,73 @@ object StreamingQueries {
       |       CAST(max(span) AS BIGINT) AS max_span_ms
       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Hard-fails every `error` event — the poison-record shape the
+    * reference's hard-failure taxonomy exists for (`src/lib.rs:163-204`):
+    * the record is DEAD-LETTERED, the checkpoint advances past it, and the
+    * batch keeps processing. Survivors pass through unchanged. */
+  final class PoisonFilterProcessor extends RecordProcessor[String] {
+    override def processRecord(r: KRecord, m: RecordMetadata) = {
+      val payload = r.dataUtf8
+      if (payload.startsWith("error|"))
+        Left(ProcessingError.HardFailure("poison event type"))
+      else Right(Some(payload))
+    }
+  }
+
+  /** s3 — the DEAD-LETTER path under the oracle gate: s1 proves the happy
+    * path end-to-end; s3 proves the FAILURE semantics end-to-end. Every
+    * `error` event hard-fails in the processor, so the engine must
+    * dead-letter exactly those records while committing checkpoints past
+    * them — the oracle aggregates `events WHERE event_type <> 'error'`, so
+    * one record lost (or one dead-letter leaked downstream, or one batch
+    * stalled on a poison record) breaks the hash. Value min/max ride along:
+    * the payload's double round-trips the encode/decode exactly
+    * (Java shortest-repr doubles), pinning the T1 decode too. */
+  def streamDeadLetter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream-q3").toString
+    val itemsDir = s"$tmp/items"
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val shards = math.max(8L, math.min(256L, nEvents / 12500L)).toInt
+    val batch = math.max(500L, nEvents / (shards * 25L)).toInt
+    val client = EventStream.clientFromParquet(spark, s"$sfDir/events.parquet", numShards = shards)
+    val gp = new GraftProcessor[String](
+      ProcessorConfig("events", batchSize = batch),
+      new PoisonFilterProcessor,
+      client,
+      new InMemoryCheckpointStore,
+      onItems = (ds, _) => ds.toDF("payload").write.mode("append").parquet(itemsDir)
+    )
+    gp.run(spark, s"$tmp/ckpt") match {
+      case Left(e) => throw e
+      case Right(()) =>
+        spark.read.parquet(itemsDir)
+          .select(split(col("payload"), "\\|").as("p"))
+          .select(col("p").getItem(0).as("event_type"),
+            col("p").getItem(1).cast("double").as("value"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"))
+          .orderBy(col("event_type"))
+    }
+  }
+
+  val streamDeadLetterOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |min(value) AS min_value, max(value) AS max_value
+      |FROM events WHERE event_type <> 'error'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_stream_count_by_type" -> (streamCountByType _),
-    "s2_sessions" -> (sessionStats _)
+    "s2_sessions" -> (sessionStats _),
+    "s3_stream_dead_letter" -> (streamDeadLetter _)
   )
 
   val oracles: Map[String, String] = Map(
     "s1_stream_count_by_type" -> streamCountOracle,
-    "s2_sessions" -> sessionStatsOracle
+    "s2_sessions" -> sessionStatsOracle,
+    "s3_stream_dead_letter" -> streamDeadLetterOracle
   )
 }

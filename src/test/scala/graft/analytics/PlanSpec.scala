@@ -10,9 +10,9 @@ import graft.SparkEntry
   * that must survive a 100 TB scale-up, asserted on the optimized physical
   * plans of every registered query at sf0.001.
   *
-  * s1 (streaming) is excluded — it runs a full streaming job rather than
-  * building a plan; its physical properties are covered by the source and
-  * engine specs. */
+  * s1/s3 (streaming) are excluded — they run a full streaming job rather
+  * than building a plan; their physical properties are covered by the
+  * source and engine specs. */
 class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
@@ -20,7 +20,8 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
-  private val planBased = SparkEntry.queries.keys.filterNot(_ == "s1_stream_count_by_type").toSeq.sorted
+  private val planBased = SparkEntry.queries.keys
+    .filterNot(Set("s1_stream_count_by_type", "s3_stream_dead_letter")).toSeq.sorted
 
   test("no query plan contains a cartesian product or unconditioned nested loop") {
     // e4 (IVF) legitimately scores every vector against a BOUNDED broadcast
