@@ -362,6 +362,54 @@ object ExtendedQueries {
       |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
       |ORDER BY nation""".stripMargin
 
+  /** q27 — MERGEABLE HISTOGRAM QUANTILES: the fixed-bin quantile sketch
+    * that actually runs at 100 TB (t-digest/HDR-histogram class), as the
+    * approximate counterpart to q18's exact sort-based percentiles.
+    * Per-group state is O(bins) and merges associatively (partial+final
+    * hash aggregation — never a per-group sort of raw values), and the
+    * whole derivation is integer arithmetic so DuckDB replays it exactly:
+    * price cents bucket into fixed 16384-cent bins; the q-quantile
+    * estimate is the LOWER EDGE of the first bin whose cumulative count
+    * reaches ceil(q·n), with ceil done as integer division. */
+  def q27HistogramQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = lineitem(s, d)
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .withColumn("bin", expr("cents div 16384"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("l_returnflag"))
+    hist
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(totW))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n"),
+        (min(when(col("cum") >= expr("(n + 1) div 2"), col("bin"))) * 16384L)
+          .as("p50_floor_cents"),
+        (min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("bin"))) * 16384L)
+          .as("p90_floor_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q27Oracle: String =
+    """WITH h AS (SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) // 16384 AS bin,
+      |    count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cu AS (SELECT l_returnflag, bin, c,
+      |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM h)
+      |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN bin END) * 16384 AS BIGINT)
+      |    AS p50_floor_cents,
+      |  CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN bin END) * 16384 AS BIGINT)
+      |    AS p90_floor_cents
+      |FROM cu GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** q26 — EXCEPT ALL (bag semantics, multiplicity max(m₁−m₂, 0)),
     * completing the set-op family's multiset half next to q21's distinct
     * INTERSECT: per nation, how many customer rows survive after each
@@ -433,6 +481,7 @@ object ExtendedQueries {
     "q23_exists_correlated" -> (q23ExistsCorrelated _),
     "q21_intersect" -> (q21Intersect _),
     "q26_except_all" -> (q26ExceptAll _),
+    "q27_histogram_quantiles" -> (q27HistogramQuantiles _),
     "q22_json_extract" -> (q22JsonExtract _),
     "q20_above_avg_orders" -> (q20AboveAvgOrders _),
     "q18_quantiles" -> (q18Quantiles _),
@@ -455,6 +504,7 @@ object ExtendedQueries {
     "q23_exists_correlated" -> q23Oracle,
     "q21_intersect" -> q21Oracle,
     "q26_except_all" -> q26Oracle,
+    "q27_histogram_quantiles" -> q27Oracle,
     "q22_json_extract" -> q22Oracle,
     "q20_above_avg_orders" -> q20Oracle,
     "q18_quantiles" -> q18Oracle,
