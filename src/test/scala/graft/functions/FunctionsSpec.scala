@@ -92,6 +92,31 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     both.filter("size(native) > 0").count() should be > 400L
   }
 
+  test("graft_shingle_md5_hashes matches a JVM reference on random corpora (edge sizes, unicode, empty words)") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("a", "bb", "ccc", "Ω", "x9", "", "hyphen-ed")
+    val rows = (0 until 60).map { id =>
+      val n = rng.nextInt(12) // 0..11 words — below and above the width
+      (id.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.size))))
+    }
+    val got = rows.toDF("id", "ws")
+      .selectExpr("id", "graft_shingle_md5_hashes(ws, 3) AS hs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // independent derivation: hex-string slice of the digest, not bit math
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (id, ws) =>
+      val expect =
+        if (ws.length < 3) Seq.empty[Long]
+        else ws.sliding(3).map { sh =>
+          val d = md.digest(sh.mkString(" ").getBytes("UTF-8"))
+          java.lang.Long.parseLong(
+            d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+        }.toSeq.distinct.sorted
+      withClue(s"doc $id (${ws.mkString("|")}): ") { got(id) shouldBe expect }
+    }
+  }
+
   test("graft_hyperplane_sig is stable and spreads across buckets") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
