@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.analytics.{Dedup, ExtendedQueries, Multimodal, NearDup, PipelineOps, RelationalQueries, Similarity, StreamingQueries, TextAnalytics}
+import graft.analytics.{Dedup, ExtendedQueries, FormatQueries, Multimodal, NearDup, PipelineOps, RelationalQueries, Similarity, StreamingQueries, TextAnalytics}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextAnalytics.queries ++ Dedup.queries ++
       StreamingQueries.queries ++ NearDup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ ExtendedQueries.queries ++ PipelineOps.queries
+      Multimodal.queries ++ ExtendedQueries.queries ++ PipelineOps.queries ++
+      FormatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextAnalytics.oracles ++ Dedup.oracles ++
       StreamingQueries.oracles ++ NearDup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ ExtendedQueries.oracles ++ PipelineOps.oracles
+      Multimodal.oracles ++ ExtendedQueries.oracles ++ PipelineOps.oracles ++
+      FormatQueries.oracles
 }

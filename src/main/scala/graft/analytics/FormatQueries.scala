@@ -1,0 +1,67 @@
+package graft.analytics
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source-format coverage beyond parquet: JSONL and CSV ingestion, the two
+  * text formats every training-data pipeline receives upstream data in.
+  *
+  * Each query round-trips the `documents` table through the format (write
+  * from parquet → read back) and aggregates the RE-READ copy; the oracle
+  * aggregates the ORIGINAL parquet, so any loss in the writer/reader pair —
+  * quoting, escaping, schema drift, type coercion — breaks the hash. Reads
+  * use an EXPLICIT schema: at 100 TB, schema inference over JSON/CSV is a
+  * full extra pass over the data and is never acceptable; pinning
+  * `.schema(...)` here is the discipline, not a convenience.
+  *
+  * Scale shape: both formats split by line, so reads parallelize per file
+  * chunk exactly like parquet scans (minus column pruning/pushdown — the
+  * reason the engine's resident format stays parquet; these paths are for
+  * INGEST).
+  */
+object FormatQueries {
+
+  import Tables._
+
+  private def roundtripAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"), col("source"))
+
+  private val roundtripOracle: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
+  /** f1 — JSONL (newline-delimited JSON) source path. */
+  def f1JsonlSource(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-jsonl").toString
+    val docs = documents(s, d)
+    docs.write.mode("overwrite").json(tmp)
+    roundtripAgg(s.read.schema(docs.schema).json(tmp))
+  }
+
+  /** f2 — CSV source path (header + quoting exercised by the text column). */
+  def f2CsvSource(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-csv").toString
+    val docs = documents(s, d)
+    docs.write.mode("overwrite").option("header", "true").csv(tmp)
+    roundtripAgg(s.read.schema(docs.schema).option("header", "true").csv(tmp))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_jsonl_source" -> (f1JsonlSource _),
+    "f2_csv_source" -> (f2CsvSource _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f1_jsonl_source" -> roundtripOracle,
+    "f2_csv_source" -> roundtripOracle
+  )
+}
