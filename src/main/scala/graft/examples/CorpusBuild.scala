@@ -58,12 +58,23 @@ object CorpusBuild {
       .select(col("doc_id")).distinct()
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 4. deterministic stratified sample (md5 threshold per language)
-    val sampled = clean.filter(
+    // 4. per-source quota cap (p9 discipline): no crawl source may exceed
+    //    its share — keep rule is hash-order row_number ≤ cap, which
+    //    Catalyst prunes map-side via a partial WindowGroupLimit
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    val capped = clean
+      .withColumn("src_rk", row_number().over(capW))
+      .filter(col("src_rk") <= 200)
+      .drop("src_rk")
+
+    // 5. deterministic stratified sample (md5 threshold per language)
+    val sampled = capped.filter(
       substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) <
         expr("CASE lang WHEN 'en' THEN '33' WHEN 'zh' THEN '66' ELSE '99' END"))
 
-    // 5. pack into 32-word chunks and land the corpus
+    // 6. pack into 32-word chunks and land the corpus
     PipelineOps.tokenChunks(sampled.select(col("doc_id"), col("text")))
       .write.mode("overwrite").parquet(s"$outDir/chunks")
 
