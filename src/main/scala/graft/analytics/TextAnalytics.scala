@@ -232,31 +232,34 @@ object TextAnalytics {
     * it is bit-identical cross-engine (a `ln(N/df)` idf would diverge at the
     * ULP); ties break on the token string.
     *
-    * Scale shape: ONE corpus scan — tf is a (doc, token) partial+final
-    * aggregation, and df is a `count() OVER (PARTITION BY token)` window on
-    * the tf result (one row per (doc, token) = one count per containing
-    * doc), so no second scan and no tf⋈df join; N is a one-row scalar
-    * subquery. The final window partitions by doc — each stage is
-    * partial-aggregable, nothing is quadratic in corpus size. */
+    * Scale shape: tf is a (doc, token) partial+final aggregation; df
+    * RE-AGGREGATES tf by token and joins back on the token key; N is a
+    * one-row scalar subquery. The df branch repeats the tf subtree in the
+    * logical plan, but its exchange is identical so Spark's ReuseExchange
+    * dedupes the heavy shuffle at runtime — measured slope 7.6× at 100×
+    * data. The seemingly-cleaner `count() OVER (PARTITION BY token)`
+    * window formulation is a trap and was reverted (r5): stop-word-class
+    * tokens appear in nearly every document, so their window partitions
+    * hold O(corpus) rows that must be SORTED in one task — an
+    * unsplittable hotspot (measured 72× at 100× data, 8× slower than the
+    * join) — whereas the aggregation+join pair is map-side combined and
+    * AQE-skew-splittable. */
   def tfidf(s: SparkSession, d: String): DataFrame = {
     documents(s, d).createOrReplaceTempView("graft_docs_v")
     // N arrives as an uncorrelated SCALAR SUBQUERY (the q20 planner path):
     // Catalyst evaluates the one-row count once and embeds it as a literal —
     // no join node. (A crossJoin(broadcast(n)) formulation constant-folds
     // its join key and degenerates to a BroadcastNestedLoopJoin — the shape
-    // the global no-cartesian gate exists to forbid. A `df` CTE joined back
-    // onto tf planned a SECOND corpus scan+explode+agg subtree — the window
-    // formulation keeps the corpus single-pass.)
+    // the global no-cartesian gate exists to forbid.)
     s.sql(
       """WITH tf AS (SELECT doc_id, token, count(1) AS tf
         |  FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS token
         |        FROM graft_docs_v)
         |  GROUP BY doc_id, token),
-        |sc AS (SELECT doc_id, token, tf,
-        |    count(1) OVER (PARTITION BY token) AS df,
-        |    CAST(tf * (SELECT count(*) FROM graft_docs_v) AS DOUBLE) /
-        |      count(1) OVER (PARTITION BY token) AS score
-        |  FROM tf),
+        |df AS (SELECT token, count(1) AS df FROM tf GROUP BY token),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf AS tf, df.df AS df,
+        |    CAST(tf.tf * (SELECT count(*) FROM graft_docs_v) AS DOUBLE) / df.df AS score
+        |  FROM tf JOIN df ON tf.token = df.token),
         |r AS (SELECT doc_id, token, tf, df, score,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
         |  FROM sc)
