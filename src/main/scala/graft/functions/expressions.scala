@@ -25,14 +25,25 @@ import org.apache.spark.sql.types._
   */
 object MinHashConstants {
   val numHashes = 64
+
+  /** Modulus of the universal hash family: the Mersenne prime 2³¹−1.
+    * REQUIRED — r5 found that the previous family `x·A(h) + B(h)` with no
+    * reduction NEVER overflowed (30-bit x × 32-bit A < 2⁶²), making every
+    * "permutation" strictly monotone in x: all 64 rows picked the SAME
+    * argmin element, collapsing the family to one effective permutation
+    * (P(candidate) ≈ J instead of 1−(1−J²)^bands — five J=0.89–0.99 pairs
+    * escaped banding at sf0.1). The mod-p reduction makes each row a
+    * genuine (a·x + b) mod p universal permutation. */
+  val P: Long = 2147483647L
   private def mix(i: Int): Long = {
     var z = i.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     (z ^ (z >>> 31)) | 1L
   }
-  val A: Array[Long] = (0 until numHashes).map(h => mix(h) & 0xFFFFFFFFL | 1L).toArray
-  val B: Array[Long] = (0 until numHashes).map(h => mix(h + 1000) & 0x3FFFFFFFL).toArray
+  // a ∈ [1, p−1], b ∈ [0, p−1]; a·x ≤ (p−1)·(2³⁰−1) < 2⁶¹ — exact in a long
+  val A: Array[Long] = (0 until numHashes).map(h => (mix(h) & 0x7FFFFFFFL) % (P - 1) + 1).toArray
+  val B: Array[Long] = (0 until numHashes).map(h => (mix(h + 1000) & 0x7FFFFFFFL) % P).toArray
 
   def signatureOf(hashes: Array[Long]): Array[Long] = {
     val out = new Array[Long](numHashes)
@@ -42,7 +53,7 @@ object MinHashConstants {
       val x = hashes(i) & 0x3FFFFFFFL
       var h = 0
       while (h < numHashes) {
-        val v = x * A(h) + B(h)
+        val v = (x * A(h) + B(h)) % P
         if (v < out(h)) out(h) = v
         h += 1
       }
@@ -85,7 +96,7 @@ case class MinHashSignature(child: Expression)
          |for (int $i = 0; $i < $c.numElements(); $i++) {
          |  long $x = $c.getLong($i) & 0x3FFFFFFFL;
          |  for (int $h = 0; $h < ${MinHashConstants.numHashes}; $h++) {
-         |    long $v = $x * $a[$h] + $b[$h];
+         |    long $v = ($x * $a[$h] + $b[$h]) % ${MinHashConstants.P}L;
          |    if ($v < $out[$h]) $out[$h] = $v;
          |  }
          |}

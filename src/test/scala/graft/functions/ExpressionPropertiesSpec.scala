@@ -66,12 +66,44 @@ class ExpressionPropertiesSpec extends AnyFunSuite with Matchers {
   }
 
   test("minhash products can never overflow a long (ANSI safety)") {
-    // 30-bit masked hash × 32-bit odd constant + 30-bit offset < 2^63
+    // 30-bit masked hash × (p−1) multiplier + (p−1) offset < 2^61
     MinHashConstants.A.zip(MinHashConstants.B).foreach { case (a, b) =>
       val maxProduct = 0x3FFFFFFFL * a + b
       maxProduct should be > 0L // no wraparound at the extreme input
-      a should be <= 0xFFFFFFFFL
-      b should be <= 0x3FFFFFFFL
+      a should be >= 1L
+      a should be < MinHashConstants.P
+      b should be < MinHashConstants.P
+    }
+  }
+
+  test("the 64 hash rows are independent permutations, not one (r5 regression)") {
+    // The pre-r5 family x·A(h)+B(h) never overflowed, so every row was
+    // MONOTONE in x and all 64 rows picked the same argmin element —
+    // collapsing banding recall from 1−(1−J²)^32 to ≈J (five J≈0.9 pairs
+    // escaped at sf0.1). Two pins:
+    // 1. rows disagree on their argmin element for random sets;
+    // 2. every random pair with J ≥ 0.8 shares at least one 2-row band
+    //    (P(miss) ≤ (1−0.64)^32 ≈ 1e-14 per pair — deterministic in
+    //    practice; the broken family failed this for ~15% of pairs).
+    (1 to 100).foreach { _ =>
+      val base = Array.fill(200)(rng.nextLong())
+      val sig = MinHashConstants.signatureOf(base)
+      val argmins = (0 until MinHashConstants.numHashes).map { h =>
+        base.minBy(x => ((x & 0x3FFFFFFFL) * MinHashConstants.A(h) +
+          MinHashConstants.B(h)) % MinHashConstants.P)
+      }
+      argmins.distinct.size should be > 1
+      // signature matches the per-row argmin derivation
+      sig.zipWithIndex.foreach { case (v, h) =>
+        v shouldBe ((argmins(h) & 0x3FFFFFFFL) * MinHashConstants.A(h) +
+          MinHashConstants.B(h)) % MinHashConstants.P
+      }
+      // J = 0.8 near-dup pair: drop 20 of 200 elements, add 20 fresh ones
+      val other = base.drop(20) ++ Array.fill(20)(rng.nextLong())
+      val sigB = MinHashConstants.signatureOf(other)
+      val bandMatch = (0 until 32).exists(b =>
+        sig(2 * b) == sigB(2 * b) && sig(2 * b + 1) == sigB(2 * b + 1))
+      bandMatch shouldBe true
     }
   }
 }

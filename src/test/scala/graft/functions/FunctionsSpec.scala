@@ -28,12 +28,13 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     both.filter("size(native) > 0").count() should be > 400L
   }
 
-  test("graft_minhash == array_min of the multiply-shift permutations") {
+  test("graft_minhash == array_min of the mod-p universal permutations") {
     val withSh = docs.selectExpr("graft_shingle_hashes(ws) AS sh").filter("size(sh) > 0")
     val a = MinHashConstants.A
     val b = MinHashConstants.B
+    val p = MinHashConstants.P
     val composed = (0 until MinHashConstants.numHashes).map(h =>
-      s"array_min(transform(sh, x -> (x & 1073741823L) * ${a(h)}L + ${b(h)}L))").mkString(
+      s"array_min(transform(sh, x -> ((x & 1073741823L) * ${a(h)}L + ${b(h)}L) % ${p}L))").mkString(
       "array(", ", ", ") AS composed")
     val both = withSh.selectExpr("graft_minhash(sh) AS native", composed)
     both.filter("native != composed").count() shouldBe 0
