@@ -160,6 +160,77 @@ object NearDup {
       .orderBy(col("doc_id"))
   }
 
+  /** n6 — the same clustering computed with LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14) — n4's documented 100 TB upgrade path, now executable and
+    * oracle-gated against the identical recursive-CTE re-derivation.
+    *
+    * Why it exists: n4's min-label propagation needs one round per unit of
+    * component DIAMETER. Near-dup graphs are usually tiny dense clusters
+    * (diameter 2-3), but boilerplate/template families form CHAINS of
+    * borderline pairs whose diameter grows with corpus size; large-star
+    * contracts every node's strictly-larger neighbors straight onto its
+    * current minimum, so the round count is O(log² n) on ANY graph shape.
+    *
+    * Round shape: each phase is one groupBy-min over the cached directed
+    * edge set plus one shuffle join back on the grouping key — the same
+    * shuffle structure (and therefore per-round cost) as n4's rounds; only
+    * the round COUNT changes. The fixpoint test is exact set equality of
+    * consecutive edge sets (one symmetric-difference isEmpty job on
+    * |V|-sized star sets — a count, never data, to the driver); at
+    * convergence the edges form stars centered at component minima, which
+    * IS the (doc_id, cluster_id) labeling. */
+  def minhashClustersBigStar(s: SparkSession, d: String): DataFrame =
+    connectedComponentsBigStar(minhashNearDup(s, d))
+
+  /** The large-star/small-star core over any undirected pair list
+    * (`doc_a`, `doc_b`) — also the seam the high-diameter chain spec
+    * exercises directly. Returns (doc_id, cluster_id = component min). */
+  def connectedComponentsBigStar(pairs: DataFrame): DataFrame = {
+    // Iterative plans grow geometrically (each round's plan embeds the
+    // previous round's twice via the fixpoint exceptAll), so every round
+    // TRUNCATES lineage with an eager localCheckpoint — the same move
+    // cache() cannot make (caching keeps the logical plan). On a cluster
+    // the production knob is a reliable checkpoint dir; the shape is
+    // identical.
+    // canonical orientation: larger id → smaller id, no self-loops
+    var dir = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      // LARGE-STAR: over the full adjacency of each node n, connect every
+      // strictly-larger neighbor to m = min(N(n) ∪ {n}). Output stays
+      // canonical: v > n ≥ m.
+      val adj = dir.union(dir.select(col("v").as("u"), col("u").as("v")))
+      val lsMins = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = adj.join(lsMins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: per larger endpoint u, re-point u and all its smaller
+      // neighbors at m = min of those neighbors.
+      val ssMins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMins, "u")
+      val next = ss.select(col("v").as("u"), col("m").as("v"))
+        .union(ss.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint(true)
+      // exact fixpoint: the deterministic round maps equal sets to equal
+      // sets, so unchanged edges ⇔ converged (paper: fixpoints are stars)
+      converged = next.exceptAll(dir).union(dir.exceptAll(next)).isEmpty
+      dir = next
+    }
+    val roots = dir.select(col("v")).distinct()
+    dir.groupBy(col("u")).agg(min(col("v")).as("cluster_id"))
+      .select(col("u").as("doc_id"), col("cluster_id"))
+      .union(roots.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+      .orderBy(col("doc_id"))
+  }
+
   /** Recursive-CTE re-derivation: every doc's component root is the min
     * doc_id among all docs reachable through the (exact-Jaccard-verified)
     * pair graph. */
@@ -362,7 +433,8 @@ object NearDup {
     "n1_minhash_neardup" -> (minhashNearDup _),
     "n2_ngram_jaccard_top1" -> (ngramJaccardTop1 _),
     "n3_simhash_neardup" -> (simhashNearDup _),
-    "n4_neardup_clusters" -> (minhashClusters _)
+    "n4_neardup_clusters" -> (minhashClusters _),
+    "n6_neardup_clusters_bigstar" -> (minhashClustersBigStar _)
   )
 
   /** n3 omitted: simhash values are engine-specific (rows-only check). */
@@ -370,6 +442,7 @@ object NearDup {
     "n5_simhash_portable" -> simhashPortableOracle,
     "n1_minhash_neardup" -> minhashOracle,
     "n2_ngram_jaccard_top1" -> ngramJaccardOracle,
-    "n4_neardup_clusters" -> minhashClustersOracle
+    "n4_neardup_clusters" -> minhashClustersOracle,
+    "n6_neardup_clusters_bigstar" -> minhashClustersOracle
   )
 }

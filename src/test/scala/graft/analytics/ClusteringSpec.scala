@@ -1,0 +1,49 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** n6 (large-star/small-star connected components) — the O(log² n)-round
+  * replacement for n4's diameter-bounded label propagation.
+  *
+  * Gates: exact agreement with n4 on the real near-dup graph, and correct
+  * labels on the graph shapes label propagation is WORST at — long chains
+  * (diameter = n) — in far fewer rounds than the diameter.
+  */
+class ClusteringSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("big-star clustering equals label-propagation clustering on the near-dup graph") {
+    val a = NearDup.minhashClusters(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = NearDup.minhashClustersBigStar(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    b should not be empty
+    b.toSeq shouldBe a.toSeq
+  }
+
+  test("a 200-node chain collapses to one component labeled by its minimum") {
+    import spark.implicits._
+    // chain 0-1-2-…-199: diameter 199, the shape that makes per-round
+    // min-propagation pay one round per hop
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = NearDup.connectedComponentsBigStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    labels.length shouldBe 200
+    labels.foreach { case (_, c) => c shouldBe 0L }
+  }
+
+  test("disjoint components, reversed pairs, and duplicates keep their own minima") {
+    import spark.implicits._
+    val pairs = Seq(
+      (5L, 3L), (3L, 9L),            // component {3,5,9} → 3
+      (20L, 21L), (21L, 20L),        // duplicate + reversed {20,21} → 20
+      (40L, 41L), (41L, 42L), (42L, 40L) // triangle {40,41,42} → 40
+    ).toDF("doc_a", "doc_b")
+    val labels = NearDup.connectedComponentsBigStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    labels shouldBe Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L, 40L -> 40L, 41L -> 40L, 42L -> 40L)
+  }
+}
