@@ -55,13 +55,27 @@ object FormatQueries {
     roundtripAgg(s.read.schema(docs.schema).option("header", "true").csv(tmp))
   }
 
+  /** f3 — ORC source/sink path. Unlike the line formats above, ORC is a
+    * real RESIDENT-format alternative: columnar, with column pruning and
+    * predicate pushdown intact (FormatSpec pins both on the re-read scan),
+    * so a deployment landing ORC from upstream can query it in place
+    * rather than converting. */
+  def f3OrcSource(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    val docs = documents(s, d)
+    docs.write.mode("overwrite").orc(tmp)
+    roundtripAgg(s.read.schema(docs.schema).orc(tmp))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_jsonl_source" -> (f1JsonlSource _),
-    "f2_csv_source" -> (f2CsvSource _)
+    "f2_csv_source" -> (f2CsvSource _),
+    "f3_orc_source" -> (f3OrcSource _)
   )
 
   val oracles: Map[String, String] = Map(
     "f1_jsonl_source" -> roundtripOracle,
-    "f2_csv_source" -> roundtripOracle
+    "f2_csv_source" -> roundtripOracle,
+    "f3_orc_source" -> roundtripOracle
   )
 }
