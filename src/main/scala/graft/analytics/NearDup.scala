@@ -122,13 +122,29 @@ object NearDup {
     * round, never data). Rounds ≤ component diameter; for dedup graphs
     * (tiny dense clusters) that is 2-3. The 100 TB upgrade path is
     * large-star/small-star on the same join shape. */
-  def minhashClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashNearDup(s, d).select(col("doc_a"), col("doc_b"))
-    // undirected: propagate labels both ways
-    val edges = pairs
+  def minhashClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponentsLabelProp(minhashNearDup(s, d))
+
+  /** The min-label-propagation core over any undirected pair list
+    * (`doc_a`, `doc_b`); rounds ∝ component diameter — see
+    * [[connectedComponentsBigStar]] for the O(log² n)-round alternative. */
+  def connectedComponentsLabelProp(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.select(col("doc_a"), col("doc_b"))
+    // Undirected: propagate labels both ways. Every node also carries a
+    // SELF-LOOP, which delivers the node's own current label through the
+    // same join — the naive alternative (`join(...).union(labels)`)
+    // references the labels plan TWICE per round, so the logical plan
+    // DOUBLES every round: measured on a 96-node chain, round times grew
+    // 0.2 s → 13 s → 41 s within 8 rounds of lineage and the driver
+    // eventually died building a multi-MB plan string. With the self-loop
+    // the per-round plan adds ONE join+agg layer.
+    val undirected = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val nodes = undirected.select(col("doc_a")).distinct()
+    val edges = undirected
+      .union(nodes.select(col("doc_a"), col("doc_a").as("doc_b")))
       .cache()
-    var labels = edges.select(col("doc_a").as("node")).distinct()
+    var labels = nodes.select(col("doc_a").as("node"))
       .withColumn("label", col("node"))
       .cache()
     // Convergence via label-sum: the node set is fixed and per-node labels
@@ -139,12 +155,13 @@ object NearDup {
     // convergence).
     var prevSum: java.math.BigDecimal = null
     var changed = true
+    var round = 0
     while (changed) {
+      round += 1
       val next = edges
         .join(labels, edges("doc_b") === labels("node"))
-        .select(edges("doc_a").as("node"), col("label"))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .groupBy(edges("doc_a")).agg(min(col("label")).as("label"))
+        .select(col("doc_a").as("node"), col("label"))
         .cache()
       // decimal sum: exact at any node-count/id-range (a wrapped long sum
       // could alias two different label states)
@@ -153,7 +170,13 @@ object NearDup {
       changed = prevSum == null || s.compareTo(prevSum) != 0
       prevSum = s
       labels.unpersist()
-      labels = next
+      // Even linear lineage accumulates over a high-diameter run (rounds ∝
+      // diameter); truncate with an eager localCheckpoint every 8 rounds so
+      // plan depth stays bounded. The extra materialization job amortizes
+      // to 1/8 of rounds, preserving the one-job-per-round shape.
+      labels = if (round % 8 == 0) {
+        val cp = next.localCheckpoint(true); next.unpersist(); cp
+      } else next
     }
     labels
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))

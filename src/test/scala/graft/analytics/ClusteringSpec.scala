@@ -34,6 +34,19 @@ class ClusteringSpec extends AnyFunSuite with Matchers with SparkSpec {
     labels.foreach { case (_, c) => c shouldBe 0L }
   }
 
+  test("label propagation survives a high-diameter chain (lineage truncation)") {
+    import spark.implicits._
+    // 24 rounds = 3 trips through the every-8-rounds localCheckpoint;
+    // before the truncation, a ~96-round chain crashed the driver on plan
+    // stringification (examples/CcProbe) — the lineage grew one
+    // join+union+agg layer per round
+    val pairs = (0L until 23L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = NearDup.connectedComponentsLabelProp(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    labels.length shouldBe 24
+    labels.foreach { case (_, c) => c shouldBe 0L }
+  }
+
   test("disjoint components, reversed pairs, and duplicates keep their own minima") {
     import spark.implicits._
     val pairs = Seq(
