@@ -366,7 +366,44 @@ object PipelineOps {
       |SELECT source, n_total, n_kept, kept_id_sum
       |FROM totals JOIN kept USING (source) ORDER BY source""".stripMargin
 
+  /** p10 — deterministic TRAIN/VAL/TEST SPLIT: assign every document to a
+    * split by md5(doc_id) bucket (‰ thresholds 900/950), the standard
+    * hash-split that stays stable as the corpus grows — a document's split
+    * never changes when other documents are added or removed, which is the
+    * property random sampling can't give and the reason eval contamination
+    * audits insist on hash splits. Reports per-split count plus id
+    * sum/min/max, so the oracle pins the exact assignment, not just sizes.
+    *
+    * Scale shape: the split key is a pure column expression (no shuffle to
+    * assign); the only shuffle is the 3-group aggregate, partial+final. */
+  def p10Split(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    documents(s, d)
+      .withColumn("split",
+        when(bucket < 900, lit("train"))
+          .when(bucket < 950, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("split"))
+  }
+
+  val p10Oracle: String =
+    """WITH b AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |      % 1000 AS bucket
+      |  FROM documents),
+      |sp AS (SELECT doc_id, CASE WHEN bucket < 900 THEN 'train'
+      |    WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split FROM b)
+      |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_split" -> (p10Split _),
     "p9_source_cap" -> ((s: SparkSession, d: String) => p9SourceCap(s, d)),
     "p8_interval_join" -> ((s: SparkSession, d: String) => p8IntervalJoin(s, d)),
     "p7_weighted_sample" -> (p7WeightedSample _),
@@ -379,6 +416,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p10_split" -> p10Oracle,
     "p9_source_cap" -> p9Oracle,
     "p8_interval_join" -> p8Oracle,
     "p7_weighted_sample" -> p7Oracle,
