@@ -78,10 +78,27 @@ object Similarity {
   /** Two 16-bit bands of the 32-plane signature — 65k buckets per band, so
     * label-clustered corpora (vectors sharing sign patterns) don't produce
     * giant buckets. */
-  private def withBands(df: DataFrame): DataFrame =
-    df.withColumn("bands", array((0 until 2).map(b =>
+  /** Near-dup banding (e3). False-candidate volume grows as
+    * bands · n² / 2^bits — the one super-linear term in the family
+    * (measured: e3's slope is the suite's worst at sf1/sf10). 16-bit
+    * bands are right for ~10⁴–10⁶ vectors; past that, set
+    * `spark.graft.ann.neardupBandBits=32` (one full-signature band — at
+    * cos ≥ 0.95 per-bit agreement is ~0.9, so a 32-bit exact match still
+    * recalls ~3.4% per genuine pair… the real 10⁸+ deployment widens
+    * `HyperplaneConstants.numPlanes` and keeps bits ≈ log₂(n) + 8; the
+    * knob exists so the growth law is a configuration decision, not a
+    * rewrite). The DEFAULT (16) is what every oracle pins. */
+  private def withBands(df: DataFrame): DataFrame = {
+    val bits = df.sparkSession.conf
+      .get("spark.graft.ann.neardupBandBits", "16").toInt
+    require(bits == 8 || bits == 16 || bits == 32,
+      s"spark.graft.ann.neardupBandBits must be 8, 16, or 32, got $bits")
+    val nb = 32 / bits
+    val mask = (1L << bits) - 1
+    df.withColumn("bands", array((0 until nb).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*))
+        shiftright(col("sig"), b * bits).bitwiseAND(mask).as("key"))): _*))
+  }
 
   /** e2 — LSH-bucketed ANN: candidates share at least one signature band
     * with the probe; cosine verify + top-k within candidates only.
