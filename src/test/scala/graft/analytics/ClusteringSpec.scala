@@ -47,6 +47,37 @@ class ClusteringSpec extends AnyFunSuite with Matchers with SparkSpec {
     labels.foreach { case (_, c) => c shouldBe 0L }
   }
 
+  test("both cores match a union-find ground truth on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 40 + rnd.nextInt(40)
+      val m = n + rnd.nextInt(2 * n)
+      val pairs = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // exact driver-side union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => (k, find(k))).toSeq.sorted
+      val df = pairs.toDF("doc_a", "doc_b")
+      val lp = NearDup.connectedComponentsLabelProp(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val bs = NearDup.connectedComponentsBigStar(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      withClue(s"trial $trial (n=$n, m=${pairs.size}): ") {
+        lp shouldBe expected
+        bs shouldBe expected
+      }
+    }
+  }
+
   test("disjoint components, reversed pairs, and duplicates keep their own minima") {
     import spark.implicits._
     val pairs = Seq(
