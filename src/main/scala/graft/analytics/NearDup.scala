@@ -129,7 +129,13 @@ object NearDup {
     * (`doc_a`, `doc_b`); rounds ∝ component diameter — see
     * [[connectedComponentsBigStar]] for the O(log² n)-round alternative. */
   def connectedComponentsLabelProp(pairs0: DataFrame): DataFrame = {
-    val pairs = pairs0.select(col("doc_a"), col("doc_b"))
+    // The edge list is referenced THREE times below (both directions of
+    // the undirected union, the self-loop node set, the label init), so an
+    // expensive upstream pair query would execute three times uncached —
+    // measured at sf10: n4 benched 35 s while the core on a cached graph
+    // took 7.6 s, the difference being repeated near-dup candidate+verify
+    // passes. Cache the input once; everything downstream reads the cache.
+    val pairs = pairs0.select(col("doc_a"), col("doc_b")).cache()
     // Undirected: propagate labels both ways. Every node also carries a
     // SELF-LOOP, which delivers the node's own current label through the
     // same join — the naive alternative (`join(...).union(labels)`)

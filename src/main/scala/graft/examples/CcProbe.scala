@@ -40,6 +40,12 @@ object CcProbe {
       graft.analytics.NearDup.connectedComponentsBigStar(chain).count())
     time(s"$chainN-chain: label-prop (n4)")(
       graft.analytics.NearDup.connectedComponentsLabelProp(chain).count())
+    // full registered queries (pair graph computed inside, as the bench
+    // sees them) — pins the pairs-input caching in the label-prop core
+    time("full n4 (uncached pair input)")(
+      graft.analytics.NearDup.minhashClusters(spark, d).count())
+    time("full n6 (uncached pair input)")(
+      graft.analytics.NearDup.minhashClustersBigStar(spark, d).count())
     spark.stop()
   }
 }
