@@ -7,8 +7,9 @@ import graft.analytics.PipelineOps
 
 /** End-to-end training-corpus build: the composition a user of this
   * library actually runs — quality filter → exact dedup → benchmark
-  * decontamination → deterministic stratified sample → fixed-window
-  * chunking — landing a chunked corpus plus per-language stats as
+  * decontamination → per-source quota cap → deterministic stratified
+  * sample → train/val/test hash split → fixed-window chunking — landing
+  * a split-partitioned chunked corpus plus per-language stats as
   * parquet.
   *
   * Usage: runMain graft.examples.CorpusBuild [sfDir] [outDir]
@@ -74,9 +75,21 @@ object CorpusBuild {
       substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) <
         expr("CASE lang WHEN 'en' THEN '33' WHEN 'zh' THEN '66' ELSE '99' END"))
 
-    // 6. pack into 32-word chunks and land the corpus
-    PipelineOps.tokenChunks(sampled.select(col("doc_id"), col("text")))
-      .write.mode("overwrite").parquet(s"$outDir/chunks")
+    // 6. deterministic train/val/test hash split (p10 discipline): a
+    //    document's split depends only on its own id, so assignments are
+    //    stable as the corpus grows — required for contamination-free eval
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    val split_ = sampled.withColumn("split",
+      when(bucket < 900, lit("train"))
+        .when(bucket < 950, lit("val"))
+        .otherwise(lit("test")))
+
+    // 7. pack into 32-word chunks and land the corpus, partitioned by split
+    PipelineOps.tokenChunks(split_.select(col("doc_id"), col("text")))
+      .join(split_.select(col("doc_id"), col("split")), "doc_id")
+      .write.mode("overwrite").partitionBy("split").parquet(s"$outDir/chunks")
 
     val stats = sampled.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
