@@ -76,6 +76,26 @@ class ExpressionPropertiesSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("per-pair row-match count concentrates around 64·J (independence, not just E[match]=J)") {
+    // The sharp pin the aggregate rate can't give: the broken pre-r5 family
+    // ALSO satisfied E[row match] ≈ J — but per pair it was all-or-nothing
+    // (the single shared argmin either wins both sets in every row, or in
+    // none: counts ∈ {0, 64}). Independent permutations concentrate each
+    // pair's count binomially around 64·J. For J = 2/3 (shared 160 of 240):
+    // sd = √(64·(2/3)·(1/3)) ≈ 3.8, so [20, 60] is a ±6σ corridor — the
+    // broken family lands outside it on EVERY trial.
+    (1 to 20).foreach { _ =>
+      val shared = Array.fill(160)(rng.nextLong())
+      val a = shared ++ Array.fill(40)(rng.nextLong())
+      val b = shared ++ Array.fill(40)(rng.nextLong())
+      val sa = MinHashConstants.signatureOf(a)
+      val sb = MinHashConstants.signatureOf(b)
+      val matches = sa.zip(sb).count { case (x, y) => x == y }
+      matches should be >= 20
+      matches should be <= 60
+    }
+  }
+
   test("the 64 hash rows are independent permutations, not one (r5 regression)") {
     // The pre-r5 family x·A(h)+B(h) never overflowed, so every row was
     // MONOTONE in x and all 64 rows picked the same argmin element —
