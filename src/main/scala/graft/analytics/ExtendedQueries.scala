@@ -58,6 +58,39 @@ object ExtendedQueries {
       |GROUP BY CUBE (r_name, c_mktsegment)
       |ORDER BY region, segment""".stripMargin
 
+  /** q28 — explicit GROUPING SETS, completing q11 (ROLLUP) / q16 (CUBE)
+    * with the general form: an ASYMMETRIC set list —
+    * ((nation, priority), (priority), ()) — that neither ROLLUP nor CUBE
+    * can express (a priority-only subtotal without the nation-only one).
+    * Same NULL-marker coalescing and decimal-sum discipline as q11/q16;
+    * grouping-set expansion happens map-side before the partial agg, so
+    * the exchange carries one partial row per (set, group), never raw
+    * rows per set. */
+  def q28GroupingSets(s: SparkSession, d: String): DataFrame = {
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .createOrReplaceTempView("graft_ord_nat_v")
+    s.sql(
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM graft_ord_nat_v
+        |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY nation, priority""".stripMargin)
+  }
+
+  val q28Oracle: String =
+    """SELECT coalesce(n_name, 'ALL') AS nation,
+      |coalesce(o_orderpriority, 'ALL') AS priority,
+      |count(*) AS n_orders,
+      |CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (o_orderpriority), ())
+      |ORDER BY nation, priority""".stripMargin
+
   /** q12 — event-time tumbling window (1 day) over the events stream table.
     * `ts` arrives as epoch-nano BIGINT (no nanos type in Spark); the window
     * start is emitted as a date string so no raw timestamps cross the
@@ -488,6 +521,7 @@ object ExtendedQueries {
     "q19_pivot" -> (q19Pivot _),
     "q11_rollup" -> (q11Rollup _),
     "q16_cube" -> (q16Cube _),
+    "q28_grouping_sets" -> (q28GroupingSets _),
     "q17_event_gaps" -> (q17EventGaps _),
     "q12_event_time_window" -> (q12EventTimeWindow _),
     "q25_sliding_window" -> (q25SlidingWindow _),
@@ -511,6 +545,7 @@ object ExtendedQueries {
     "q19_pivot" -> q19Oracle,
     "q11_rollup" -> q11Oracle,
     "q16_cube" -> q16Oracle,
+    "q28_grouping_sets" -> q28Oracle,
     "q17_event_gaps" -> q17Oracle,
     "q12_event_time_window" -> q12Oracle,
     "q25_sliding_window" -> q25Oracle,
