@@ -91,6 +91,38 @@ object ExtendedQueries {
       |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (o_orderpriority), ())
       |ORDER BY nation, priority""".stripMargin
 
+  /** q29 — NTILE quartiles: balanced-bucket assignment per region by
+    * account balance, the window-family member q4 (row_number), q17 (lag),
+    * q25 (sliding counts) and p9 (group-limit) don't cover. Ties are
+    * broken by c_custkey so the assignment is total-ordered and therefore
+    * engine-portable (both engines fill the first n mod k buckets one
+    * extra row). The id-sum pins the exact per-bucket membership. */
+  def q29Ntile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("r_name"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("r_name").as("region"), col("quartile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_custkey")).as("id_sum"),
+        min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal"))
+      .orderBy(col("region"), col("quartile"))
+  }
+
+  val q29Oracle: String =
+    """WITH q AS (SELECT r_name, c_custkey, c_acctbal,
+      |    ntile(4) OVER (PARTITION BY r_name
+      |                   ORDER BY c_acctbal, c_custkey) AS quartile
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey)
+      |SELECT r_name AS region, CAST(quartile AS BIGINT) AS quartile,
+      |  count(*) AS n_customers, CAST(sum(c_custkey) AS BIGINT) AS id_sum,
+      |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+      |FROM q GROUP BY 1, 2 ORDER BY region, quartile""".stripMargin
+
   /** q12 — event-time tumbling window (1 day) over the events stream table.
     * `ts` arrives as epoch-nano BIGINT (no nanos type in Spark); the window
     * start is emitted as a date string so no raw timestamps cross the
@@ -522,6 +554,7 @@ object ExtendedQueries {
     "q11_rollup" -> (q11Rollup _),
     "q16_cube" -> (q16Cube _),
     "q28_grouping_sets" -> (q28GroupingSets _),
+    "q29_ntile_quartiles" -> (q29Ntile _),
     "q17_event_gaps" -> (q17EventGaps _),
     "q12_event_time_window" -> (q12EventTimeWindow _),
     "q25_sliding_window" -> (q25SlidingWindow _),
@@ -546,6 +579,7 @@ object ExtendedQueries {
     "q11_rollup" -> q11Oracle,
     "q16_cube" -> q16Oracle,
     "q28_grouping_sets" -> q28Oracle,
+    "q29_ntile_quartiles" -> q29Oracle,
     "q17_event_gaps" -> q17Oracle,
     "q12_event_time_window" -> q12Oracle,
     "q25_sliding_window" -> q25Oracle,
