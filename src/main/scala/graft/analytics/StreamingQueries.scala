@@ -171,15 +171,56 @@ object StreamingQueries {
       |FROM events WHERE event_type <> 'error'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** s4 — checkpoint RESUME under the oracle gate: drain the stream fully,
+    * then run a SECOND engine instance against the SAME app-level
+    * [[CheckpointStore]] but a FRESH Spark checkpoint location — the
+    * reference's restart model, where the app checkpoint wins over the
+    * source's initial position (O5/O6, `src/processor.rs:357-388`). The
+    * resumed run must deliver ZERO records: every shard's stored
+    * checkpoint sits at its end, so any re-delivery — a checkpoint not
+    * saved, saved at the wrong sequence, or ignored on restart — inflates
+    * the counts and breaks the hash against the single-pass oracle. */
+  def streamResume(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream-q4").toString
+    val itemsDir = s"$tmp/items"
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val shards = math.max(8L, math.min(256L, nEvents / 12500L)).toInt
+    val batch = math.max(500L, nEvents / (shards * 25L)).toInt
+    val client = EventStream.clientFromParquet(spark, s"$sfDir/events.parquet", numShards = shards)
+    val store = new InMemoryCheckpointStore
+    def runOnce(tag: String): Unit = {
+      val gp = new GraftProcessor[String](
+        ProcessorConfig("events", batchSize = batch),
+        new EventTypeProcessor,
+        client,
+        store,
+        onItems = (ds, _) => ds.toDF("event_type").write.mode("append").parquet(itemsDir)
+      )
+      gp.run(spark, s"$tmp/ckpt-$tag") match {
+        case Left(e) => throw e
+        case Right(()) => ()
+      }
+    }
+    runOnce("first")
+    runOnce("resume") // must contribute nothing
+    spark.read.parquet(itemsDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_stream_count_by_type" -> (streamCountByType _),
     "s2_sessions" -> (sessionStats _),
-    "s3_stream_dead_letter" -> (streamDeadLetter _)
+    "s3_stream_dead_letter" -> (streamDeadLetter _),
+    "s4_stream_resume" -> (streamResume _)
   )
 
   val oracles: Map[String, String] = Map(
     "s1_stream_count_by_type" -> streamCountOracle,
     "s2_sessions" -> sessionStatsOracle,
-    "s3_stream_dead_letter" -> streamDeadLetterOracle
+    "s3_stream_dead_letter" -> streamDeadLetterOracle,
+    "s4_stream_resume" -> streamCountOracle
   )
 }

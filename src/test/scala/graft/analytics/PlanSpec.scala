@@ -21,7 +21,8 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
   private val planBased = SparkEntry.queries.keys
-    .filterNot(Set("s1_stream_count_by_type", "s3_stream_dead_letter")).toSeq.sorted
+    .filterNot(Set("s1_stream_count_by_type", "s3_stream_dead_letter",
+      "s4_stream_resume")).toSeq.sorted
 
   test("no query plan contains a cartesian product or unconditioned nested loop") {
     // e4 (IVF) legitimately scores every vector against a BOUNDED broadcast
