@@ -175,17 +175,71 @@ object Dedup {
       |  AND p1 IN (SELECT pos FROM bits) AND p2 IN (SELECT pos FROM bits)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d5 — PARAGRAPH-level dedup (the CCNet/RefinedWeb boilerplate-removal
+    * step): documents are segmented into fixed 10-word "paragraphs", every
+    * segment that already occurred anywhere earlier in the corpus (first
+    * occurrence = min (doc_id, seg_idx)) is dropped, and the surviving
+    * segments are reassembled in order into a cleaned document. This is the
+    * sub-document twin of d1: exact dedup at segment granularity, the
+    * operator that strips repeated headers/footers/navigation chrome from a
+    * crawled corpus while keeping the unique remainder of each page.
+    *
+    * Scale shape: the first-occurrence decision partitions by the segment's
+    * 8-byte xxhash64 — content-hash cardinality is ~|corpus segments|, so
+    * the window has unbounded parallelism and no hot partition (contrast
+    * t9's forbidden token-window, whose partitions hold O(corpus) rows).
+    * Each segment crosses exactly two exchanges: once hashed to its
+    * content-hash reducer for the keep decision, once re-keyed by doc_id
+    * for reassembly — the minimum for an operator whose output is
+    * reconstructed documents. The oracle groups on the segment STRING
+    * itself, so the output matches modulo 64-bit collisions (d1's rule). */
+  def paragraphDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = "split(text, ' ')"
+    val segs = documents(s, d).select(
+      col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(size($W) / 10.0) AS INT) - 1), " +
+          s"i -> array_join(slice($W, i * 10 + 1, 10), ' '))"))
+        .as(Seq("seg_idx", "seg")))
+    val firstWin = Window.partitionBy(xxhash64(col("seg")))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    segs
+      .withColumn("rn", row_number().over(firstWin))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg), ' ')")
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val paragraphDedupOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |seg AS (SELECT doc_id, i - 1 AS seg_idx,
+      |    array_to_string(ws[(i-1)*10+1 : i*10], ' ') AS seg
+      |  FROM w, LATERAL unnest(generate_series(1,
+      |    CAST(ceil(len(ws) / 10.0) AS INT))) AS t(i)),
+      |r AS (SELECT doc_id, seg_idx, seg,
+      |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      |  FROM seg)
+      |SELECT doc_id, count(*) AS n_kept,
+      |  string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+      |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exactDedup _),
     "d2_dedup_stats" -> (dedupStats _),
     "d3_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
-    "d4_bloom_decontaminate" -> (bloomDecontaminate _)
+    "d4_bloom_decontaminate" -> (bloomDecontaminate _),
+    "d5_paragraph_dedup" -> (paragraphDedup _)
   )
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> exactDedupOracle,
     "d2_dedup_stats" -> dedupStatsOracle,
     "d3_decontaminate" -> decontaminateOracle,
-    "d4_bloom_decontaminate" -> bloomDecontaminateOracle
+    "d4_bloom_decontaminate" -> bloomDecontaminateOracle,
+    "d5_paragraph_dedup" -> paragraphDedupOracle
   )
 }

@@ -402,7 +402,59 @@ object PipelineOps {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** p11 — SEQUENCE PACKING: concatenate documents into fixed-budget
+    * training sequences (512 tokens) and report, per document, where it
+    * lands — shard, token offset, first sequence id, and how many sequences
+    * it spans. This is the GPT-style "concat and chunk" data-prep step that
+    * turns a deduped corpus into equal-length training rows; emitting the
+    * placement (rather than materializing the packed text) is what the
+    * downstream loader actually needs, and keeps every column integer-exact.
+    *
+    * Scale shape: packing order must be sequential, so it is made
+    * shard-local — the corpus is split into deterministic md5(doc_id)
+    * shards (`spark.graft.pack.shards`, default 64; production scales this
+    * with corpus size exactly like input-file sharding) and the running
+    * token offset is a window running-sum within the shard, ordered by
+    * doc_id. Rows per shard = |corpus| / shards, a configuration decision,
+    * not a hotspot: the shard key is uniform md5, immune to content skew
+    * (contrast t9's forbidden token-window). One exchange total. */
+  def p11PackSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shards = s.conf.getOption("spark.graft.pack.shards").map(_.toInt).getOrElse(64)
+    val budget = 512
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % shards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("tok_offset", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("tok_offset"),
+        expr(s"tok_offset div $budget").as("seq_first"),
+        (expr(s"(tok_offset + n_tok - 1) div $budget")
+          - expr(s"tok_offset div $budget") + 1).as("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p11Oracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+      |      % 64 AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |o AS (SELECT doc_id, shard, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |                     ROWS UNBOUNDED PRECEDING) - n_tok AS tok_offset
+      |  FROM t)
+      |SELECT doc_id, shard, n_tok, CAST(tok_offset AS BIGINT) AS tok_offset,
+      |  CAST(tok_offset // 512 AS BIGINT) AS seq_first,
+      |  CAST((tok_offset + n_tok - 1) // 512 - tok_offset // 512 + 1 AS BIGINT)
+      |    AS n_seqs
+      |FROM o ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_pack_sequences" -> (p11PackSequences _),
     "p10_split" -> (p10Split _),
     "p9_source_cap" -> ((s: SparkSession, d: String) => p9SourceCap(s, d)),
     "p8_interval_join" -> ((s: SparkSession, d: String) => p8IntervalJoin(s, d)),
@@ -416,6 +468,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p11_pack_sequences" -> p11Oracle,
     "p10_split" -> p10Oracle,
     "p9_source_cap" -> p9Oracle,
     "p8_interval_join" -> p8Oracle,

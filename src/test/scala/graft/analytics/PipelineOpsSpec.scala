@@ -104,6 +104,46 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("p11 packing matches the sequential per-shard sweep; offsets are gapless") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def shardOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val offsets = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+    val expected = docs.map { case (id, text) =>
+      val sh = shardOf(id)
+      val n = text.split(" ", -1).length.toLong
+      val off = offsets(sh)
+      offsets(sh) = off + n
+      (id, sh, n, off, off / 512, (off + n - 1) / 512 - off / 512 + 1)
+    }.toSeq
+
+    val got = PipelineOps.p11PackSequences(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    got.foreach { case (_, _, n, _, _, nSeqs) =>
+      // a doc spans ceil-ish many 512-token sequences, never zero
+      nSeqs should be >= 1L
+      nSeqs should be <= (n / 512 + 2)
+    }
+  }
+
+  test("p11 plan: one hash exchange (the shard window); no join") {
+    val plan = PipelineOps.p11PackSequences(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    withClue(s"p11 plan:\n$plan\n") {
+      plan should include("Window")
+      plan should not include "Join"
+      "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    }
+  }
+
   test("p4 masks exactly the denylist terms") {
     val rows = PipelineOps.p4Redact(spark, sfDir).collect()
     rows.foreach { r =>
