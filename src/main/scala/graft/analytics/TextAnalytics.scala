@@ -334,7 +334,57 @@ object TextAnalytics {
       |FROM top JOIN c0 USING (b0) JOIN c1 USING (b1)
       |WHERE rk <= 10 ORDER BY rk""".stripMargin
 
+  /** t11 — INVERTED INDEX construction with a capped posting sample: per
+    * token, the exact document frequency plus the first 8 doc_ids in id
+    * order — the retrieval-side artifact a corpus search / contamination
+    * lookup service builds from the same explode.
+    *
+    * Scale shape: the full posting list of a stop-word-class token is
+    * O(corpus) — collecting it into one row is the materialized form of
+    * the t9 window trap. The cap is therefore applied via a rank window
+    * whose `rk <= 8` filter Spark pushes down as a PARTIAL
+    * WindowGroupLimit (the p9 lever): each map task forwards at most 8
+    * rows per token, so the exchange carries ≤ 8·tasks rows for even the
+    * hottest token, and the final per-token sort is bounded. The exact
+    * df count rides a separate partial+final aggregation (map-side
+    * combine absorbs the skew), joined back on the vocabulary-sized
+    * result. Postings serialize as a comma-joined string so the oracle
+    * compares engine-neutrally. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = documents(s, d)
+      .select(explode(words(lower(col("text")))).as("token"), col("doc_id"))
+      .distinct()
+    val dfCount = pairs.groupBy(col("token")).agg(count(lit(1)).as("n_docs"))
+    val postings = pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("token")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= 8)
+      .groupBy(col("token"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')")
+        .as("postings"))
+    dfCount.join(postings, "token")
+      .select(col("token"), col("n_docs"), col("postings"))
+      .orderBy(col("token"))
+  }
+
+  val invertedIndexOracle: String =
+    """WITH p AS (SELECT DISTINCT token, doc_id FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS token, doc_id
+      |    FROM documents) t),
+      |r AS (SELECT token, doc_id,
+      |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rk
+      |  FROM p),
+      |d AS (SELECT token, count(*) AS n_docs FROM p GROUP BY 1),
+      |s AS (SELECT token,
+      |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |  FROM r WHERE rk <= 8 GROUP BY 1)
+      |SELECT token, n_docs, postings
+      |FROM d JOIN s USING (token) ORDER BY token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_inverted_index" -> (invertedIndex _),
     "t10_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "t9_tfidf" -> (tfidf _),
     "t8_top_tokens" -> (topTokens _),
@@ -348,6 +398,7 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "t11_inverted_index" -> invertedIndexOracle,
     "t10_cms_heavy_hitters" -> cmsHeavyHittersOracle,
     "t9_tfidf" -> tfidfOracle,
     "t8_top_tokens" -> topTokensOracle,

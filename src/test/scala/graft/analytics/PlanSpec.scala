@@ -160,6 +160,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("t11 posting cap pushes a partial WindowGroupLimit below the token shuffle") {
+    // the posting list of a stop-word token is O(corpus); without the
+    // map-side limit the exchange would carry every (token, doc) pair of
+    // the hottest tokens into single reducer partitions
+    val plan = planOf("t11_inverted_index")
+    withClue(s"t11 plan:\n$plan\n") {
+      plan should include("WindowGroupLimit")
+      "WindowGroupLimit .*Partial".r.findAllIn(plan).length should be >= 1
+    }
+  }
+
   test("p9 quota cap pushes a partial WindowGroupLimit below the shuffle") {
     val plan = planOf("p9_source_cap")
     withClue(s"p9 plan:\n$plan\n") {
