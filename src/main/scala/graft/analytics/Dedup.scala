@@ -193,14 +193,20 @@ object Dedup {
     * for reassembly — the minimum for an operator whose output is
     * reconstructed documents. The oracle groups on the segment STRING
     * itself, so the output matches modulo 64-bit collisions (d1's rule). */
-  def paragraphDedup(s: SparkSession, d: String): DataFrame = {
+  def paragraphDedup(s: SparkSession, d: String): DataFrame =
+    paragraphDedupDf(documents(s, d)).orderBy(col("doc_id"))
+
+  /** Operator form of d5 for pipeline composition: `docs` needs `doc_id`
+    * and `text`; returns (doc_id, n_kept, clean_text), dropping documents
+    * whose every segment was boilerplate. */
+  def paragraphDedupDf(docs: DataFrame, segWords: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = "split(text, ' ')"
-    val segs = documents(s, d).select(
+    val segs = docs.select(
       col("doc_id"),
       posexplode(expr(
-        s"transform(sequence(0, CAST(ceil(size($W) / 10.0) AS INT) - 1), " +
-          s"i -> array_join(slice($W, i * 10 + 1, 10), ' '))"))
+        s"transform(sequence(0, CAST(ceil(size($W) / ${segWords}.0) AS INT) - 1), " +
+          s"i -> array_join(slice($W, i * $segWords + 1, $segWords), ' '))"))
         .as(Seq("seg_idx", "seg")))
     val firstWin = Window.partitionBy(xxhash64(col("seg")))
       .orderBy(col("doc_id"), col("seg_idx"))
@@ -211,7 +217,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_kept"),
         expr("array_join(transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg), ' ')")
           .as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   val paragraphDedupOracle: String =

@@ -47,17 +47,27 @@ object CorpusBuild {
       .select(col("doc_id"))
     val deduped = quality.join(keep, "doc_id")
 
+    // 2b. paragraph-level boilerplate removal (d5 discipline): any 10-word
+    //     segment already seen elsewhere in the corpus is dropped; the
+    //     unique remainder of each page survives. The keep decision keys
+    //     on the segment's content hash (unbounded window parallelism).
+    val cleaned = graft.analytics.Dedup
+      .paragraphDedupDf(quality.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("clean_text"))
+    val deduped2 = deduped.drop("text")
+      .join(cleaned.withColumnRenamed("clean_text", "text"), "doc_id")
+
     // 3. benchmark decontamination (d3 discipline): drop corpus docs
     //    sharing any word 5-gram with the held-out benchmark set (docs
     //    0-19 stand in) — benchmark shingles broadcast, corpus streams,
     //    the drop is a left_anti on the flagged ids
     graft.functions.GraftFunctions.register(spark)
-    val shingled = deduped.select(col("doc_id"), expr(
+    val shingled = deduped2.select(col("doc_id"), expr(
       "explode(graft_shingle_hashes(split(regexp_replace(lower(text), '\\\\s+', ' '), ' '), 5)) AS h"))
     val contaminated = shingled.filter(col("doc_id") >= 20)
       .join(broadcast(shingled.filter(col("doc_id") < 20).select(col("h"))), "h")
       .select(col("doc_id")).distinct()
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = deduped2.join(contaminated, Seq("doc_id"), "left_anti")
 
     // 4. per-source quota cap (p9 discipline): no crawl source may exceed
     //    its share — keep rule is hash-order row_number ≤ cap, which

@@ -35,6 +35,45 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     assert(keptSegs < totalSegs)
   }
 
+  test("d5 invariants on random corpora: global uniqueness, order, conservation") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(11)
+    val words = Vector("a", "b", "c", "d") // tiny vocab → many segment collisions
+    for (trial <- 0 until 3) {
+      val segWords = Seq(2, 3, 10)(trial)
+      val docs = (0 until 30).map { id =>
+        val n = rng.nextInt(25) + 1
+        (id.toLong, Seq.fill(n)(words(rng.nextInt(words.size))).mkString(" "))
+      }
+      val out = Dedup.paragraphDedupDf(docs.toDF("doc_id", "text"), segWords)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+
+      // 1. no segment string survives twice anywhere in the cleaned corpus
+      val allSegs = out.flatMap { case (_, _, t) =>
+        t.split(" ", -1).grouped(segWords).map(_.mkString(" "))
+      }
+      allSegs.distinct.length shouldBe allSegs.length
+      // 2. each cleaned doc is a subsequence of its original's segments,
+      //    in order, and n_kept counts them
+      val orig = docs.toMap
+      out.foreach { case (id, nKept, t) =>
+        val mine = t.split(" ", -1).grouped(segWords).map(_.mkString(" ")).toSeq
+        mine.size.toLong shouldBe nKept
+        val origSegs = orig(id).split(" ", -1).grouped(segWords).map(_.mkString(" ")).toSeq
+        // subsequence check
+        var i = 0
+        mine.foreach { m =>
+          val j = origSegs.indexOf(m, i); j should be >= 0; i = j + 1
+        }
+      }
+      // 3. conservation: the set of distinct segment strings is preserved
+      val origDistinct = docs.flatMap { case (_, t) =>
+        t.split(" ", -1).grouped(segWords).map(_.mkString(" "))
+      }.distinct.sorted
+      allSegs.sorted.toSeq shouldBe origDistinct.toSeq
+    }
+  }
+
   test("d5 plan: content-hash window + doc regroup, no joins, no cartesian") {
     val plan = Dedup.paragraphDedup(spark, sfDir).queryExecution.executedPlan.toString
     withClue(s"d5 plan:\n$plan\n") {
