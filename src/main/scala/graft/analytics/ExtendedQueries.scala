@@ -207,6 +207,36 @@ object ExtendedQueries {
       |FROM g WHERE gap_ms IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q30 — value-based RANGE window frame: for every event, the number of
+    * events the same user produced in the trailing hour (inclusive) — the
+    * rate-limit / burst-detection feature, and the one window-frame type
+    * (RANGE with interval bounds, vs ROWS / growing / rank frames in
+    * q4/q17/q29) the suite didn't yet exercise. RANGE frames include all
+    * peers of the current order value, so timestamp ties are deterministic
+    * by construction — no tie-break column needed. Micro precision for the
+    * q17 reason (DuckDB reads TIMESTAMP(NANOS) at micros).
+    *
+    * Scale shape: one exchange by user_id; the frame is evaluated by a
+    * sliding two-pointer pass over each user's sorted events, O(events per
+    * user) — the p1/q17 partition-bound discipline. */
+  def q30RangeFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-3600000000L, 0L)
+    events(s, d)
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("n_trail_1h", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("tus"), col("n_trail_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val q30Oracle: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS tus,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |    AS n_trail_1h
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** q13 — UNION ALL across entity kinds + re-aggregation. */
   def q13UnionBalances(s: SparkSession, d: String): DataFrame =
     customer(s, d).select(lit("customer").as("kind"), col("c_acctbal").as("bal"))
@@ -555,6 +585,7 @@ object ExtendedQueries {
     "q16_cube" -> (q16Cube _),
     "q28_grouping_sets" -> (q28GroupingSets _),
     "q29_ntile_quartiles" -> (q29Ntile _),
+    "q30_range_frame" -> (q30RangeFrame _),
     "q17_event_gaps" -> (q17EventGaps _),
     "q12_event_time_window" -> (q12EventTimeWindow _),
     "q25_sliding_window" -> (q25SlidingWindow _),
@@ -580,6 +611,7 @@ object ExtendedQueries {
     "q16_cube" -> q16Oracle,
     "q28_grouping_sets" -> q28Oracle,
     "q29_ntile_quartiles" -> q29Oracle,
+    "q30_range_frame" -> q30Oracle,
     "q17_event_gaps" -> q17Oracle,
     "q12_event_time_window" -> q12Oracle,
     "q25_sliding_window" -> q25Oracle,
