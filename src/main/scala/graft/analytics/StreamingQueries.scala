@@ -210,17 +210,66 @@ object StreamingQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Soft-fails EVERY record on its first attempt (attemptNumber 0), then
+    * succeeds — the transient-dependency-blip shape (throttled downstream,
+    * flaky network) the reference's soft-failure ∞-retry loop exists for
+    * (`src/processor.rs:1506-1510`). */
+  final class FirstAttemptFlakes extends RecordProcessor[String] {
+    override def processRecord(r: KRecord, m: RecordMetadata) = {
+      if (m.attemptNumber == 0)
+        Left(ProcessingError.SoftFailure("transient: first attempt always fails"))
+      else {
+        val payload = r.dataUtf8
+        Right(Some(payload.substring(0, payload.indexOf('|'))))
+      }
+    }
+  }
+
+  /** s5 — the SOFT-RETRY path under the oracle gate: every record fails
+    * transiently once and must be re-attempted to success (T3's infinite
+    * soft-retry loop, attempt counter incremented per retry). The oracle is
+    * the plain single-pass aggregation, so a record dropped after its
+    * failed first attempt, delivered twice, or dead-lettered instead of
+    * retried breaks the hash. Together s1/s3/s4/s5 pin happy path, hard
+    * failures, restart, and transient-retry semantics end-to-end. */
+  def streamSoftRetry(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream-q5").toString
+    val itemsDir = s"$tmp/items"
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val shards = math.max(8L, math.min(256L, nEvents / 12500L)).toInt
+    val batch = math.max(500L, nEvents / (shards * 25L)).toInt
+    val client = EventStream.clientFromParquet(spark, s"$sfDir/events.parquet", numShards = shards)
+    val gp = new GraftProcessor[String](
+      ProcessorConfig("events", batchSize = batch),
+      new FirstAttemptFlakes,
+      client,
+      new InMemoryCheckpointStore,
+      onItems = (ds, _) => ds.toDF("event_type").write.mode("append").parquet(itemsDir)
+    )
+    gp.run(spark, s"$tmp/ckpt") match {
+      case Left(e) => throw e
+      case Right(()) =>
+        spark.read.parquet(itemsDir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("event_type"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_stream_count_by_type" -> (streamCountByType _),
     "s2_sessions" -> (sessionStats _),
     "s3_stream_dead_letter" -> (streamDeadLetter _),
-    "s4_stream_resume" -> (streamResume _)
+    "s4_stream_resume" -> (streamResume _),
+    "s5_stream_soft_retry" -> (streamSoftRetry _)
   )
 
   val oracles: Map[String, String] = Map(
     "s1_stream_count_by_type" -> streamCountOracle,
     "s2_sessions" -> sessionStatsOracle,
     "s3_stream_dead_letter" -> streamDeadLetterOracle,
-    "s4_stream_resume" -> streamCountOracle
+    "s4_stream_resume" -> streamCountOracle,
+    "s5_stream_soft_retry" -> streamCountOracle
   )
 }

@@ -22,7 +22,7 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   private val planBased = SparkEntry.queries.keys
     .filterNot(Set("s1_stream_count_by_type", "s3_stream_dead_letter",
-      "s4_stream_resume")).toSeq.sorted
+      "s4_stream_resume", "s5_stream_soft_retry")).toSeq.sorted
 
   test("no query plan contains a cartesian product or unconditioned nested loop") {
     // e4 (IVF) legitimately scores every vector against a BOUNDED broadcast
