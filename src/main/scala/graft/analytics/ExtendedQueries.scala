@@ -237,6 +237,41 @@ object ExtendedQueries {
       |    AS n_trail_1h
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q32 — UNPIVOT (melt), the inverse reshaping of q19's pivot: per-nation
+    * customer metrics go wide → long (one row per (nation, metric)). The
+    * value columns are cast to a common double up front — exact integers
+    * and decimal-summed totals pass through bit-identically (r2 rules).
+    *
+    * Scale shape: unpivot is a narrow per-row expansion (an Expand node —
+    * no shuffle of its own); the only exchange is the upstream per-nation
+    * aggregation. */
+  def q32Unpivot(s: SparkSession, d: String): DataFrame = {
+    val metrics = customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).cast("double").as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("total_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+    metrics.unpivot(
+        Array(col("nation")),
+        Array(col("n_cust"), col("total_bal"), col("max_bal")),
+        "metric", "value")
+      .orderBy(col("nation"), col("metric"))
+  }
+
+  val q32Oracle: String =
+    """WITH m AS (SELECT n_name AS nation,
+      |    CAST(count(*) AS DOUBLE) AS n_cust,
+      |    CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+      |    max(c_acctbal) AS max_bal
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1)
+      |SELECT nation, metric, value FROM (
+      |  SELECT nation, 'n_cust' AS metric, n_cust AS value FROM m
+      |  UNION ALL SELECT nation, 'total_bal', total_bal FROM m
+      |  UNION ALL SELECT nation, 'max_bal', max_bal FROM m)
+      |ORDER BY nation, metric""".stripMargin
+
   /** q13 — UNION ALL across entity kinds + re-aggregation. */
   def q13UnionBalances(s: SparkSession, d: String): DataFrame =
     customer(s, d).select(lit("customer").as("kind"), col("c_acctbal").as("bal"))
@@ -586,6 +621,7 @@ object ExtendedQueries {
     "q28_grouping_sets" -> (q28GroupingSets _),
     "q29_ntile_quartiles" -> (q29Ntile _),
     "q30_range_frame" -> (q30RangeFrame _),
+    "q32_unpivot" -> (q32Unpivot _),
     "q17_event_gaps" -> (q17EventGaps _),
     "q12_event_time_window" -> (q12EventTimeWindow _),
     "q25_sliding_window" -> (q25SlidingWindow _),
@@ -612,6 +648,7 @@ object ExtendedQueries {
     "q28_grouping_sets" -> q28Oracle,
     "q29_ntile_quartiles" -> q29Oracle,
     "q30_range_frame" -> q30Oracle,
+    "q32_unpivot" -> q32Oracle,
     "q17_event_gaps" -> q17Oracle,
     "q12_event_time_window" -> q12Oracle,
     "q25_sliding_window" -> q25Oracle,

@@ -212,7 +212,46 @@ object RelationalQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, o_orderpriority ORDER BY r_name, o_orderpriority""".stripMargin
 
+  /** q31 — FULL OUTER join, the join type the suite's inner/broadcast/
+    * anti/semi/outer family didn't yet exercise: high-balance customers vs
+    * high-balance suppliers per nation. Both sides are filtered hard enough
+    * that some nations appear on only ONE side at every SF, so both null
+    * directions of the full-outer are observable (coalesced to 0 — no NULL
+    * crosses the oracle hash). The nation dimension joins broadcast onto
+    * the coalesced key afterwards.
+    *
+    * Scale shape: both inputs pre-aggregate to ≤ |nation| rows before the
+    * full-outer (partial+final, so the exchanges carry one row per nation
+    * per side), and the dimension join is a broadcast. */
+  def q31FullOuter(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val supp = supplier(s, d).filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, col("ck") === col("sk"), "full_outer")
+      .join(broadcast(nation(s, d)),
+        coalesce(col("ck"), col("sk")) === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nation"))
+  }
+
+  val q31Oracle: String =
+    """WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_cust
+      |  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+      |s AS (SELECT s_nationkey AS sk, count(*) AS n_supp
+      |  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+      |SELECT n_name AS nation,
+      |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM c FULL JOIN s ON ck = sk
+      |JOIN nation ON coalesce(ck, sk) = n_nationkey
+      |ORDER BY nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_full_outer" -> (q31FullOuter _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_revenue_by_nation" -> (q3RevenueByNation _),
@@ -226,6 +265,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q31_full_outer" -> q31Oracle,
     "q1_pricing_summary" -> q1Oracle,
     "q2_filter_project" -> q2Oracle,
     "q3_revenue_by_nation" -> q3Oracle,
