@@ -55,7 +55,8 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("dimension joins are broadcast, not shuffled (q3, q10, p6)") {
-    Seq("q3_revenue_by_nation", "q10_region_priority", "p6_mixture_rebalance").foreach { name =>
+    Seq("q3_revenue_by_nation", "q10_region_priority", "p6_mixture_rebalance",
+      "q31_full_outer").foreach { name =>
       val plan = planOf(name)
       withClue(s"$name:\n") {
         plan should include("BroadcastHashJoin")
