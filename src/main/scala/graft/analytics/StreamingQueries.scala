@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.engine.GraftProcessor
 import graft.processor.RecordProcessor
-import graft.sources.EventStream
+import graft.sources.{EventStream, SourceClient}
 
 /** The minimum end-to-end slice as a registered, oracle-checked query
   * (SURVEY §7 step 4): events.parquet → 8-shard KRecord stream → custom
@@ -30,25 +30,27 @@ object StreamingQueries {
     }
   }
 
+
+  /** Production sizing for the mock stream (SCALE.md): shard count follows
+    * volume (~12.5k records/shard — the Kinesis reshard model; floor 8
+    * keeps the historical layout for sf <= 0.1, cap 256) and the admission
+    * cap targets ~25 batches/shard (floor 500) so per-batch data work
+    * dominates fixed epoch costs. The count() is a parquet metadata read,
+    * and the mock client materializes the table anyway. */
+  private def sizedClient(spark: SparkSession, sfDir: String): (SourceClient, Int) = {
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val shards = math.max(8L, math.min(256L, nEvents / 12500L)).toInt
+    val batch = math.max(500L, nEvents / (shards * 25L)).toInt
+    (EventStream.clientFromParquet(spark, s"$sfDir/events.parquet", numShards = shards), batch)
+  }
+
   def streamCountByType(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-stream-q").toString
     val itemsDir = s"$tmp/items"
-    // BOTH production sizing knobs scale with stream volume (SCALE.md):
-    //  - shard count — the Kinesis model (a stream is resharded as
-    //    throughput grows; S1 re-lists shards): ~12.5k records/shard,
-    //    floor 8 (sf ≤ 0.1 keeps the historical 8-shard layout), cap 256;
-    //  - admission cap (records/batch) — sized so per-batch DATA work
-    //    dominates per-batch fixed cost (epoch planning, offset commit,
-    //    sink commit): ~25 batches/shard, floor 500 (identical to the
-    //    historical config for every sf ≤ 1).
-    // Without these the fixed 8×500 layout made s1 super-linear in the
-    // sf1/sf10 rehearsals. The count() is a parquet metadata read, and the
-    // mock client materializes the table anyway.
-    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val shards = math.max(8L, math.min(256L, nEvents / 12500L)).toInt
-    val batch = math.max(500L, nEvents / (shards * 25L)).toInt
-    val client = EventStream.clientFromParquet(spark, s"$sfDir/events.parquet", numShards = shards)
+    // Without volume-scaled sizing (see sizedClient) the fixed 8×500
+    // layout made s1 super-linear in the sf1/sf10 rehearsals.
+    val (client, batch) = sizedClient(spark, sfDir)
     val gp = new GraftProcessor[String](
       ProcessorConfig("events", batchSize = batch),
       new EventTypeProcessor,
@@ -139,10 +141,7 @@ object StreamingQueries {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-stream-q3").toString
     val itemsDir = s"$tmp/items"
-    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val shards = math.max(8L, math.min(256L, nEvents / 12500L)).toInt
-    val batch = math.max(500L, nEvents / (shards * 25L)).toInt
-    val client = EventStream.clientFromParquet(spark, s"$sfDir/events.parquet", numShards = shards)
+    val (client, batch) = sizedClient(spark, sfDir)
     val gp = new GraftProcessor[String](
       ProcessorConfig("events", batchSize = batch),
       new PoisonFilterProcessor,
@@ -184,10 +183,7 @@ object StreamingQueries {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-stream-q4").toString
     val itemsDir = s"$tmp/items"
-    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val shards = math.max(8L, math.min(256L, nEvents / 12500L)).toInt
-    val batch = math.max(500L, nEvents / (shards * 25L)).toInt
-    val client = EventStream.clientFromParquet(spark, s"$sfDir/events.parquet", numShards = shards)
+    val (client, batch) = sizedClient(spark, sfDir)
     val store = new InMemoryCheckpointStore
     def runOnce(tag: String): Unit = {
       val gp = new GraftProcessor[String](
@@ -236,10 +232,7 @@ object StreamingQueries {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-stream-q5").toString
     val itemsDir = s"$tmp/items"
-    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val shards = math.max(8L, math.min(256L, nEvents / 12500L)).toInt
-    val batch = math.max(500L, nEvents / (shards * 25L)).toInt
-    val client = EventStream.clientFromParquet(spark, s"$sfDir/events.parquet", numShards = shards)
+    val (client, batch) = sizedClient(spark, sfDir)
     val gp = new GraftProcessor[String](
       ProcessorConfig("events", batchSize = batch),
       new FirstAttemptFlakes,
