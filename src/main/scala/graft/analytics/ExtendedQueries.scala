@@ -561,6 +561,27 @@ object ExtendedQueries {
       |JOIN nation ON nationkey = n_nationkey
       |GROUP BY n_name ORDER BY nation""".stripMargin
 
+  /** q33 — INTERSECT ALL (bag semantics, multiplicity min(m₁, m₂)),
+    * closing the set-op family: q13 UNION ALL, q21 INTERSECT, q9 EXCEPT,
+    * q26 EXCEPT ALL. Per nation, how many customer rows find a matching
+    * supplier row one-for-one. Exercises Spark's `intersectAll` rewrite
+    * (dual-count aggregate + generate over the min multiplicity). */
+  def q33IntersectAll(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").cast("long").as("nationkey"))
+      .intersectAll(supplier(s, d).select(col("s_nationkey").cast("long").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n_matched"))
+      .join(broadcast(nation(s, d)), col("nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_matched"))
+      .orderBy(col("nation"))
+
+  val q33Oracle: String =
+    """SELECT n_name AS nation, count(*) AS n_matched FROM (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |  INTERSECT ALL
+      |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t
+      |JOIN nation ON nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY nation""".stripMargin
+
   /** q22 — semi-structured JSON extraction: the events `props` column is a
     * JSON string; pull `$.k` out (Spark `get_json_object`, DuckDB `->>`),
     * cast to BIGINT, and aggregate per event type. Exact integer outputs
@@ -611,6 +632,7 @@ object ExtendedQueries {
     "q23_exists_correlated" -> (q23ExistsCorrelated _),
     "q21_intersect" -> (q21Intersect _),
     "q26_except_all" -> (q26ExceptAll _),
+    "q33_intersect_all" -> (q33IntersectAll _),
     "q27_histogram_quantiles" -> (q27HistogramQuantiles _),
     "q22_json_extract" -> (q22JsonExtract _),
     "q20_above_avg_orders" -> (q20AboveAvgOrders _),
@@ -638,6 +660,7 @@ object ExtendedQueries {
     "q23_exists_correlated" -> q23Oracle,
     "q21_intersect" -> q21Oracle,
     "q26_except_all" -> q26Oracle,
+    "q33_intersect_all" -> q33Oracle,
     "q27_histogram_quantiles" -> q27Oracle,
     "q22_json_extract" -> q22Oracle,
     "q20_above_avg_orders" -> q20Oracle,
