@@ -582,6 +582,34 @@ object ExtendedQueries {
       |JOIN nation ON nationkey = n_nationkey
       |GROUP BY n_name ORDER BY nation""".stripMargin
 
+  /** q34 — schema-driven JSON parsing (`from_json`, the §2.8-named
+    * primitive q22's path-extraction doesn't exercise) both ways: into an
+    * explicit STRUCT schema and into a MAP<STRING,BIGINT> probed with the
+    * map functions (`element_at`, `map_keys`). The struct-path and
+    * map-path sums must agree with each other and with the oracle's JSON
+    * operators; the key inventory rides along as a joined string so the
+    * map surface is pinned too. All parsing is per-row and codegen-able —
+    * no shuffle beyond the final per-type aggregate. */
+  def q34FromJson(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        expr("from_json(props, 'k BIGINT').k").as("k_struct"),
+        expr("element_at(from_json(props, 'MAP<STRING,BIGINT>'), 'k')").as("k_map"),
+        expr("array_join(map_keys(from_json(props, 'MAP<STRING,BIGINT>')), ',')").as("keys"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k_struct")).as("sum_k_struct"),
+        sum(col("k_map")).as("sum_k_map"),
+        max(col("keys")).as("key_set"))
+      .orderBy(col("event_type"))
+
+  val q34Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      |CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k_struct,
+      |CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k_map,
+      |max(array_to_string(json_keys(props), ',')) AS key_set
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q22 — semi-structured JSON extraction: the events `props` column is a
     * JSON string; pull `$.k` out (Spark `get_json_object`, DuckDB `->>`),
     * cast to BIGINT, and aggregate per event type. Exact integer outputs
@@ -633,6 +661,7 @@ object ExtendedQueries {
     "q21_intersect" -> (q21Intersect _),
     "q26_except_all" -> (q26ExceptAll _),
     "q33_intersect_all" -> (q33IntersectAll _),
+    "q34_from_json" -> (q34FromJson _),
     "q27_histogram_quantiles" -> (q27HistogramQuantiles _),
     "q22_json_extract" -> (q22JsonExtract _),
     "q20_above_avg_orders" -> (q20AboveAvgOrders _),
@@ -661,6 +690,7 @@ object ExtendedQueries {
     "q21_intersect" -> q21Oracle,
     "q26_except_all" -> q26Oracle,
     "q33_intersect_all" -> q33Oracle,
+    "q34_from_json" -> q34Oracle,
     "q27_histogram_quantiles" -> q27Oracle,
     "q22_json_extract" -> q22Oracle,
     "q20_above_avg_orders" -> q20Oracle,
