@@ -272,6 +272,38 @@ object ExtendedQueries {
       |  UNION ALL SELECT nation, 'max_bal', max_bal FROM m)
       |ORDER BY nation, metric""".stripMargin
 
+  /** q35 — calendar/date function family (§2.8 "date" scalars): orders per
+    * (year, weekday) with decimal totals and the earliest month boundary.
+    * The weekday is derived ARITHMETICALLY — (days since 1970-01-01 + 4)
+    * mod 7, Thursday = 4 — because engine weekday numberings disagree
+    * (Spark dayofweek is 1=Sunday, DuckDB's is 0=Sunday) while day
+    * arithmetic is exact on both; `year`/`date_trunc` round-trip as
+    * integers/strings so no raw timestamp crosses the hash. */
+  def q35Calendar(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        ((datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          + lit(4)) % 7).cast("long").as("weekday"),
+        date_format(date_trunc("MONTH", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        col("o_totalprice"))
+      .groupBy(col("yr"), col("weekday"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total_price"),
+        min(col("month_start")).as("first_month_start"))
+      .orderBy(col("yr"), col("weekday"))
+
+  val q35Oracle: String =
+    """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+      |  CAST((date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |        + 4) % 7 AS BIGINT) AS weekday,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+      |  min(strftime(date_trunc('month', o_orderdate), '%Y-%m-%d'))
+      |    AS first_month_start
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, weekday""".stripMargin
+
   /** q13 — UNION ALL across entity kinds + re-aggregation. */
   def q13UnionBalances(s: SparkSession, d: String): DataFrame =
     customer(s, d).select(lit("customer").as("kind"), col("c_acctbal").as("bal"))
@@ -662,6 +694,7 @@ object ExtendedQueries {
     "q26_except_all" -> (q26ExceptAll _),
     "q33_intersect_all" -> (q33IntersectAll _),
     "q34_from_json" -> (q34FromJson _),
+    "q35_calendar" -> (q35Calendar _),
     "q27_histogram_quantiles" -> (q27HistogramQuantiles _),
     "q22_json_extract" -> (q22JsonExtract _),
     "q20_above_avg_orders" -> (q20AboveAvgOrders _),
@@ -691,6 +724,7 @@ object ExtendedQueries {
     "q26_except_all" -> q26Oracle,
     "q33_intersect_all" -> q33Oracle,
     "q34_from_json" -> q34Oracle,
+    "q35_calendar" -> q35Oracle,
     "q27_histogram_quantiles" -> q27Oracle,
     "q22_json_extract" -> q22Oracle,
     "q20_above_avg_orders" -> q20Oracle,
