@@ -688,7 +688,196 @@ object ExtendedQueries {
       |    AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q36 — relative-rank windows (`percent_rank`, `cume_dist`), the two
+    * rank-to-[0,1] normalizers the suite didn't yet exercise. The ordering
+    * key is unique (balance, custkey), so percent_rank = (rn−1)/(n−1) and
+    * cume_dist = rn/n — single IEEE divisions of exact integers, identical
+    * in both engines. Aggregated per region (top-decile membership, lower
+    * half count) so the output is 5 rows, not a per-customer dump.
+    *
+    * Scale shape: one exchange by region, then the standard partial+final
+    * aggregation; the window partition key is the coarse region (5 values)
+    * — fine at test SF, and the documented production variant partitions
+    * by (region, nation) or buckets when a partition outgrows a task. */
+  def q36RankDistribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("r_name"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("r_name").as("region"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("pr") >= 0.9, col("c_custkey"))).as("top_decile_id_sum"),
+        count(when(col("cd") <= 0.5, lit(1))).as("n_lower_half"),
+        max(when(col("pr") >= 0.9, col("c_acctbal"))).as("top_decile_max_bal"))
+      .orderBy(col("region"))
+  }
+
+  val q36Oracle: String =
+    """WITH q AS (SELECT r_name, c_custkey, c_acctbal,
+      |    percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WINDOW w AS (PARTITION BY r_name ORDER BY c_acctbal, c_custkey))
+      |SELECT r_name AS region, count(*) AS n_customers,
+      |  CAST(sum(CASE WHEN pr >= 0.9 THEN c_custkey END) AS BIGINT) AS top_decile_id_sum,
+      |  count(CASE WHEN cd <= 0.5 THEN 1 END) AS n_lower_half,
+      |  max(CASE WHEN pr >= 0.9 THEN c_acctbal END) AS top_decile_max_bal
+      |FROM q GROUP BY 1 ORDER BY region""".stripMargin
+
+  /** q37 — SCD2 / gaps-and-islands: collapse each user's event stream into
+    * runs of consecutive equal `event_type` (change detection via `lag`,
+    * run ids via a running `sum` window), then derive type-2-dimension
+    * validity intervals [valid_from, valid_to) with `lead` over the runs —
+    * the session/state-history shape every warehouse builds. −1 marks the
+    * open (current) interval so no NULLs cross the oracle hash.
+    *
+    * Scale shape: both windows and the run aggregation share the user_id
+    * partitioning, so Catalyst plans ONE exchange; micro precision per the
+    * q17 rule. */
+  def q37Scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val lagType = lag(col("event_type"), 1).over(wOrd)
+    val runs = events(s, d)
+      .filter(col("user_id") < 30)
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("chg", when(lagType.isNull || lagType =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(wOrd))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("state"),
+        min(col("tus")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs
+      .withColumn("valid_to_us", coalesce(lead(col("valid_from_us"), 1).over(wRun), lit(-1L)))
+      .withColumn("is_current", when(col("valid_to_us") === -1L, 1L).otherwise(0L))
+      .select(col("user_id"), col("run_id"), col("state"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("run_id"))
+  }
+
+  val q37Oracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+      |  FROM events WHERE user_id < 30),
+      |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS run_id FROM c),
+      |g AS (SELECT user_id, run_id, min(event_type) AS state,
+      |    min(tus) AS valid_from_us, count(*) AS n_events
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, state, valid_from_us,
+      |  COALESCE(lead(valid_from_us) OVER w2, -1) AS valid_to_us,
+      |  n_events,
+      |  CAST(CASE WHEN lead(valid_from_us) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+      |ORDER BY user_id, run_id""".stripMargin
+
+  /** q38 — boundary-value windows: `first_value` / `last_value` /
+    * `nth_value` over an explicit full frame (ROWS UNBOUNDED PRECEDING →
+    * UNBOUNDED FOLLOWING — the frame spec last_value silently gets wrong
+    * under the default frame, which is exactly why it deserves a pinned
+    * query). One row per nation: its chronologically first, second, and
+    * last order. Unique ordering (date, orderkey) makes all three
+    * deterministic.
+    *
+    * Scale shape: full-frame window + `distinct` collapse; at production
+    * scale the same answer is a `min/max(struct)` aggregation (the n2
+    * pattern) — this query exists to pin the FRAME semantics. */
+  def q38BoundaryValues(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("n_name"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cnt = Window.partitionBy(col("n_name"))
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("first_key", first(col("o_orderkey")).over(win))
+      .withColumn("last_key", last(col("o_orderkey")).over(win))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(win))
+      .withColumn("n_orders", count(lit(1)).over(cnt))
+      .select(col("n_name").as("nation"), col("first_key"), col("second_key"),
+        col("last_key"), col("n_orders"))
+      .distinct()
+      .orderBy(col("nation"))
+  }
+
+  val q38Oracle: String =
+    """WITH j AS (SELECT n_name, o_orderkey, o_orderdate
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |w AS (SELECT n_name,
+      |    first_value(o_orderkey) OVER win AS first_key,
+      |    nth_value(o_orderkey, 2) OVER win AS second_key,
+      |    last_value(o_orderkey) OVER win AS last_key,
+      |    count(*) OVER (PARTITION BY n_name) AS n_orders
+      |  FROM j WINDOW win AS (PARTITION BY n_name ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT DISTINCT n_name AS nation, first_key, second_key, last_key,
+      |  CAST(n_orders AS BIGINT) AS n_orders
+      |FROM w ORDER BY nation""".stripMargin
+
+  /** q39 — correlation/regression from EXACT integer moments: Pearson r
+    * and the OLS slope of quantity on price per return flag. Spark's
+    * `corr`/`covar_samp` fold doubles in partition order — a different
+    * answer every shuffle, unusable under a hash gate — so the moments
+    * (n, Σx, Σy, Σxy, Σx², Σy²) are accumulated EXACTLY: prices quantized
+    * to cents, sums in DECIMAL(38,0) (Spark) vs HUGEINT (DuckDB), both
+    * exact at any row count; only the final closed-form expressions touch
+    * IEEE arithmetic, on bit-identical inputs.
+    *
+    * Scale shape: this IS the scalable statistics pattern — six mergeable
+    * moments, partial+final aggregation, O(groups) state, no second pass
+    * (contrast the textbook Σ(x−x̄)(y−ȳ) which needs the means first). */
+  def q39ExactMoments(s: SparkSession, d: String): DataFrame = {
+    val m = lineitem(s, d).select(col("l_returnflag"),
+      expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))").as("x"),
+      col("l_quantity").cast("decimal(38,0)").as("y"))
+    m.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))).as("corr"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("slope_qty_per_cent"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean_price_cents"),
+        (col("sy").cast("double") / col("n").cast("double")).as("mean_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q39Oracle: String =
+    """WITH m AS (SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+      |    CAST(l_quantity AS BIGINT) AS y
+      |  FROM lineitem),
+      |g AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+      |  FROM m GROUP BY 1)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) /
+      |    sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS corr,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope_qty_per_cent,
+      |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_price_cents,
+      |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_rank_distribution" -> (q36RankDistribution _),
+    "q37_scd2_intervals" -> (q37Scd2Intervals _),
+    "q38_boundary_values" -> (q38BoundaryValues _),
+    "q39_exact_moments" -> (q39ExactMoments _),
     "q23_exists_correlated" -> (q23ExistsCorrelated _),
     "q21_intersect" -> (q21Intersect _),
     "q26_except_all" -> (q26ExceptAll _),
@@ -718,6 +907,10 @@ object ExtendedQueries {
   /** q14 omitted: HLL++ sketch values are engine-specific (rows-only);
     * q24 is its fully-oracle-checked portable twin. */
   val oracles: Map[String, String] = Map(
+    "q36_rank_distribution" -> q36Oracle,
+    "q37_scd2_intervals" -> q37Oracle,
+    "q38_boundary_values" -> q38Oracle,
+    "q39_exact_moments" -> q39Oracle,
     "q24_hll_portable" -> q24Oracle,
     "q23_exists_correlated" -> q23Oracle,
     "q21_intersect" -> q21Oracle,

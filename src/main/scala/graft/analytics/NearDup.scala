@@ -457,8 +457,46 @@ object NearDup {
       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
       |FROM pairs WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** n7 — CLUSTER REPRESENTATIVE selection: the dedup DECISION step made
+    * concrete. n4 labels each near-dup doc with its component; a real
+    * pipeline then keeps ONE member per cluster — and production recipes
+    * (RefinedWeb, FineWeb) keep the BEST member, not an arbitrary one.
+    * Here "best" = longest text, ties to the smaller doc_id.
+    *
+    * Scale shape: the argmax is a partial+final `max(struct)` aggregation
+    * (the n2 discipline — never a window over a cluster-partitioned sort),
+    * so each partition reduces to one candidate row per cluster map-side;
+    * the doc_id⋈len join projects the corpus to 16-byte rows before
+    * shuffling. */
+  def clusterRepresentative(s: SparkSession, d: String): DataFrame = {
+    val clusters = minhashClusters(s, d)
+    val lens = documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    clusters.join(lens, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("len"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.neg_id")).as("rep_id"), col("best.len").as("rep_len"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** n7 oracle — the full n4 recursive-CTE cluster re-derivation as a CTE,
+    * then an independent longest-text/min-id argmax per cluster. */
+  val clusterRepresentativeOracle: String =
+    s"""WITH clusters AS ($minhashClustersOracle),
+      |l AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM documents)
+      |SELECT cluster_id, n_members, rep_id, rep_len FROM (
+      |  SELECT c.cluster_id,
+      |    CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members,
+      |    c.doc_id AS rep_id, l.len AS rep_len,
+      |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY l.len DESC, c.doc_id) AS rk
+      |  FROM clusters c JOIN l ON l.doc_id = c.doc_id)
+      |WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n5_simhash_portable" -> (simhashPortable _),
+    "n7_cluster_rep" -> (clusterRepresentative _),
     "n1_minhash_neardup" -> (minhashNearDup _),
     "n2_ngram_jaccard_top1" -> (ngramJaccardTop1 _),
     "n3_simhash_neardup" -> (simhashNearDup _),
@@ -472,6 +510,7 @@ object NearDup {
     "n1_minhash_neardup" -> minhashOracle,
     "n2_ngram_jaccard_top1" -> ngramJaccardOracle,
     "n4_neardup_clusters" -> minhashClustersOracle,
-    "n6_neardup_clusters_bigstar" -> minhashClustersOracle
+    "n6_neardup_clusters_bigstar" -> minhashClustersOracle,
+    "n7_cluster_rep" -> clusterRepresentativeOracle
   )
 }

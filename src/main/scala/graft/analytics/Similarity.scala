@@ -430,8 +430,100 @@ object Similarity {
       |  min(vec_id) AS min_id, max(vec_id) AS max_id
       |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** c2 — SEMANTIC DEDUP (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): drop documents whose EMBEDDING is near-identical to
+    * another document in the same semantic cell, where cells come from the
+    * e4 codebook (deterministic every-31st-vector centroids, cosine-argmax
+    * assignment). The cell structure is the whole point at scale: pairwise
+    * cosine is only ever evaluated WITHIN a cell, bounding the quadratic
+    * term by (corpus/nCells)² per cell instead of corpus² — nCells grows
+    * with the corpus (SemDeDup uses K ≈ √n) so per-cell occupancy stays
+    * flat. The keep rule is deterministic and fully parallel: a vector is
+    * dropped iff some LOWER-ID cell-mate has cosine ≥ τ (the paper keeps a
+    * random member per dup group; min-id is the reproducible choice, same
+    * as d1/d5).
+    *
+    * The corpus has no natural embedding near-dups (max pairwise cosine
+    * ≈ 0.51), so like e3 the operator runs on the table unioned with a
+    * ×2-scaled copy (+1M ids): scaling by a power of two is exact in IEEE
+    * arithmetic, so each copy lands in its original's cell with cosine
+    * exactly 1 and must be dropped — n_dropped = n_originals per cell.
+    *
+    * Scale shape: one broadcast-codebook assignment pass (the only full
+    * scan), then a cell-keyed self-join that CARRIES the vectors — with
+    * dense in-cell candidates, re-joining vectors by id after a pair
+    * `distinct` would shuffle the O(n²/cells) pair set twice more; carrying
+    * them keeps the shuffle at O(n) vector rows and reduces the pair stream
+    * to bare dropped ids inside the join operator (opposite trade to e3,
+    * where LSH candidates are sparse). */
+  def semanticDedup(s: SparkSession, d: String, tau: Double = 0.95,
+      nCells: Int = 16): DataFrame = {
+    val base = embeddings(s, d)
+    val doubled = base.unionByName(
+      base.withColumn("vec_id", col("vec_id") + 1000000L)
+        .withColumn("embedding", transform(col("embedding"), x => x * 2.0f)))
+    // cached: feeds the centroid filter, the assignment scan, and (via
+    // `assigned`) both sides of the cell self-join
+    val emb = withVec(doubled, "embedding").select(col("vec_id"), col("v")).cache()
+    val centroids = emb
+      .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    val assignScore = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cell_id"))
+    val assigned = emb.join(broadcast(centroids))
+      .withColumn("cscore", cosine("v", "cv"))
+      .withColumn("crk", row_number().over(assignScore))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("cell_id"), col("v"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cell_id") === col("b.cell_id") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          cosine("a.v", "b.v") >= tau)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+      .withColumn("is_dup", lit(1))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_total"),
+        count(col("is_dup")).as("n_dropped"),
+        sum(when(col("is_dup").isNull, col("vec_id"))).as("kept_id_sum"))
+      .select(col("cell_id").as("cluster_id"), col("n_total"),
+        col("n_dropped"), col("kept_id_sum"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** c2 oracle — DuckDB re-derives the doubled corpus, the e4 codebook
+    * assignment, and the in-cell ≥ τ pair set independently (cosine at the
+    * threshold is the e3-validated identical double fold; copy pairs sit at
+    * exactly 1.0 and natural pairs below 0.51, so the τ = 0.95 boundary is
+    * never within float noise). */
+  val semanticDedupOracle: String =
+    """WITH base AS (SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) FROM embeddings),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM base),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm FROM e),
+      |cent AS (SELECT vec_id AS cell_id, v AS cv, vnorm AS cnorm FROM n
+      |         WHERE vec_id % 31 = 0 AND vec_id < 496),
+      |assigned AS (SELECT vec_id, cell_id FROM (
+      |    SELECT n.vec_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) / (n.vnorm * c.cnorm) DESC,
+      |        c.cell_id) AS crk
+      |    FROM n, cent c) WHERE crk = 1),
+      |dropped AS (SELECT DISTINCT b.vec_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+      |  WHERE list_sum(list_transform(generate_series(1, 64), i -> na.v[i] * nb.v[i])) / (na.vnorm * nb.vnorm) >= 0.95)
+      |SELECT a.cell_id AS cluster_id, CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+      |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN a.vec_id END) AS BIGINT) AS kept_id_sum
+      |FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_kmeans" -> ((s: SparkSession, d: String) => kmeansClusters(s, d)),
+    "c2_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "e1_ann_brute_topk" -> ((s: SparkSession, d: String) => bruteCosineTopK(s, d)),
     "e2_ann_lsh_topk" -> ((s: SparkSession, d: String) => lshCosineTopK(s, d)),
     "e3_embedding_neardup" -> (embeddingNearDup _),
@@ -441,6 +533,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "c1_kmeans" -> kmeansOracle,
+    "c2_semantic_dedup" -> semanticDedupOracle,
     "e1_ann_brute_topk" -> bruteCosineOracle,
     "e2_ann_lsh_topk" -> lshCosineOracle,
     "e3_embedding_neardup" -> embeddingNearDupOracle,
