@@ -31,7 +31,9 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // e5 composes e4's plan, so it inherits the same sanctioned join.
     // c1 (k-means) assigns against its K-row broadcast centroid table —
     // the same sanctioned codebook shape, once per Lloyd iteration.
-    val codebookJoins = Set("e4_ann_ivf_topk", "e5_ann_recall", "c1_kmeans")
+    // c2 (SemDeDup) shares c1/e4's broadcast-codebook assignment pass.
+    val codebookJoins = Set("e4_ann_ivf_topk", "e5_ann_recall", "c1_kmeans",
+      "c2_semantic_dedup")
     planBased.foreach { name =>
       val plan = planOf(name)
       withClue(s"$name plan:\n$plan\n") {
@@ -91,6 +93,28 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       plan should not include "Window"
       // struct-max lowers to SortAggregate; the property that matters is
       // the map-side combine (partial_max) before the probe_id exchange
+      plan should include("partial_max")
+    }
+  }
+
+  test("c2 semantic-dedup pairs come from an equi-join on the cell key") {
+    val plan = planOf("c2_semantic_dedup")
+    withClue(s"c2 plan:\n$plan\n") {
+      // the quadratic pair stage must join on cell_id (SemDeDup's whole
+      // point) — an equi-join, never a corpus-wide nested loop; the only
+      // BNLJ is the sanctioned bounded-codebook assignment
+      (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+        plan.contains("BroadcastHashJoin")) shouldBe true
+      plan should include("cell_id")
+      plan should not include "CartesianProduct"
+    }
+  }
+
+  test("n7 representative selection is a partial+final argmax, not a window") {
+    val plan = planOf("n7_cluster_rep")
+    withClue(s"n7 plan:\n$plan\n") {
+      // the cluster derivation upstream may use windows; the final argmax
+      // over (len, -doc_id) must combine map-side (the n2 discipline)
       plan should include("partial_max")
     }
   }
