@@ -873,7 +873,71 @@ object ExtendedQueries {
       |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty
       |FROM g ORDER BY l_returnflag""".stripMargin
 
+  /** q40 — NULL-AWARE anti join: `NOT IN (subquery)` with a NULLABLE outer
+    * key. Three-valued logic makes this a DIFFERENT operator from the
+    * `NOT EXISTS` anti join (q7/q9): a NULL outer key compares UNKNOWN to
+    * every subquery row, so `NOT IN` never keeps it. `NULLIF(c_nationkey,5)`
+    * manufactures those NULLs; nation-5 customers must vanish along with
+    * the nations < 10 named by the subquery. Spark plans the single-column
+    * case as a broadcast hash join with the NAAJ flag — the physical
+    * operator this query pins.
+    *
+    * Scale shape: subquery side is dimension-sized and broadcast; the fact
+    * side streams. A null-aware anti against a LARGE subquery is the one
+    * join Spark cannot shuffle (NULL matches every partition), which is
+    * why the production rewrite is NOT EXISTS when keys are provably
+    * non-null — this query documents the semantic boundary. */
+  def q40NullAwareAnti(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_customer_v")
+    nation(s, d).createOrReplaceTempView("graft_nation_v")
+    s.sql(
+      """SELECT c_nationkey, count(1) AS n_customers,
+        |  sum(c_custkey) AS id_sum
+        |FROM graft_customer_v
+        |WHERE nullif(c_nationkey, 5) NOT IN
+        |  (SELECT n_nationkey FROM graft_nation_v WHERE n_nationkey < 10)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+      .withColumn("c_nationkey", col("c_nationkey").cast("long"))
+  }
+
+  val q40Oracle: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      |  count(1) AS n_customers, CAST(sum(c_custkey) AS BIGINT) AS id_sum
+      |FROM customer
+      |WHERE nullif(c_nationkey, 5) NOT IN
+      |  (SELECT n_nationkey FROM nation WHERE n_nationkey < 10)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** q41 — MULTIPLE DISTINCT aggregates in one pass: per event type, the
+    * distinct-user and distinct-day counts plus a plain count. Catalyst
+    * compiles this to an Expand (one row replica per distinct group) +
+    * two-level aggregation — the operator that makes multi-distinct a
+    * single shuffle pipeline instead of N self-joined queries.
+    *
+    * Scale shape: Expand multiplies rows by the number of distinct specs
+    * (2 here) BEFORE the shuffle — the documented cost knob; with high
+    * per-key cardinality the partial distinct still collapses most of it
+    * map-side. */
+  def q41MultiDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("day")).as("n_days"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val q41Oracle: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT epoch_us(ts) // 86400000000) AS n_days,
+      |  count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_null_aware_anti" -> (q40NullAwareAnti _),
+    "q41_multi_distinct" -> (q41MultiDistinct _),
     "q36_rank_distribution" -> (q36RankDistribution _),
     "q37_scd2_intervals" -> (q37Scd2Intervals _),
     "q38_boundary_values" -> (q38BoundaryValues _),
@@ -907,6 +971,8 @@ object ExtendedQueries {
   /** q14 omitted: HLL++ sketch values are engine-specific (rows-only);
     * q24 is its fully-oracle-checked portable twin. */
   val oracles: Map[String, String] = Map(
+    "q40_null_aware_anti" -> q40Oracle,
+    "q41_multi_distinct" -> q41Oracle,
     "q36_rank_distribution" -> q36Oracle,
     "q37_scd2_intervals" -> q37Oracle,
     "q38_boundary_values" -> q38Oracle,

@@ -124,6 +124,36 @@ object PipelineOps {
     tokenChunks(documents(s, d))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** p12 — OVERLAPPING (sliding-window) chunks: size-32 windows advancing
+    * by stride 24, so consecutive chunks share 8 words — the RAG/embedding
+    * chunking recipe (context preserved across chunk boundaries), vs p3's
+    * disjoint packing-prep windows. Chunk i starts at word i·stride; the
+    * last windows run short rather than padding, and every word lands in
+    * ⌈size/stride⌉ chunks at most.
+    *
+    * Scale shape: identical to p3 — scan → explode → project, no shuffle;
+    * the output multiplies rows by ~n/stride and bytes by size/stride. */
+  def overlapChunks(docs: DataFrame, chunkWords: Int = 32, stride: Int = 24): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, (size(w)-1) div $stride)")).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
+        expr(s"array_join(slice(w, i*$stride+1, $chunkWords), ' ')").as("chunk"),
+        expr(s"size(slice(w, i*$stride+1, $chunkWords))").cast("long").as("n_words"))
+
+  def p12OverlapChunks(s: SparkSession, d: String): DataFrame =
+    overlapChunks(documents(s, d))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val p12Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c AS (SELECT doc_id, w, unnest(range(0, (len(w)-1)//24 + 1)) AS chunk_id FROM d)
+      |SELECT doc_id, chunk_id,
+      |  array_to_string(w[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk,
+      |  len(w[chunk_id*24+1 : chunk_id*24+32]) AS n_words
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val p3Oracle: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |c AS (SELECT doc_id, w, unnest(range(0, (len(w)-1)//32 + 1)) AS chunk_id FROM d)
@@ -454,6 +484,7 @@ object PipelineOps {
       |FROM o ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_overlap_chunks" -> (p12OverlapChunks _),
     "p11_pack_sequences" -> (p11PackSequences _),
     "p10_split" -> (p10Split _),
     "p9_source_cap" -> ((s: SparkSession, d: String) => p9SourceCap(s, d)),
@@ -468,6 +499,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p12_overlap_chunks" -> p12Oracle,
     "p11_pack_sequences" -> p11Oracle,
     "p10_split" -> p10Oracle,
     "p9_source_cap" -> p9Oracle,

@@ -104,6 +104,39 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("p12 overlap chunker: stride placement, size bound, full coverage with overlap") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(11)
+    val docs = (0 until 40).map { id =>
+      val n = rng.nextInt(90) + 1 // spans <1 window up to several strides
+      (id.toLong, (0 until n).map(i => s"w$i").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val chunks = PipelineOps.overlapChunks(df, chunkWords = 8, stride = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    chunks.foreach { case (_, _, chunk, n) =>
+      n should be <= 8L
+      n should be >= 1L
+      chunk.split(" ").length.toLong shouldBe n
+    }
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ")
+      val mine = chunks.filter(_._1 == id).sortBy(_._2)
+      // chunk i is exactly words [i*stride, i*stride+size)
+      mine.foreach { case (_, cid, chunk, _) =>
+        chunk shouldBe ws.slice((cid * 5).toInt, (cid * 5).toInt + 8).mkString(" ")
+      }
+      // consecutive chunks overlap by size − stride (3) except the tail
+      mine.sliding(2).foreach {
+        case Array((_, _, a, na), (_, _, b, _)) if na == 8 =>
+          a.split(" ").drop(5).mkString(" ") shouldBe b.split(" ").take(3).mkString(" ")
+        case _ => ()
+      }
+      // every word is covered (first word of each stride window walks the doc)
+      mine.map(_._2).toSeq shouldBe (0L until ((ws.length - 1) / 5 + 1).toLong)
+    }
+  }
+
   test("p11 packing matches the sequential per-shard sweep; offsets are gapless") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()

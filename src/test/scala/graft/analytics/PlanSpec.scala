@@ -119,6 +119,22 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("q40 NOT IN plans as a null-aware anti join (NAAJ), subquery broadcast") {
+    val plan = planOf("q40_null_aware_anti")
+    withClue(s"q40 plan:\n$plan\n") {
+      // the trailing `true` on the LeftAnti BHJ is isNullAwareAntiJoin
+      plan should include regex "BroadcastHashJoin .*LeftAnti, BuildRight, true"
+    }
+  }
+
+  test("q41 multi-distinct is one Expand pipeline, not N self-joins") {
+    val plan = planOf("q41_multi_distinct")
+    withClue(s"q41 plan:\n$plan\n") {
+      plan should include("Expand")
+      plan should not include "Join"
+    }
+  }
+
   test("n1 exact-verify joins broadcast under the size gate (VERDICT r3)") {
     val plan = planOf("n1_minhash_neardup")
     withClue(s"n1 plan:\n$plan\n") {
