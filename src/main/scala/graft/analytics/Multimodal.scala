@@ -62,11 +62,12 @@ object Multimodal {
     * `#`-to-end-of-line comments. Rejects anything malformed — this is a
     * real parser, not a stub keyed to the generator. */
   object PpmDecoder extends MediaDecoder {
-    override def decode(m: Media): MediaFeatures = {
-      val bytes = m.payload
+    /** Parses the P6 header and validates raster length; returns
+      * (width, height, offset of the first raster byte). */
+    private[analytics] def parseHeader(mediaId: Long, bytes: Array[Byte]): (Int, Int, Int) = {
       var pos = 0
       def fail(msg: String): Nothing =
-        throw new IllegalArgumentException(s"media ${m.media_id}: bad PPM — $msg")
+        throw new IllegalArgumentException(s"media $mediaId: bad PPM — $msg")
       def isWs(b: Byte): Boolean =
         b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f'
       // whitespace run, where '#' starts a comment running to end-of-line
@@ -98,12 +99,19 @@ object Multimodal {
       // exactly ONE whitespace byte separates the header from pixel data
       if (pos >= bytes.length || !isWs(bytes(pos))) fail("missing raster separator")
       pos += 1
+      if (bytes.length - pos < w.toLong * h * 3)
+        fail(s"truncated raster (${bytes.length - pos} < ${w.toLong * h * 3})")
+      (w, h, pos)
+    }
+
+    override def decode(m: Media): MediaFeatures = {
+      val bytes = m.payload
+      val (w, h, start) = parseHeader(m.media_id, bytes)
       val nPx = w.toLong * h
-      if (bytes.length - pos < nPx * 3) fail(s"truncated raster (${bytes.length - pos} < ${nPx * 3})")
       var r = 0L; var g = 0L; var b = 0L
       var i = 0L
       while (i < nPx) {
-        val off = pos + (i * 3).toInt
+        val off = start + (i * 3).toInt
         r += bytes(off) & 0xFF
         g += bytes(off + 1) & 0xFF
         b += bytes(off + 2) & 0xFF
@@ -112,6 +120,17 @@ object Multimodal {
       MediaFeatures(m.media_id, w.toLong, h.toLong, nPx, r, g, b)
     }
   }
+
+  /** Output of the m4 resample: target dims + exact per-channel sums over
+    * the sampled pixels (integers only — nothing to round). */
+  final case class ResizedFeatures(
+      media_id: Long,
+      out_w: Long,
+      out_h: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long
+  )
 
   /** The synthetic media table (documents → binary payload + typed meta). */
   def mediaTable(s: SparkSession, d: String): DataFrame =
@@ -203,6 +222,59 @@ object Multimodal {
       |  round(sum(CASE WHEN i % 3 = 2 THEN b END) / 165.0, 6) AS mean_b
       |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** m4 — RESIZE through the decoder boundary: nearest-neighbor downsample
+    * of each decoded raster to 5×4 (source pixel (⌊x·w/5⌋, ⌊y·h/4⌋) — the
+    * standard index mapping), emitting exact per-channel sums over the 20
+    * sampled pixels. This is the image-preprocessing step of a multimodal
+    * training pipeline (thumbnail/patch extraction) run where it must run:
+    * executor-side, per partition, downstream of the same [[MediaDecoder]]
+    * seam as m2 — a production codec+resampler (bilinear, antialiased)
+    * replaces the kernel, not the plumbing.
+    *
+    * Scale shape: narrow scan → mapPartitions → sort; payload bytes never
+    * shuffle (the output is 6 longs per image). */
+  def resizeNearest(s: SparkSession, d: String, outW: Int = 5, outH: Int = 4): DataFrame = {
+    import s.implicits._
+    val media: Dataset[Media] = ppmTable(s, d).as[Media]
+    media.mapPartitions(_.map { m =>
+      val bytes = m.payload
+      val (w, h, start) = PpmDecoder.parseHeader(m.media_id, bytes)
+      var r = 0L; var g = 0L; var b = 0L
+      var y = 0
+      while (y < outH) {
+        val sy = y * h / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * w / outW
+          val off = start + (sy * w + sx) * 3
+          r += bytes(off) & 0xFF
+          g += bytes(off + 1) & 0xFF
+          b += bytes(off + 2) & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      ResizedFeatures(m.media_id, outW.toLong, outH.toLong, r, g, b)
+    }).toDF().orderBy(col("media_id"))
+  }
+
+  /** m4 oracle — DuckDB rebuilds the raster from `md5(text)` (the m2
+    * derivation), maps byte index i → (x, y, channel), and keeps exactly
+    * the nearest-neighbor sample grid: x ∈ {0,3,6,9,12} (= ⌊x'·15/5⌋),
+    * y ∈ {0,2,5,8} (= ⌊y'·11/4⌋). */
+  val resizeNearestOracle: String =
+    """WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+      |px AS (SELECT media_id, CAST(i AS INT) AS i,
+      |         unicode(substr(h, (CAST(i AS INT) % 32) + 1, 1)) AS b
+      |       FROM m, unnest(generate_series(0, 494)) AS t(i)),
+      |s AS (SELECT media_id, b, (i // 3) // 15 AS y, (i // 3) % 15 AS x, i % 3 AS c FROM px)
+      |SELECT media_id, CAST(5 AS BIGINT) AS out_w, CAST(4 AS BIGINT) AS out_h,
+      |  CAST(sum(CASE WHEN c = 0 THEN b END) AS BIGINT) AS sum_r,
+      |  CAST(sum(CASE WHEN c = 1 THEN b END) AS BIGINT) AS sum_g,
+      |  CAST(sum(CASE WHEN c = 2 THEN b END) AS BIGINT) AS sum_b
+      |FROM s WHERE x % 3 = 0 AND y IN (0, 2, 5, 8)
+      |GROUP BY media_id ORDER BY media_id""".stripMargin
+
   /** m3 — frame sampling: one row per sampled frame of each video payload,
     * frame = contiguous byte slice (the real op would seek keyframes).
     * Deterministic → oracle over documents. */
@@ -228,12 +300,14 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_stats" -> (mediaStats _),
     "m2_media_features" -> ((s: SparkSession, d: String) => mediaFeatures(s, d)),
-    "m3_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d))
+    "m3_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
+    "m4_resize" -> ((s: SparkSession, d: String) => resizeNearest(s, d))
   )
 
   val oracles: Map[String, String] = Map(
     "m1_media_stats" -> mediaStatsOracle,
     "m2_media_features" -> mediaFeaturesOracle,
-    "m3_frame_sample" -> frameSampleOracle
+    "m3_frame_sample" -> frameSampleOracle,
+    "m4_resize" -> resizeNearestOracle
   )
 }

@@ -74,6 +74,29 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("m4 nearest-neighbor sampling picks exactly pixels (⌊x·w/W⌋, ⌊y·h/H⌋)") {
+    val s = spark; import s.implicits._
+    // 4x3 image whose pixel (x, y) has channels (x, y, 10x + y): a 2x2
+    // resize must sample (0,0), (2,0), (0,1), (2,1) — sy = ⌊y·3/2⌋ ∈ {0,1}
+    val pixels = for {
+      y <- 0 until 3; x <- 0 until 4
+      c <- Seq(x, y, 10 * x + y)
+    } yield c
+    val df = Seq(Media(1L, "image", ppm("P6\n4 3\n255\n", pixels.toArray),
+      "image/x-portable-pixmap", 0, 0, 0L)).toDS()
+    val row = df.mapPartitions(_.map { m =>
+      val bytes = m.payload
+      val (w, h, start) = PpmDecoder.parseHeader(m.media_id, bytes)
+      var r = 0L; var g = 0L; var b = 0L
+      for (y <- 0 until 2; x <- 0 until 2) {
+        val off = start + ((y * h / 2) * w + (x * w / 2)) * 3
+        r += bytes(off) & 0xFF; g += bytes(off + 1) & 0xFF; b += bytes(off + 2) & 0xFF
+      }
+      (r, g, b)
+    }).collect().head
+    row shouldBe ((0L + 2 + 0 + 2, 0L + 0 + 1 + 1, 0L + 20 + 1 + 21))
+  }
+
   test("m2 decodes the generated corpus: header dims parsed, means bounded by hex-char codes") {
     val rows = Multimodal.mediaFeatures(spark, "/root/testdata/sf0.001").collect()
     rows.length should be > 0
