@@ -114,6 +114,53 @@ object Dedup {
       |WHERE len(list_intersect(c.sh, b.sh)) >= 1
       |ORDER BY c.doc_id, bench_id""".stripMargin
 
+  /** d6 — overlap-FRACTION decontamination: the published pretraining rule
+    * (GPT-3 appendix C / PaLM style) — a document is contaminated when the
+    * FRACTION of its distinct word 5-grams that appear anywhere in the
+    * benchmark set crosses a threshold (5% here), not when any single
+    * shingle collides (d3 reports per-pair collision counts; this is the
+    * per-document verdict a pipeline actually filters on).
+    *
+    * Scale shape: identical to d3 — the benchmark shingle-hash set
+    * broadcasts, the corpus streams through one shingle+explode pass, LEFT
+    * joins the broadcast set, and reduces per doc_id; the only exchange is
+    * the final per-doc aggregation. The fraction is one IEEE division of
+    * exact counts; matches the string oracle modulo xxhash64 collisions. */
+  def overlapDecontaminate(s: SparkSession, d: String, n: Int = 5,
+      tau: Double = 0.05): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = documents(s, d).select(col("doc_id"),
+      expr(s"explode(graft_shingle_hashes(split(regexp_replace(lower(text), '\\\\s+', ' '), ' '), $n)) AS h"))
+    val bench = sh.filter(col("doc_id") < 20)
+      .select(col("h")).distinct().withColumn("hit", lit(1))
+    sh.filter(col("doc_id") >= 20)
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
+      .withColumn("overlap_frac",
+        col("n_hits").cast("double") / col("n_shingles"))
+      .withColumn("contaminated", (col("overlap_frac") >= tau).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val overlapDecontaminateOracle: String =
+    """WITH w AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |d AS (SELECT doc_id, CASE WHEN len(ws) >= 5 THEN
+      |    list_distinct(list_transform(generate_series(1, len(ws) - 4),
+      |      i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+      |  ELSE [] END AS sh FROM w),
+      |bench AS (SELECT DISTINCT unnest(sh) AS h FROM d WHERE doc_id < 20),
+      |c AS (SELECT doc_id, unnest(sh) AS h FROM d WHERE doc_id >= 20)
+      |SELECT c.doc_id, count(*) AS n_shingles,
+      |  count(b.h) AS n_hits,
+      |  CAST(count(b.h) AS DOUBLE) / count(*) AS overlap_frac,
+      |  CAST(CASE WHEN CAST(count(b.h) AS DOUBLE) / count(*) >= 0.05
+      |    THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      |FROM c LEFT JOIN bench b ON c.h = b.h
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   /** d4 — BLOOM-FILTER decontamination: the sketch-backed twin of d3. d3
     * joins the corpus against the exact benchmark shingle set; at 100 TB the
     * production variant ships a fixed-size Bloom filter of the benchmark
@@ -237,7 +284,8 @@ object Dedup {
     "d2_dedup_stats" -> (dedupStats _),
     "d3_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "d4_bloom_decontaminate" -> (bloomDecontaminate _),
-    "d5_paragraph_dedup" -> (paragraphDedup _)
+    "d5_paragraph_dedup" -> (paragraphDedup _),
+    "d6_overlap_decontaminate" -> ((s: SparkSession, d: String) => overlapDecontaminate(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -245,6 +293,7 @@ object Dedup {
     "d2_dedup_stats" -> dedupStatsOracle,
     "d3_decontaminate" -> decontaminateOracle,
     "d4_bloom_decontaminate" -> bloomDecontaminateOracle,
-    "d5_paragraph_dedup" -> paragraphDedupOracle
+    "d5_paragraph_dedup" -> paragraphDedupOracle,
+    "d6_overlap_decontaminate" -> overlapDecontaminateOracle
   )
 }
