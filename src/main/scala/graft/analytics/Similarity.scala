@@ -457,7 +457,13 @@ object Similarity {
     * to bare dropped ids inside the join operator (opposite trade to e3,
     * where LSH candidates are sparse). */
   def semanticDedup(s: SparkSession, d: String, tau: Double = 0.95,
-      nCells: Int = 16): DataFrame = {
+      nCells0: Int = 0): DataFrame = {
+    // SemDeDup's scale knob (K ≈ √n): per-cell occupancy n/K drives the
+    // quadratic verify term (n/K)²·K — K must grow with the corpus. The
+    // oracle pins the default 16 at test SF; raise via session conf at
+    // scale (the e3 bandBits precedent).
+    val nCells = if (nCells0 > 0) nCells0
+      else s.conf.get("spark.graft.semdedup.cells", "16").toInt
     val base = embeddings(s, d)
     val doubled = base.unionByName(
       base.withColumn("vec_id", col("vec_id") + 1000000L)
