@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.PipelineOps
 
 /** End-to-end training-corpus build: the composition a user of this
-  * library actually runs — quality filter → exact dedup → benchmark
+  * library actually runs — quality filter → exact dedup → near-dup keep-best → benchmark
   * decontamination → per-source quota cap → deterministic stratified
   * sample → train/val/test hash split → fixed-window chunking — landing
   * a split-partitioned chunked corpus plus per-language stats as
@@ -57,17 +57,32 @@ object CorpusBuild {
     val deduped2 = deduped.drop("text")
       .join(cleaned.withColumnRenamed("clean_text", "text"), "doc_id")
 
+    // 2c. near-dup keep-BEST (n7 discipline, the RefinedWeb order: exact
+    //     dedup → fuzzy dedup → decontamination): label MinHash near-dup
+    //     clusters, keep the longest surviving member per cluster (tie →
+    //     min id), drop the rest. The argmax is a partial+final
+    //     max(struct); only (doc_id, len) rows join the cluster labels.
+    val clusters = graft.analytics.NearDup.minhashClusters(spark, sfDir)
+    val lens = deduped2.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val reps = clusters.join(lens, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("len"), (-col("doc_id")).as("nid"))).as("best"))
+      .select((-col("best.nid")).as("doc_id"))
+    val ndDrop = clusters.select(col("doc_id"))
+      .join(reps, Seq("doc_id"), "left_anti")
+    val deduped3 = deduped2.join(ndDrop, Seq("doc_id"), "left_anti")
+
     // 3. benchmark decontamination (d3 discipline): drop corpus docs
     //    sharing any word 5-gram with the held-out benchmark set (docs
     //    0-19 stand in) — benchmark shingles broadcast, corpus streams,
     //    the drop is a left_anti on the flagged ids
     graft.functions.GraftFunctions.register(spark)
-    val shingled = deduped2.select(col("doc_id"), expr(
+    val shingled = deduped3.select(col("doc_id"), expr(
       "explode(graft_shingle_hashes(split(regexp_replace(lower(text), '\\\\s+', ' '), ' '), 5)) AS h"))
     val contaminated = shingled.filter(col("doc_id") >= 20)
       .join(broadcast(shingled.filter(col("doc_id") < 20).select(col("h"))), "h")
       .select(col("doc_id")).distinct()
-    val clean = deduped2.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = deduped3.join(contaminated, Seq("doc_id"), "left_anti")
 
     // 4. per-source quota cap (p9 discipline): no crawl source may exceed
     //    its share — keep rule is hash-order row_number ≤ cap, which

@@ -28,6 +28,26 @@ class SimilarityBandSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally spark.conf.unset("spark.graft.ann.neardupBandBits")
   }
 
+  test("c2 dedup verdict is K-invariant: every copy is dropped at any cell count") {
+    // The K knob (spark.graft.semdedup.cells) trades per-cell quadratic
+    // cost against recall of CROSS-cell near-dups. Exact duplicates can
+    // never split cells (a ×2-scaled copy has identical cosines to every
+    // centroid, so identical argmax), so the dropped total must equal the
+    // original corpus size at EVERY K — the invariant that makes the knob
+    // safe to raise with corpus growth.
+    val nOrig = Tables.embeddings(spark, sfDir).count()
+    Seq(2, 8, 32).foreach { k =>
+      val out = Similarity.semanticDedup(spark, sfDir, nCells0 = k)
+        .agg(org.apache.spark.sql.functions.sum("n_total"),
+          org.apache.spark.sql.functions.sum("n_dropped"))
+        .collect()(0)
+      withClue(s"K=$k:") {
+        out.getLong(0) shouldBe 2 * nOrig
+        out.getLong(1) shouldBe nOrig
+      }
+    }
+  }
+
   test("invalid band width is rejected at construction") {
     try {
       spark.conf.set("spark.graft.ann.neardupBandBits", "12")
