@@ -119,6 +119,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("q37 SCD2 runs on ONE hash exchange: windows and run-agg share the user_id partitioning") {
+    val plan = planOf("q37_scd2_intervals")
+    withClue(s"q37 plan:\n$plan\n") {
+      // ClusteredDistribution(user_id, run_id) is satisfied by
+      // hashpartitioning(user_id); a second hash exchange would mean the
+      // run aggregation or the lead window stopped reusing it
+      "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
+    }
+  }
+
   test("q40 NOT IN plans as a null-aware anti join (NAAJ), subquery broadcast") {
     val plan = planOf("q40_null_aware_anti")
     withClue(s"q40 plan:\n$plan\n") {
