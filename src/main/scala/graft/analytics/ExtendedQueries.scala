@@ -935,7 +935,110 @@ object ExtendedQueries {
       |  count(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** q42 — GENERATE with ordinality: posexplode over a bounded token
+    * prefix, the lateral-view row-expansion operator (Spark's `Generate`
+    * node). The slice bounds the expansion to ≤ 5 rows per document, so
+    * the operator's output is O(5·docs) regardless of document length —
+    * the pattern for exploding variable-length payloads without letting
+    * one long row dominate a task. Narrow plan: no exchange at all before
+    * the output sort. */
+  def q42Posexplode(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), posexplode(slice(split(col("text"), " "), 1, 5)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val q42Oracle: String =
+    """WITH d AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) AS ws
+      |  FROM documents)
+      |SELECT doc_id, CAST(t.range - 1 AS BIGINT) AS pos, ws[t.range] AS token
+      |FROM d CROSS JOIN range(1, 6) t WHERE t.range <= len(ws)
+      |ORDER BY doc_id, pos""".stripMargin
+
+  /** q43 — correlated LATERAL subquery with LIMIT: top-2 customers by
+    * balance per nation, written as the SQL-standard lateral join rather
+    * than q4's window formulation. Catalyst decorrelates the limited
+    * subquery into a partitioned rank filter (DecorrelateInnerQuery), so
+    * the physical plan is the same shuffle-once window shape — the test
+    * pins that the LATERAL surface is wired, not a new execution path. */
+  def q43LateralTopk(s: SparkSession, d: String): DataFrame = {
+    nation(s, d).createOrReplaceTempView("graft_q43_nation_v")
+    customer(s, d).createOrReplaceTempView("graft_q43_customer_v")
+    s.sql(
+      """SELECT n_name, t.c_name, t.c_acctbal
+        |FROM graft_q43_nation_v, LATERAL (
+        |  SELECT c_name, c_acctbal FROM graft_q43_customer_v
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+  }
+
+  val q43Oracle: String =
+    """SELECT n_name, t.c_name, t.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+
+  /** q44 — regexp_extract_all + a fold over the match list: per event
+    * type, the count and sum of every digit run in the raw `props` JSON
+    * string. Exercises the regex-vectorized extraction path and a lambda
+    * `aggregate` over its result — all integer math, shuffle carries one
+    * partial row per (task, event_type). */
+  def q44RegexpExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        expr("aggregate(regexp_extract_all(props, '[0-9]+', 0), 0L, (a, x) -> a + CAST(x AS LONG))")
+          .as("dsum"),
+        size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long").as("nm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dsum")).as("digit_sum"),
+        sum(col("nm")).as("n_matches"))
+      .orderBy(col("event_type"))
+
+  val q44Oracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(coalesce(list_sum(list_transform(regexp_extract_all(props, '[0-9]+'),
+      |    x -> CAST(x AS BIGINT))), 0)) AS BIGINT) AS digit_sum,
+      |  CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_matches
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** q45 — array-function surface: distinct/sort/slice/join/intersect/
+    * union over the token set of each document. Cross-engine list
+    * ordering is never trusted: every array is `array_sort`ed before
+    * slicing or counting, so the comparison is set-semantics with a
+    * deterministic serialization. Pure column expressions, shuffle-free
+    * per document. */
+  def q45ArrayOps(s: SparkSession, d: String): DataFrame = {
+    val stop = "array('the','a','of','and','to','in','is','it')"
+    documents(s, d)
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("uniq"))
+      .select(col("doc_id"),
+        size(col("uniq")).cast("long").as("n_uniq"),
+        array_join(slice(col("uniq"), 1, 3), ",").as("first3"),
+        size(expr(s"array_intersect(uniq, $stop)")).cast("long").as("n_stop_present"),
+        size(expr(s"array_union(uniq, $stop)")).cast("long").as("n_union"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q45Oracle: String =
+    """WITH w AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS uniq
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(uniq) AS BIGINT) AS n_uniq,
+      |  array_to_string(list_slice(uniq, 1, 3), ',') AS first3,
+      |  CAST(len(list_intersect(uniq, ['the','a','of','and','to','in','is','it'])) AS BIGINT)
+      |    AS n_stop_present,
+      |  CAST(len(list_distinct(list_concat(uniq, ['the','a','of','and','to','in','is','it']))) AS BIGINT)
+      |    AS n_union
+      |FROM w ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_posexplode" -> (q42Posexplode _),
+    "q43_lateral_topk" -> (q43LateralTopk _),
+    "q44_regexp_extract" -> (q44RegexpExtract _),
+    "q45_array_ops" -> (q45ArrayOps _),
     "q40_null_aware_anti" -> (q40NullAwareAnti _),
     "q41_multi_distinct" -> (q41MultiDistinct _),
     "q36_rank_distribution" -> (q36RankDistribution _),
@@ -971,6 +1074,10 @@ object ExtendedQueries {
   /** q14 omitted: HLL++ sketch values are engine-specific (rows-only);
     * q24 is its fully-oracle-checked portable twin. */
   val oracles: Map[String, String] = Map(
+    "q42_posexplode" -> q42Oracle,
+    "q43_lateral_topk" -> q43Oracle,
+    "q44_regexp_extract" -> q44Oracle,
+    "q45_array_ops" -> q45Oracle,
     "q40_null_aware_anti" -> q40Oracle,
     "q41_multi_distinct" -> q41Oracle,
     "q36_rank_distribution" -> q36Oracle,

@@ -383,7 +383,108 @@ object TextAnalytics {
       |SELECT token, n_docs, postings
       |FROM d JOIN s USING (token) ORDER BY token""".stripMargin
 
+  /** t12 — the GOPHER QUALITY FILTER composite (Rae et al. 2021 §A1.1,
+    * adapted to the rules derivable from whitespace tokens): per source,
+    * how many documents pass each structural rule and all of them —
+    * word count in [50, 100000], mean word length in [3, 10], ≥ 80% of
+    * words containing an alphabetic character, and ≥ 2 stopwords.
+    *
+    * Determinism discipline: every rule is an INTEGER comparison (the
+    * mean-word-length band is `3·n ≤ chars ≤ 10·n`, the alpha fraction is
+    * `5·alpha ≥ 4·n`) — no division anywhere, so the booleans and their
+    * sums are exact in both engines.
+    *
+    * Scale shape: rules are pure column expressions per document
+    * (shuffle-free, whole-stage codegen); the only exchange carries one
+    * partial row per (task, source) — the filter-report pattern a corpus
+    * curation run emits at any scale. */
+  def gopherQuality(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    val nWords = size(ws).cast("long")
+    val sumChars = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val nAlpha = size(expr("filter(split(text, ' '), w -> w RLIKE '[a-zA-Z]')")).cast("long")
+    val nStop = size(expr(
+      "filter(split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','it'))")).cast("long")
+    documents(s, d)
+      .select(col("source"),
+        nWords.between(50L, 100000L).as("r_words"),
+        (lit(3L) * nWords <= sumChars && sumChars <= lit(10L) * nWords).as("r_wordlen"),
+        (lit(5L) * nAlpha >= lit(4L) * nWords).as("r_alpha"),
+        (nStop >= 2L).as("r_stop"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r_words").cast("long")).as("n_pass_words"),
+        sum(col("r_wordlen").cast("long")).as("n_pass_wordlen"),
+        sum(col("r_alpha").cast("long")).as("n_pass_alpha"),
+        sum(col("r_stop").cast("long")).as("n_pass_stop"),
+        sum((col("r_words") && col("r_wordlen") && col("r_alpha") && col("r_stop"))
+          .cast("long")).as("n_pass_all"))
+      .orderBy(col("source"))
+  }
+
+  val gopherQualityOracle: String =
+    """WITH w AS (SELECT source, string_split(text, ' ') AS ws,
+      |    length(replace(text, ' ', '')) AS sum_chars FROM documents),
+      |r AS (SELECT source,
+      |    (len(ws) BETWEEN 50 AND 100000) AS r_words,
+      |    (3 * len(ws) <= sum_chars AND sum_chars <= 10 * len(ws)) AS r_wordlen,
+      |    (5 * len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) >= 4 * len(ws)) AS r_alpha,
+      |    (len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) >= 2) AS r_stop
+      |  FROM w)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CAST(r_words AS BIGINT)) AS BIGINT) AS n_pass_words,
+      |  CAST(sum(CAST(r_wordlen AS BIGINT)) AS BIGINT) AS n_pass_wordlen,
+      |  CAST(sum(CAST(r_alpha AS BIGINT)) AS BIGINT) AS n_pass_alpha,
+      |  CAST(sum(CAST(r_stop AS BIGINT)) AS BIGINT) AS n_pass_stop,
+      |  CAST(sum(CAST(r_words AND r_wordlen AND r_alpha AND r_stop AS BIGINT)) AS BIGINT) AS n_pass_all
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** t13 — RARE-BIGRAM NOVELTY: per document, how many of its adjacent
+    * word pairs are corpus-unique (occur exactly once across the whole
+    * corpus) vs corpus-common (≥ 16 occurrences) — the bigram-level
+    * novelty/boilerplate signal next to d5's paragraph dedup and t7's
+    * intra-document repetition. A document of entirely common bigrams is
+    * template/boilerplate; a high rare ratio marks novel text.
+    *
+    * Scale shape: two bigram-keyed exchanges — the corpus count is a
+    * partial+final aggregation (map-side combine absorbs hot bigrams),
+    * and the count joins back onto (doc_id, bigram) pairs as a plain
+    * equi-join (AQE skew split handles stop-word-class keys). Bigrams
+    * are built with a per-row `transform(sequence(...))` — no self-join,
+    * no window. The ratio is one IEEE division of exact longs. */
+  def rareBigrams(s: SparkSession, d: String): DataFrame = {
+    val bigrams = documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("bg"))
+    val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    bigrams.join(counts, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_rare"),
+        sum(when(col("cnt") >= 16, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val rareBigramsOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+      |  FROM w WHERE len(ws) >= 2),
+      |c AS (SELECT bg, count(*) AS cnt FROM b GROUP BY 1)
+      |SELECT b.doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |  CAST(sum(CASE WHEN c.cnt >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |  CAST(CAST(sum(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |    / count(*) AS rare_ratio
+      |FROM b JOIN c USING (bg) GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_rare_bigrams" -> (rareBigrams _),
+    "t12_gopher_quality" -> (gopherQuality _),
     "t11_inverted_index" -> (invertedIndex _),
     "t10_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "t9_tfidf" -> (tfidf _),
@@ -398,6 +499,8 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "t13_rare_bigrams" -> rareBigramsOracle,
+    "t12_gopher_quality" -> gopherQualityOracle,
     "t11_inverted_index" -> invertedIndexOracle,
     "t10_cms_heavy_hitters" -> cmsHeavyHittersOracle,
     "t9_tfidf" -> tfidfOracle,
