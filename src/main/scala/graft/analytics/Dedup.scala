@@ -279,7 +279,76 @@ object Dedup {
       |  string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
       |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d7 — CONTAINMENT dedup via PREFIX FILTERING: ordered pairs (a, b)
+    * where ≥ 50% of a's distinct word trigrams also occur in b — the
+    * ASYMMETRIC near-dup (a quote, excerpt, or wholesale inclusion of a
+    * inside b) that the MinHash/SimHash family structurally misses:
+    * containment(a→b) can be high while Jaccard(a,b) is tiny, so no
+    * symmetric-similarity LSH bucket ever pairs them.
+    *
+    * Candidate generation is the published prefix-filter guarantee
+    * (PPJoin family): order all trigrams by (corpus frequency, trigram);
+    * if |a∩b| ≥ t = ⌈|a|/2⌉ then b must share one of a's first
+    * |a| − t + 1 trigrams in that order (pigeonhole) — so probing only
+    * those prefix trigrams against the full inverted index finds every
+    * qualifying pair, and rare-first ordering keeps the probe lists off
+    * the hot keys. Verification computes the exact intersection on the
+    * per-document sorted trigram arrays; the threshold test is integer
+    * (2·|∩| ≥ |a|), the reported containment one IEEE division.
+    *
+    * Scale shape: the trigram equi-joins are keyed by `xxhash64(trigram)`
+    * (8-byte shuffle, d1's discipline; a hash collision only adds a false
+    * candidate that verification discards). Candidate pairs carry ids
+    * only; the trigram arrays join back per matched doc id. */
+  def containmentDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sgArr = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_sort(array_distinct(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")))
+        .as("sgs"))
+    val exploded = sgArr
+      .select(col("doc_id"), explode(col("sgs")).as("sg"))
+      .withColumn("h", xxhash64(col("sg")))
+    val dfc = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+    val ranked = exploded.join(dfc, "h")
+      .withColumn("rk", row_number().over(w.orderBy(col("df"), col("sg"))))
+      .withColumn("sa", count(lit(1)).over(w))
+    val prefixes = ranked.filter(col("rk") <= expr("sa div 2 + 1"))
+      .select(col("doc_id").as("a_id"), col("h"))
+    val cand = prefixes
+      .join(exploded.select(col("doc_id").as("b_id"), col("h")), "h")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(sgArr.select(col("doc_id").as("a_id"), col("sgs").as("a_sgs")), "a_id")
+      .join(sgArr.select(col("doc_id").as("b_id"), col("sgs").as("b_sgs")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(col("a_sgs")).cast("long").as("size_a"),
+        size(array_intersect(col("a_sgs"), col("b_sgs"))).cast("long").as("n_shared"))
+      .filter(lit(2L) * col("n_shared") >= col("size_a"))
+      .withColumn("containment", col("n_shared").cast("double") / col("size_a"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val containmentDedupOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sgs
+      |  FROM w WHERE len(ws) >= 3)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(len(a.sgs) AS BIGINT) AS size_a,
+      |  CAST(len(list_intersect(a.sgs, b.sgs)) AS BIGINT) AS n_shared,
+      |  CAST(CAST(len(list_intersect(a.sgs, b.sgs)) AS BIGINT) AS DOUBLE)
+      |    / len(a.sgs) AS containment
+      |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+      |WHERE 2 * len(list_intersect(a.sgs, b.sgs)) >= len(a.sgs)
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d7_containment_dedup" -> (containmentDedup _),
     "d1_exact_dedup" -> (exactDedup _),
     "d2_dedup_stats" -> (dedupStats _),
     "d3_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
@@ -289,6 +358,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "d7_containment_dedup" -> containmentDedupOracle,
     "d1_exact_dedup" -> exactDedupOracle,
     "d2_dedup_stats" -> dedupStatsOracle,
     "d3_decontaminate" -> decontaminateOracle,

@@ -483,7 +483,60 @@ object PipelineOps {
       |    AS n_seqs
       |FROM o ORDER BY doc_id""".stripMargin
 
+  /** p13 — the QUALITY FUNNEL report: document and word survival counts
+    * after each stage of p5's corpus build (raw → quality filter → exact
+    * dedup → hash sample) — the observability artifact every curation run
+    * publishes so a stage that silently eats the corpus is visible. Stage
+    * predicates are IDENTICAL to p5's (same filter, same xxhash64 dedup
+    * keep-min rule, same md5 sample), so the funnel's last row reconciles
+    * exactly with p5's output totals.
+    *
+    * Scale shape: one aggregate row per stage; the only corpus-wide
+    * shuffle is the dedup groupBy (8-byte hash key) that stages 2-3
+    * already need. The four stages share lineage, so the scan and filter
+    * work is computed once per branch Catalyst can't fuse — at 100 TB
+    * this is a report you run WITH the build, not a second pass. */
+  def p13QualityFunnel(s: SparkSession, d: String): DataFrame = {
+    val wordsArr = split(col("text"), " ")
+    val nWords = size(wordsArr).cast("long")
+    val uniqRatio = size(array_distinct(wordsArr)).cast("double") / size(wordsArr)
+    val raw = documents(s, d).select(col("doc_id"), col("lang"),
+      nWords.as("n_words"), col("text"))
+    val kept = raw.filter(col("n_words") >= 20 && uniqRatio >= lit(0.5))
+    val deduped = kept
+      .select(xxhash64(col("text")).as("h"), col("doc_id"), col("n_words"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min_by(col("n_words"), col("doc_id")).as("n_words"))
+    val sampled = deduped
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "80")
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"))
+        .select(lit(name).as("stage"), col("n_docs"), col("total_words"))
+    stage("0_raw", raw)
+      .unionByName(stage("1_quality", kept))
+      .unionByName(stage("2_dedup", deduped))
+      .unionByName(stage("3_sample", sampled))
+      .orderBy(col("stage"))
+  }
+
+  val p13Oracle: String =
+    """WITH raw AS (SELECT doc_id, text, len(string_split(text, ' ')) AS n_words
+      |  FROM documents),
+      |kept AS (SELECT * FROM raw WHERE n_words >= 20
+      |  AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / n_words >= 0.5),
+      |deduped AS (SELECT min(doc_id) AS doc_id, min_by(n_words, doc_id) AS n_words
+      |  FROM kept GROUP BY text),
+      |sampled AS (SELECT * FROM deduped
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
+      |SELECT '0_raw' AS stage, count(*) AS n_docs,
+      |  CAST(sum(n_words) AS BIGINT) AS total_words FROM raw
+      |UNION ALL SELECT '1_quality', count(*), CAST(sum(n_words) AS BIGINT) FROM kept
+      |UNION ALL SELECT '2_dedup', count(*), CAST(sum(n_words) AS BIGINT) FROM deduped
+      |UNION ALL SELECT '3_sample', count(*), CAST(sum(n_words) AS BIGINT) FROM sampled
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_quality_funnel" -> (p13QualityFunnel _),
     "p12_overlap_chunks" -> (p12OverlapChunks _),
     "p11_pack_sequences" -> (p11PackSequences _),
     "p10_split" -> (p10Split _),
@@ -499,6 +552,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p13_quality_funnel" -> p13Oracle,
     "p12_overlap_chunks" -> p12Oracle,
     "p11_pack_sequences" -> p11Oracle,
     "p10_split" -> p10Oracle,
