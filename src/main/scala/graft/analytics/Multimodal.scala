@@ -297,7 +297,62 @@ object Multimodal {
       |FROM v, unnest(generate_series(0, n_frames - 1)) AS t(frame_idx)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Output of the m5 windowing: exact integer sum-of-squares per window
+    * (RMS without the root — monotone in it, and nothing to round). */
+  final case class AudioWindows(
+      media_id: Long,
+      window_idx: Long,
+      n_samples: Long,
+      energy: Long
+  )
+
+  /** m5 — AUDIO FRAME ENERGY through the decoder boundary: each `audio`
+    * payload's bytes are treated as 8-bit PCM samples, split into tumbling
+    * 16-sample windows, and each window emits its exact sum-of-squares
+    * energy — the framing step of an audio feature pipeline (VAD, silence
+    * trimming, loudness stats). Unlike m2/m4's one-row-per-item decode,
+    * this is the 1→N expansion (`flatMap` inside `mapPartitions`): one
+    * payload yields O(len/16) frame rows, all computed executor-side; a
+    * production codec (WAV/FLAC → PCM) replaces the byte interpretation
+    * at the same seam.
+    *
+    * Scale shape: narrow scan → mapPartitions flatMap → sort; payload
+    * bytes never shuffle, frame rows are 4 longs each. */
+  def audioEnergy(s: SparkSession, d: String, win: Int = 16): DataFrame = {
+    import s.implicits._
+    val media: Dataset[Media] =
+      mediaTable(s, d).filter(col("kind") === "audio").as[Media]
+    media.mapPartitions(_.flatMap { m =>
+      val bytes = m.payload
+      (0 until bytes.length by win).iterator.map { off =>
+        val end = math.min(off + win, bytes.length)
+        var e = 0L
+        var i = off
+        while (i < end) {
+          val v = (bytes(i) & 0xFF).toLong
+          e += v * v
+          i += 1
+        }
+        AudioWindows(m.media_id, (off / win).toLong, (end - off).toLong, e)
+      }
+    }).toDF().orderBy(col("media_id"), col("window_idx"))
+  }
+
+  /** m5 oracle — the payload is the UTF-8 encoding of ASCII text, so byte
+    * i equals the code point of character i+1; DuckDB windows the
+    * character stream and sums squares exactly. */
+  val audioEnergyOracle: String =
+    """WITH a AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1),
+      |px AS (SELECT media_id, CAST(i AS BIGINT) AS i,
+      |    CAST(unicode(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) AS b
+      |  FROM a, unnest(generate_series(0, length(text) - 1)) AS t(i))
+      |SELECT media_id, i // 16 AS window_idx, count(*) AS n_samples,
+      |  CAST(sum(b * b) AS BIGINT) AS energy
+      |FROM px GROUP BY media_id, i // 16
+      |ORDER BY media_id, window_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_audio_energy" -> ((s: SparkSession, d: String) => audioEnergy(s, d)),
     "m1_media_stats" -> (mediaStats _),
     "m2_media_features" -> ((s: SparkSession, d: String) => mediaFeatures(s, d)),
     "m3_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
@@ -305,6 +360,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "m5_audio_energy" -> audioEnergyOracle,
     "m1_media_stats" -> mediaStatsOracle,
     "m2_media_features" -> mediaFeaturesOracle,
     "m3_frame_sample" -> frameSampleOracle,

@@ -535,7 +535,46 @@ object PipelineOps {
       |UNION ALL SELECT '3_sample', count(*), CAST(sum(n_words) AS BIGINT) FROM sampled
       |ORDER BY stage""".stripMargin
 
+  /** p14 — GLOBAL RANK without a global window: curriculum ordering
+    * (longest documents first, doc_id tiebreak) assigned as
+    * `global_pos = (rows in strictly-better buckets) + (rank within my
+    * bucket)`. A naive `row_number() OVER (ORDER BY ...)` funnels the
+    * entire corpus through ONE partition — the canonical global-sort
+    * scale-killer; here the only unpartitioned window runs over the
+    * BUCKET HISTOGRAM (distinct n_words values — bounded and tiny
+    * relative to the corpus), and the per-bucket rank windows partition
+    * by n_words, so every corpus-sized operator is parallel.
+    *
+    * Scale knob (documented): bucket cardinality must be ≪ corpus and
+    * per-bucket row counts must be splittable-small; for a continuous
+    * score, quantize to fixed-width buckets first and rank the residual
+    * within buckets — same two-phase shape. */
+  def p14GlobalRank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+    val offsets = docs.groupBy(col("n_words")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("n_words").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_words"), col("offset"))
+    docs
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("n_words")).orderBy(col("doc_id"))).cast("long"))
+      .join(broadcast(offsets), "n_words")
+      .select(col("doc_id"), col("n_words"),
+        (col("offset") + col("lr")).as("global_pos"))
+      .orderBy(col("global_pos"))
+  }
+
+  val p14Oracle: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+      |  row_number() OVER (ORDER BY len(string_split(text, ' ')) DESC, doc_id)
+      |    AS global_pos
+      |FROM documents ORDER BY global_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_global_rank" -> (p14GlobalRank _),
     "p13_quality_funnel" -> (p13QualityFunnel _),
     "p12_overlap_chunks" -> (p12OverlapChunks _),
     "p11_pack_sequences" -> (p11PackSequences _),
@@ -552,6 +591,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p14_global_rank" -> p14Oracle,
     "p13_quality_funnel" -> p13Oracle,
     "p12_overlap_chunks" -> p12Oracle,
     "p11_pack_sequences" -> p11Oracle,

@@ -527,7 +527,106 @@ object Similarity {
       |FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** e6 — PRODUCT QUANTIZATION with ADC (Jégou et al. 2011): the
+    * vector-COMPRESSION scale path next to e2's LSH and e4's IVF. The
+    * 64-dim space splits into M=4 subspaces of 16 dims; each subspace gets
+    * a deterministic 8-centroid codebook (the e4 every-31st-vector rule,
+    * sliced per subspace), and every corpus vector is encoded as 4 small
+    * codes — 4 bytes of index state per vector instead of 256 bytes of
+    * floats, the representation that lets a 100 TB corpus's index fit in
+    * cluster RAM. A probe precomputes its 4×8-entry lookup table of
+    * subspace distances (ADC), and each candidate's approximate distance
+    * is four table lookups summed in fixed order — no float vector is
+    * touched after encoding.
+    *
+    * Scale shape: encoding is one scan against the broadcast 32-row
+    * codebook (`graft_l2sq`, codegen'd, argmin via an (id, m)-partitioned
+    * rank); the ADC pass joins the 4-column code table against a 256-row
+    * broadcast LUT four times — per-probe cost is O(corpus) LUT lookups,
+    * never O(corpus · dim) float math. Fully oracle-derived: DuckDB
+    * rebuilds slices, codebooks, codes, LUT, and the fixed-order ADC sum
+    * (left-to-right double adds match the engine's `(((d0+d1)+d2)+d3)`).
+    * Rank ties break by vec_id in both engines. */
+  def pqAdcTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val nSub = 4; val subDim = 16; val nCode = 8
+    val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
+    val sliced = emb
+      .select(col("vec_id"), posexplode(array(
+        (0 until nSub).map(m => slice(col("v"), m * subDim + 1, subDim)): _*)))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("vs"))
+    val codebook = sliced
+      .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * nCode)
+      .select(expr("vec_id div 31").cast("int").as("cell"), col("m"), col("vs").as("cs"))
+    val dist = sliced.join(broadcast(codebook), "m")
+      .withColumn("dist", expr("graft_l2sq(vs, cs)"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("cell"))
+    val codeCols = (0 until nSub).map(m =>
+      max(when(col("m") === m, col("cell"))).as(s"c$m"))
+    val codes = dist
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(codeCols.head, codeCols.tail: _*)
+    val lut = dist.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("m"), col("cell"), col("dist"))
+    def lutFor(m: Int): DataFrame = lut.filter(col("m") === m)
+      .select(col("probe_id").as(s"p$m"), col("cell").as(s"cell$m"),
+        col("dist").as(s"d$m"))
+    val adc = codes
+      .join(broadcast(lutFor(0)), col("c0") === col("cell0"))
+      .join(broadcast(lutFor(1)),
+        col("c1") === col("cell1") && col("p1") === col("p0"))
+      .join(broadcast(lutFor(2)),
+        col("c2") === col("cell2") && col("p2") === col("p0"))
+      .join(broadcast(lutFor(3)),
+        col("c3") === col("cell3") && col("p3") === col("p0"))
+      .select(col("p0").as("probe_id"), col("vec_id"),
+        (col("d0") + col("d1") + col("d2") + col("d3")).as("adc"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("vec_id"))
+    adc.filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val pqAdcOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |  FROM embeddings),
+      |sub AS (SELECT vec_id, t.m, v[t.m*16+1 : t.m*16+16] AS s
+      |  FROM e CROSS JOIN generate_series(0, 3) t(m)),
+      |cb AS (SELECT vec_id // 31 AS cell, m, s AS cs FROM sub
+      |  WHERE vec_id % 31 = 0 AND vec_id < 248),
+      |dist AS (SELECT sub.vec_id, sub.m, cb.cell,
+      |    list_sum(list_transform(generate_series(1, 16),
+      |      i -> (sub.s[i] - cb.cs[i]) * (sub.s[i] - cb.cs[i]))) AS dist
+      |  FROM sub JOIN cb USING (m)),
+      |codes AS (SELECT vec_id, m, cell AS code FROM (
+      |    SELECT vec_id, m, cell,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cell) AS rn
+      |    FROM dist) t WHERE rn = 1),
+      |cw AS (SELECT vec_id,
+      |    max(CASE WHEN m = 0 THEN code END) AS c0,
+      |    max(CASE WHEN m = 1 THEN code END) AS c1,
+      |    max(CASE WHEN m = 2 THEN code END) AS c2,
+      |    max(CASE WHEN m = 3 THEN code END) AS c3
+      |  FROM codes GROUP BY 1),
+      |lut AS (SELECT vec_id AS probe_id, m, cell, dist FROM dist WHERE vec_id < 8),
+      |a AS (SELECT cw.vec_id, l0.probe_id,
+      |    ((l0.dist + l1.dist) + l2.dist) + l3.dist AS adc
+      |  FROM cw
+      |  JOIN lut l0 ON l0.m = 0 AND l0.cell = cw.c0
+      |  JOIN lut l1 ON l1.m = 1 AND l1.cell = cw.c1 AND l1.probe_id = l0.probe_id
+      |  JOIN lut l2 ON l2.m = 2 AND l2.cell = cw.c2 AND l2.probe_id = l0.probe_id
+      |  JOIN lut l3 ON l3.m = 3 AND l3.cell = cw.c3 AND l3.probe_id = l0.probe_id)
+      |SELECT probe_id, vec_id AS neighbor_id, rank FROM (
+      |  SELECT probe_id, vec_id,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rank
+      |  FROM a WHERE vec_id <> probe_id) t
+      |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e6_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
     "c1_kmeans" -> ((s: SparkSession, d: String) => kmeansClusters(s, d)),
     "c2_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "e1_ann_brute_topk" -> ((s: SparkSession, d: String) => bruteCosineTopK(s, d)),
@@ -538,6 +637,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "e6_pq_adc" -> pqAdcOracle,
     "c1_kmeans" -> kmeansOracle,
     "c2_semantic_dedup" -> semanticDedupOracle,
     "e1_ann_brute_topk" -> bruteCosineOracle,

@@ -212,6 +212,54 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_l2sq(array<double>, array<double>) → double` — squared Euclidean
+  * distance in one loop (same left-to-right accumulation order as the
+  * `aggregate(zip_with(...))` fold it replaces, so oracle SQL that sums
+  * squared diffs element-by-element matches bit-for-bit). The PQ/IVF
+  * encode hot path: corpus × codebook evaluations per scan. */
+case class L2SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(left, right),
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("dd")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dd = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $dd * $dd;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): L2SquaredDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_jaccard_sorted(array<bigint>, array<bigint>) → double` — Jaccard
   * similarity of two SORTED DISTINCT long arrays by merge-walk:
   * O(n+m), no per-pair hash sets. Callers sort upstream once
@@ -534,6 +582,7 @@ object GraftFunctions {
     ("graft_simhash", (c: Seq[Expression]) => SimHash64(c.head)),
     ("graft_cosine", (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
     ("graft_jaccard_sorted", (c: Seq[Expression]) => JaccardSorted(c(0), c(1))),
+    ("graft_l2sq", (c: Seq[Expression]) => L2SquaredDistance(c(0), c(1))),
     ("graft_hyperplane_sig", (c: Seq[Expression]) => HyperplaneSignature(c.head)),
     // optional 2nd arg: shingle width n (a literal), default word 3-grams
     ("graft_shingle_hashes", (c: Seq[Expression]) => ShingleHashes(c.head,
