@@ -302,20 +302,20 @@ object Dedup {
     * only; the trigram arrays join back per matched doc id. */
   def containmentDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    // n1's native shingle path: sorted distinct xxhash64(trigram) per doc in
+    // one codegen'd loop — set sizes equal the string-set sizes the oracle
+    // computes, absent 64-bit collisions (d1's documented caveat).
     val sgArr = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), array_sort(array_distinct(expr(
-        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")))
-        .as("sgs"))
+      .select(col("doc_id"),
+        expr("graft_shingle_hashes(split(text, ' '), 3)").as("sgs"))
+      .filter(size(col("sgs")) > 0)
     val exploded = sgArr
-      .select(col("doc_id"), explode(col("sgs")).as("sg"))
-      .withColumn("h", xxhash64(col("sg")))
+      .select(col("doc_id"), size(col("sgs")).as("sa"), explode(col("sgs")).as("h"))
     val dfc = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
     val ranked = exploded.join(dfc, "h")
-      .withColumn("rk", row_number().over(w.orderBy(col("df"), col("sg"))))
-      .withColumn("sa", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
     val prefixes = ranked.filter(col("rk") <= expr("sa div 2 + 1"))
       .select(col("doc_id").as("a_id"), col("h"))
     val cand = prefixes

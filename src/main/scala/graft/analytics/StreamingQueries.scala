@@ -250,7 +250,47 @@ object StreamingQueries {
     }
   }
 
+  /** s6 — Structured Streaming EVENT-TIME WINDOW aggregation under the
+    * oracle gate: `readStream` over the events parquet → tumbling 1-day
+    * windows per event type → complete-mode memory sink, drained with
+    * `Trigger.AvailableNow`. The streaming execution of the q12 window
+    * family (incremental state store updates per micro-batch) must
+    * converge to exactly the batch aggregate — that convergence is what
+    * the DuckDB oracle pins. Complete mode keeps every window in state
+    * deliberately: the append/watermark path (bounded state, late-data
+    * eviction) is exercised by the watermark specs in `streaming/`, where
+    * batch-boundary-dependent drops belong; an oracle-gated query must be
+    * independent of micro-batch placement.
+    *
+    * Scale shape: per-batch partial aggregation into the state store
+    * keyed by (window, type) — state is O(windows · types), not O(rows);
+    * the memory sink is the test harness, a real run writes to a table. */
+  def streamWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_s6_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // the file stream source requires a DIRECTORY; filter it to the one table
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .select(timestamp_micros(expr("ts div 1000")).as("tsx"), col("event_type"))
+      .groupBy(window(col("tsx"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(unix_millis(col("window.start")).as("day_start"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("day_start"), col("event_type"))
+  }
+
+  val streamWindowOracle: String =
+    """SELECT CAST(epoch_ms(ts) // 86400000 * 86400000 AS BIGINT) AS day_start,
+      |  event_type, count(*) AS n_events
+      |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_stream_window_counts" -> (streamWindowCounts _),
     "s1_stream_count_by_type" -> (streamCountByType _),
     "s2_sessions" -> (sessionStats _),
     "s3_stream_dead_letter" -> (streamDeadLetter _),
@@ -259,6 +299,7 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s6_stream_window_counts" -> streamWindowOracle,
     "s1_stream_count_by_type" -> streamCountOracle,
     "s2_sessions" -> sessionStatsOracle,
     "s3_stream_dead_letter" -> streamDeadLetterOracle,

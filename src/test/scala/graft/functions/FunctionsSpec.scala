@@ -72,6 +72,18 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     emb.selectExpr("graft_cosine(v, v) AS c").filter("abs(c - 1.0) > 1e-12").count() shouldBe 0
   }
 
+  test("graft_l2sq == zip_with/aggregate squared-diff fold, exactly (same fold order)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("CAST(embedding AS array<double>) AS v").limit(100)
+    val pairs = emb.selectExpr("v AS a").crossJoin(emb.selectExpr("v AS b")).limit(2000)
+    val both = pairs.selectExpr(
+      "graft_l2sq(a, b) AS native",
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) AS composed")
+    // bit-identical, not approximately equal: the loop preserves fold order
+    both.filter("native != composed").count() shouldBe 0
+    emb.selectExpr("graft_l2sq(v, v) AS z").filter("z != 0D").count() shouldBe 0
+  }
+
   test("graft_md5_prefix_hashes == conv(substring(md5, 1, 15), 16, 10) per token") {
     val both = docs.selectExpr(
       "graft_md5_prefix_hashes(ws) AS native",
