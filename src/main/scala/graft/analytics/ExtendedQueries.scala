@@ -1034,7 +1034,71 @@ object ExtendedQueries {
       |    AS n_union
       |FROM w ORDER BY doc_id""".stripMargin
 
+  /** q46 — LOCF gap fill: `last(..., ignoreNulls)` over a running frame
+    * carries the previous non-null reading forward (error events null
+    * their value out, the sensor-dropout shape). The IGNORE NULLS window
+    * surface is its own operator family — nth_value/first/last without it
+    * (q38) cannot express forward fill. Total frame order via (ts,
+    * event_id) so duplicate timestamps never make the fill ambiguous.
+    * Scale shape: one exchange on user_id; the probe filter reaches the
+    * scan. */
+  def q46Locf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // compare at MICROsecond resolution: DuckDB truncates parquet
+    // TIMESTAMP(NANOS) to micros on read, so (ts_us, event_id) is the
+    // total order both engines can agree on
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .filter(col("user_id") < 50)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("v", when(col("event_type") =!= "error", col("value")))
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("ts_us"), col("event_type"), col("filled"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  val q46Oracle: String =
+    """SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+      |  last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |          ROWS UNBOUNDED PRECEDING) AS filled
+      |FROM events WHERE user_id < 50
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
+  /** q47 — ROLLING-WINDOW DISTINCT (trailing-7-day active users): count
+    * distinct cannot ride a window frame, so the scalable form is
+    * (day, user) pair dedup → range join against the tiny day list →
+    * per-day distinct count. The range join broadcasts the DAY side
+    * (O(date-span) rows) as the build of a conditioned nested-loop join
+    * — the one sanctioned BNLJ shape — so the corpus-sized pair set
+    * streams through once; both exchanges are partial+final aggregates
+    * on bounded keys (day·users, day). */
+  def q47RollingWau(s: SparkSession, d: String): DataFrame = {
+    val pairs = events(s, d)
+      .select(expr("(ts div 1000) div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val days = pairs.select(col("day").as("d")).distinct()
+    broadcast(days)
+      .join(pairs, col("day").between(col("d") - 6, col("d")))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(col("d").as("day"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  val q47Oracle: String =
+    """WITH pairs AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT day AS d FROM pairs)
+      |SELECT CAST(d AS BIGINT) AS day, count(DISTINCT user_id) AS wau
+      |FROM days JOIN pairs ON day BETWEEN d - 6 AND d
+      |GROUP BY d ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_locf" -> (q46Locf _),
+    "q47_rolling_wau" -> (q47RollingWau _),
     "q42_posexplode" -> (q42Posexplode _),
     "q43_lateral_topk" -> (q43LateralTopk _),
     "q44_regexp_extract" -> (q44RegexpExtract _),
@@ -1074,6 +1138,8 @@ object ExtendedQueries {
   /** q14 omitted: HLL++ sketch values are engine-specific (rows-only);
     * q24 is its fully-oracle-checked portable twin. */
   val oracles: Map[String, String] = Map(
+    "q46_locf" -> q46Oracle,
+    "q47_rolling_wau" -> q47Oracle,
     "q42_posexplode" -> q42Oracle,
     "q43_lateral_topk" -> q43Oracle,
     "q44_regexp_extract" -> q44Oracle,

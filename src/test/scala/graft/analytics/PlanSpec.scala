@@ -71,13 +71,25 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("near-dup and ANN candidates come from equi-joins on bucket keys") {
-    Seq("n1_minhash_neardup", "n3_simhash_neardup", "e3_embedding_neardup").foreach { name =>
+    Seq("n1_minhash_neardup", "n3_simhash_neardup", "e3_embedding_neardup",
+      "d7_containment_dedup").foreach { name =>
       val plan = planOf(name)
       withClue(s"$name:\n") {
         (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
           plan.contains("BroadcastHashJoin")) shouldBe true
         plan should not include "CartesianProduct"
       }
+    }
+  }
+
+  test("e6 ADC search is broadcast LUT equi-joins, never a shuffled probe pass") {
+    val plan = planOf("e6_pq_adc")
+    withClue(s"e6 plan:\n$plan\n") {
+      // the four per-subspace LUT joins (and the codebook join feeding the
+      // encode) must all build broadcast sides — the probe/LUT tables are
+      // O(probes·cells) rows and must never shuffle the code table
+      plan.split("BroadcastHashJoin").length should be >= 5
+      plan should not include "CartesianProduct"
     }
   }
 
