@@ -573,7 +573,61 @@ object PipelineOps {
       |    AS global_pos
       |FROM documents ORDER BY global_pos""".stripMargin
 
+  /** p15 — TEMPERATURE-based mixture sampling (the multilingual-corpus
+    * α-smoothing of mC4/XLM-R, at α = 0.5): each source keeps fraction
+    * f_s = √(n_min / n_s) — square-root smoothing BETWEEN p6's full
+    * uniformization (n_min/n_s) and no rebalance at all, so large
+    * sources still dominate but sub-linearly. The keep rule hashes
+    * doc_id to a 52-bit uniform in [0, 1) (13 md5 hex digits — exactly
+    * representable in a double) and keeps u < f_s; f_s is one IEEE
+    * division then one IEEE sqrt, both correctly rounded, so the
+    * decision is bit-identical cross-engine and reproducible under
+    * corpus growth of OTHER sources (a doc's fate depends only on its
+    * id and its own stratum's size).
+    *
+    * Scale shape: one tiny per-source count aggregate, broadcast back
+    * onto the scan; the filter is a pure column predicate — no
+    * corpus-wide shuffle at all. */
+  def p15TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // n_min rides an unpartitioned window over the per-source AGGREGATE
+    // (≤ |sources| rows — the p14 bucket-histogram pattern), never a
+    // 1-row cross join (a broadcast 1-row join degenerates to the
+    // unconditioned BNLJ the global plan gate forbids)
+    val counts = documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_min", min(col("n_docs")).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val frac = sqrt(col("n_min").cast("double") / col("n_docs"))
+    val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    documents(s, d)
+      .join(broadcast(counts), "source")
+      .withColumn("keep", u < frac)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        first(frac).as("keep_frac"))
+      .orderBy(col("source"))
+  }
+
+  val p15Oracle: String =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_docs) AS n_min FROM c),
+      |k AS (SELECT d.source,
+      |    CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+      |      AS DOUBLE) / 4503599627370496.0
+      |      < sqrt(CAST(n_min AS DOUBLE) / n_docs) AS keep,
+      |    sqrt(CAST(n_min AS DOUBLE) / n_docs) AS keep_frac
+      |  FROM documents d JOIN c USING (source) CROSS JOIN m)
+      |SELECT source, count(*) AS n_total,
+      |  CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS n_kept,
+      |  first(keep_frac) AS keep_frac
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_temperature_mix" -> (p15TemperatureMix _),
     "p14_global_rank" -> (p14GlobalRank _),
     "p13_quality_funnel" -> (p13QualityFunnel _),
     "p12_overlap_chunks" -> (p12OverlapChunks _),
@@ -591,6 +645,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p15_temperature_mix" -> p15Oracle,
     "p14_global_rank" -> p14Oracle,
     "p13_quality_funnel" -> p13Oracle,
     "p12_overlap_chunks" -> p12Oracle,
