@@ -67,13 +67,40 @@ object FormatQueries {
     roundtripAgg(s.read.schema(docs.schema).orc(tmp))
   }
 
+  /** f4 — HIVE-PARTITIONED layout: write the corpus `partitionBy(lang)`
+    * (one directory per language — the standard 100 TB lake layout for a
+    * multilingual corpus), then aggregate a single partition of the
+    * re-read. The re-read scan must prune to the `lang=en` directory via
+    * PARTITION FILTERS — zero bytes of any other language touched
+    * (FormatSpec pins `PartitionFilters` on the scan). The oracle
+    * aggregates the original table under the same predicate, so a row
+    * landing in the wrong partition directory breaks the hash.
+    *
+    * Partition count discipline: partition columns must be LOW
+    * cardinality (languages, dates, sources — not ids); each partition
+    * dir × file adds namenode/listing load, the documented knob. */
+  def f4PartitionedSource(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-part").toString
+    val docs = documents(s, d)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    roundtripAgg(s.read.parquet(tmp).filter(col("lang") === "en"))
+  }
+
+  val f4Oracle: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents WHERE lang = 'en' GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f4_partitioned_source" -> (f4PartitionedSource _),
     "f1_jsonl_source" -> (f1JsonlSource _),
     "f2_csv_source" -> (f2CsvSource _),
     "f3_orc_source" -> (f3OrcSource _)
   )
 
   val oracles: Map[String, String] = Map(
+    "f4_partitioned_source" -> f4Oracle,
     "f1_jsonl_source" -> roundtripOracle,
     "f2_csv_source" -> roundtripOracle,
     "f3_orc_source" -> roundtripOracle

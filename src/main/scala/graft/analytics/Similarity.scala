@@ -625,7 +625,54 @@ object Similarity {
       |  FROM a WHERE vec_id <> probe_id) t
       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
+  /** d8 — SEMANTIC decontamination: flag every corpus vector whose best
+    * cosine against the benchmark embedding set reaches τ = 0.9 — the
+    * embedding-space member of the decontamination family (d3 exact
+    * 5-grams, d4 bloom, d6 overlap fraction), catching paraphrased or
+    * reformatted benchmark leakage that no n-gram test can see.
+    *
+    * Scale shape: the benchmark set is SMALL by definition → broadcast;
+    * the corpus streams through ONE codegen'd cosine pass (the
+    * sanctioned conditioned nested-loop shape e1 uses), and the verdict
+    * aggregation is partial+final on vec_id, so per-vector state never
+    * leaves its map task until reduced to (max, count). Every corpus
+    * vector reports (n_hits, max_cos, verdict) — the audit artifact, not
+    * just the flagged subset. */
+  def semanticDecontaminate(s: SparkSession, d: String, tau: Double = 0.9,
+      nBench: Int = 32): DataFrame = {
+    val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
+    val bench = emb.filter(col("vec_id") < nBench)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"))
+    broadcast(bench)
+      .join(emb.filter(col("vec_id") >= nBench), col("vec_id") =!= col("bench_id"))
+      .withColumn("cos", cosine("bv", "v"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("cos") >= tau, 1L).otherwise(0L)).as("n_hits"),
+        max(col("cos")).as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= tau)
+      .orderBy(col("vec_id"))
+  }
+
+  /** d8 oracle — brute force over all (benchmark, corpus) pairs with the
+    * same dot/(√·√) evaluation order as `graft_cosine`; max over doubles
+    * is order-independent, so the verdict hashes exactly. */
+  val semanticDecontaminateOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |  FROM embeddings),
+      |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id < 32),
+      |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 32),
+      |p AS (SELECT c.vec_id,
+      |    list_sum(list_transform(generate_series(1, 64), i -> c.v[i] * b.bv[i])) /
+      |      (sqrt(list_sum(list_transform(c.v, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(b.bv, x -> x * x)))) AS cos
+      |  FROM c, b)
+      |SELECT vec_id,
+      |  CAST(sum(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  max(cos) AS max_cos, max(cos) >= 0.9 AS contaminated
+      |FROM p GROUP BY 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d8_semantic_decontaminate" -> ((s: SparkSession, d: String) => semanticDecontaminate(s, d)),
     "e6_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
     "c1_kmeans" -> ((s: SparkSession, d: String) => kmeansClusters(s, d)),
     "c2_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
@@ -637,6 +684,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "d8_semantic_decontaminate" -> semanticDecontaminateOracle,
     "e6_pq_adc" -> pqAdcOracle,
     "c1_kmeans" -> kmeansOracle,
     "c2_semantic_dedup" -> semanticDedupOracle,

@@ -29,4 +29,17 @@ class FormatSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should include regex "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:(bigint|int)"
     (plan should not).include("text:string")
   }
+
+  test("f4 partitioned re-read prunes to the lang=en directory (PartitionFilters)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = Files.createTempDirectory("graft-part-spec").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    val plan = spark.read.parquet(tmp)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    // the predicate must resolve at PLANNING time against directory
+    // values — a partition filter, not a pushed data filter
+    plan should include regex "PartitionFilters: \\[isnotnull\\(lang.*\\), \\(lang.* = en\\)\\]"
+    (plan should not).include("EqualTo(lang,en)")
+  }
 }
