@@ -626,7 +626,46 @@ object PipelineOps {
       |  first(keep_frac) AS keep_frac
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  /** p16 — EPOCH-SEEDED RESHUFFLE order: each training epoch visits the
+    * corpus in a fresh deterministic permutation, keyed by
+    * md5(epoch:doc_id) — reproducible across runs and machines (the
+    * property `rand()`-based shuffles lose), and O(1) to recompute for
+    * any (epoch, doc) pair, so a resumed job re-derives its position
+    * without stored state. The query emits each epoch's first 5
+    * documents; the rank filter lowers to a map-side partial
+    * WindowGroupLimit (the p9/t11 lever), so each task forwards ≤ 5
+    * rows per epoch and the epoch-partitioned window never becomes the
+    * corpus-wide hotspot a full materialized sort would be.
+    *
+    * At scale the full per-epoch order is CONSUMED, not materialized:
+    * downstream reads sort ranges of the md5 key (range partition on the
+    * key = the p14 two-phase pattern); the top-k here pins the
+    * permutation's determinism under the oracle. */
+  def p16EpochOrder(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val epochs = documents(s, d)
+      .select(col("doc_id"), explode(array(lit(0L), lit(1L))).as("epoch"))
+      .withColumn("k", md5(concat(col("epoch"), lit(":"), col("doc_id")).cast("binary")))
+    val w = Window.partitionBy(col("epoch")).orderBy(col("k"), col("doc_id"))
+    epochs
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= 5)
+      .select(col("epoch"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
+  val p16Oracle: String =
+    """WITH e AS (SELECT doc_id, t.epoch,
+      |    md5(CAST(t.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) t),
+      |r AS (SELECT epoch, doc_id,
+      |    row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS pos
+      |  FROM e)
+      |SELECT CAST(epoch AS BIGINT) AS epoch, pos, doc_id
+      |FROM r WHERE pos <= 5 ORDER BY epoch, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_epoch_order" -> (p16EpochOrder _),
     "p15_temperature_mix" -> (p15TemperatureMix _),
     "p14_global_rank" -> (p14GlobalRank _),
     "p13_quality_funnel" -> (p13QualityFunnel _),
@@ -645,6 +684,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p16_epoch_order" -> p16Oracle,
     "p15_temperature_mix" -> p15Oracle,
     "p14_global_rank" -> p14Oracle,
     "p13_quality_funnel" -> p13Oracle,

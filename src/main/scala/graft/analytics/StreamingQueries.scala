@@ -289,7 +289,40 @@ object StreamingQueries {
       |  event_type, count(*) AS n_events
       |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin
 
+  /** s7 — stateful STREAMING DEDUP under the oracle gate: every event is
+    * duplicated in-stream (explode over a 2-element array — the
+    * at-least-once re-delivery shape), `dropDuplicates("event_id")` must
+    * eliminate exactly the copies via state-store lookups, and the
+    * drained output's per-type counts must equal the batch distinct
+    * counts. One leaked duplicate or dropped original breaks the hash.
+    * The watermark-bounded variant (`dropDuplicatesWithinWatermark` —
+    * bounded state, the production form for continuous ingest) is
+    * spec-gated in StreamingDedupSpec where batch boundaries are
+    * controlled; this query pins the exactness contract.
+    *
+    * Scale shape: dedup state is keyed by event_id in the state store;
+    * the memory sink receives deduped rows (append), aggregated in batch
+    * after the drain so the oracle comparison is placement-independent. */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_s7_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("copy", explode(array(lit(1), lit(2))))
+      .select(col("event_id"), col("event_type"))
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_stream_dedup" -> (streamDedup _),
     "s6_stream_window_counts" -> (streamWindowCounts _),
     "s1_stream_count_by_type" -> (streamCountByType _),
     "s2_sessions" -> (sessionStats _),
@@ -299,6 +332,7 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s7_stream_dedup" -> streamCountOracle,
     "s6_stream_window_counts" -> streamWindowOracle,
     "s1_stream_count_by_type" -> streamCountOracle,
     "s2_sessions" -> sessionStatsOracle,

@@ -23,10 +23,10 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   private val planBased = SparkEntry.queries.keys
     .filterNot(Set("s1_stream_count_by_type", "s3_stream_dead_letter",
       "s4_stream_resume", "s5_stream_soft_retry",
-      // s6 returns the drained memory-sink table; inspecting it would
+      // s6/s7 return the drained memory-sink table; inspecting it would
       // launch the streaming query itself, and the returned plan is a
       // plain LocalTableScan with nothing to gate.
-      "s6_stream_window_counts")).toSeq.sorted
+      "s6_stream_window_counts", "s7_stream_dedup")).toSeq.sorted
 
   test("no query plan contains a cartesian product or unconditioned nested loop") {
     // e4 (IVF) legitimately scores every vector against a BOUNDED broadcast
