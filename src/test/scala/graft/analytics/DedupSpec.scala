@@ -74,6 +74,46 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("d7 prefix filtering loses no qualifying pair (brute-force equality on planted excerpts)") {
+    // The exactness claim of the PPJoin prefix filter: probing only each
+    // doc's first ⌊|a|/2⌋+1 trigrams (rare-first order) still finds EVERY
+    // ordered pair with containment ≥ 0.5. Planted excerpts (contiguous
+    // halves of base docs) are exactly the pairs the filter must not drop.
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val base = (0 until 40).map { id =>
+      val n = rng.nextInt(40) + 15
+      (id.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val excerpts = (0 until 12).map { i =>
+      val (_, text) = base(rng.nextInt(base.size))
+      val ws = text.split(" ")
+      val len = math.max(5, ws.length / 2)
+      val start = rng.nextInt(math.max(1, ws.length - len))
+      ((100 + i).toLong, ws.slice(start, start + len).mkString(" "))
+    }
+    val docs = base ++ excerpts
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d7").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+
+    def tri(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> tri(t) }.filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- sets
+      (b, sb) <- sets if a != b
+      inter = (sa & sb).size if 2 * inter >= sa.size
+    } yield (a, b, sa.size.toLong, inter.toLong)).toSet
+
+    val got = Dedup.containmentDedup(spark, tmp)
+      .select("a_id", "b_id", "size_a", "n_shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    got shouldBe expected
+    // the corpus must actually exercise the guarantee
+    expected.size should be > 10
+  }
+
   test("d5 plan: content-hash window + doc regroup, no joins, no cartesian") {
     val plan = Dedup.paragraphDedup(spark, sfDir).queryExecution.executedPlan.toString
     withClue(s"d5 plan:\n$plan\n") {
