@@ -45,7 +45,17 @@ object Bench {
     val qsMax = results.map { case (k, (_, mx)) => s"\"" + k + "\":" + mx }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"runs":$runs,"sf":"$sfDir"}""")
+    // A -1.0 timing buried in a 100-entry map with rc=0 reads as a green
+    // round (ADVICE r6): surface failures as a first-class list AND a
+    // nonzero exit so the harness cannot record the run as clean.
+    val failedNames = results.collect { case (k, (mn, _)) if mn < 0 => k }
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"failed_queries":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failedNames.nonEmpty) {
+      System.err.println(s"[bench] ${failedNames.size} queries FAILED: " +
+        failedNames.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -81,9 +81,9 @@ object StreamingQueries {
     * that `session_window.end` appends past the last event. */
   def sessionStats(s: SparkSession, d: String): DataFrame = {
     val gapMs = 6L * 3600 * 1000
-    val ev = s.read.parquet(s"$d/events.parquet")
+    val ev = Tables.events(s, d)
       .select(col("user_id"),
-        // ts is an epoch-nanos BIGINT (nanosAsLong) — see EventStream
+        // ts is an epoch-nanos BIGINT (Tables.normalizeEventTs contract)
         timestamp_micros(expr("ts div 1000")).as("ts"))
     ev.groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -270,8 +270,8 @@ object StreamingQueries {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_s6_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // the file stream source requires a DIRECTORY; filter it to the one table
-    val q = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val q = Tables.normalizeEventTs(spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
       .select(timestamp_micros(expr("ts div 1000")).as("tsx"), col("event_type"))
       .groupBy(window(col("tsx"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))

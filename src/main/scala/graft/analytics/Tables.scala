@@ -1,6 +1,8 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -31,7 +33,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(table(s, d, "events"))
+
+  /** Engine-wide contract: `events.ts` is an epoch-NANOS BIGINT. The
+    * physical parquet type has shipped as both TIMESTAMP(NANOS) (read as a
+    * nanos long under `spark.sql.legacy.parquet.nanosAsLong`) and
+    * TIMESTAMP(MICROS) (read natively as timestamp / timestamp_ntz), so the
+    * loader pins the logical schema here instead of every query branching on
+    * the file vintage. `unix_micros` on an LTZ timestamp returns the exact
+    * stored integers independent of session timezone; the NTZ→LTZ cast is
+    * exact because every engine session sets `spark.sql.session.timeZone`
+    * to UTC. Pure projection — works on batch and streaming frames alike. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df // already epoch-nanos (nanosAsLong vintage)
+      case Some(_) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case None => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -35,13 +35,15 @@ object EventStream {
   private def buildClientFromParquet(spark: SparkSession, eventsPath: String,
       numShards: Int): InMemorySourceClient = {
     import spark.implicits._
-    val rows = spark.read.parquet(eventsPath)
+    // normalizeEventTs pins ts to the epoch-nanos BIGINT contract across
+    // parquet vintages (TIMESTAMP(NANOS)-as-long vs native TIMESTAMP(MICROS))
+    val rows = graft.analytics.Tables.normalizeEventTs(spark.read.parquet(eventsPath))
       .select(
         format_string("%016d", col("event_id")).as("sequenceNumber"),
         col("user_id").cast("string").as("partitionKey"),
         encode(concat_ws("|", col("event_type"), col("value").cast("string"), col("props")), "UTF-8")
           .as("data"),
-        // ts is an epoch-NANOS long (read under nanosAsLong); a numeric
+        // ts is an epoch-NANOS long (normalizeEventTs contract); a numeric
         // `.cast("timestamp")` would interpret the value as SECONDS, so go
         // through timestamp_micros on ts/1000 instead.
         timestamp_micros(expr("ts div 1000")).as("approximateArrivalTimestamp"),
