@@ -40,9 +40,13 @@ object Bench {
       val good = times.filter(_ >= 0)
       name -> (if (good.isEmpty) (-1.0, -1.0) else (good.min, good.max))
     }
-    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
+    // 0.1 ms precision: full-resolution doubles balloon the 115-entry line
+    // past harness capture limits, and sub-ms digits are noise on this rig.
+    def r4(d: Double): String =
+      if (d < 0) "-1.0" else BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }
       .mkString("{", ",", "}")
-    val qsMax = results.map { case (k, (_, mx)) => s"\"" + k + "\":" + mx }
+    val qsMax = results.map { case (k, (_, mx)) => s"\"" + k + "\":" + r4(mx) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
     // A -1.0 timing buried in a 100-entry map with rc=0 reads as a green
