@@ -1096,7 +1096,50 @@ object ExtendedQueries {
       |FROM days JOIN pairs ON day BETWEEN d - 6 AND d
       |GROUP BY d ORDER BY day""".stripMargin
 
+  /** q48 — RECURSIVE CTE (hierarchy walk): Spark 4's `WITH RECURSIVE`
+    * (SPARK-24497) exercised as a registered, oracle-checked capability.
+    * Users form an implicit referral forest — user u's referrer is
+    * `u div 2` (u > 1; 0 and 1 are roots) — and the query walks it from
+    * the roots, labeling every user with referral depth, then aggregates
+    * per depth. Pure integer arithmetic: DuckDB replays the identical
+    * recursion (`//` = `div` on non-negatives) so counts and id sums
+    * hash exactly.
+    *
+    * Scale shape: each recursion level is ONE equi-join of the frontier
+    * against the (distinct-user) node table on the halved key plus a
+    * union — levels ≈ log₂(max user id), so a 10⁹-user forest is ~30
+    * bounded joins, each shuffle-partitioned on the join key; the
+    * frontier never exceeds the node count. This is the same shape as
+    * n4's hand-rolled label propagation, but planner-managed. */
+  def q48RecursiveChain(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("graft_ev_v")
+    s.sql(
+      """WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM graft_ev_v),
+        |walk(node, depth) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) FROM users WHERE user_id <= 1
+        |  UNION ALL
+        |  SELECT u.user_id, w.depth + 1
+        |  FROM walk w JOIN users u ON u.user_id div 2 = w.node AND u.user_id > 1
+        |)
+        |SELECT depth, count(1) AS n_users, sum(node) AS id_sum,
+        |  min(node) AS min_id, max(node) AS max_id
+        |FROM walk GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val q48Oracle: String =
+    """WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM events),
+      |walk(node, depth) AS (
+      |  SELECT user_id, CAST(0 AS BIGINT) FROM users WHERE user_id <= 1
+      |  UNION ALL
+      |  SELECT u.user_id, w.depth + 1
+      |  FROM walk w JOIN users u ON u.user_id // 2 = w.node AND u.user_id > 1
+      |)
+      |SELECT depth, count(*) AS n_users, CAST(sum(node) AS BIGINT) AS id_sum,
+      |  min(node) AS min_id, max(node) AS max_id
+      |FROM walk GROUP BY depth ORDER BY depth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_recursive_chain" -> (q48RecursiveChain _),
     "q46_locf" -> (q46Locf _),
     "q47_rolling_wau" -> (q47RollingWau _),
     "q42_posexplode" -> (q42Posexplode _),
@@ -1169,6 +1212,7 @@ object ExtendedQueries {
     "q30_range_frame" -> q30Oracle,
     "q32_unpivot" -> q32Oracle,
     "q17_event_gaps" -> q17Oracle,
+    "q48_recursive_chain" -> q48Oracle,
     "q12_event_time_window" -> q12Oracle,
     "q25_sliding_window" -> q25Oracle,
     "q13_union_balances" -> q13Oracle,

@@ -432,6 +432,63 @@ object PipelineOps {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** p17 — LEAKAGE-SAFE train/val/test split: p10's hash split with one
+    * additional rule — every member of a near-dup cluster (n4's connected
+    * components over the MinHash pair graph) keys its split by the CLUSTER
+    * representative, not its own id, so near-duplicate documents can never
+    * straddle train and test. This closes the classic eval-contamination
+    * hole hash splits leave open: two 95%-identical crawls of the same
+    * page hash to independent buckets and leak test content into train.
+    * Reports p10's per-split stats plus how many clustered docs landed in
+    * each split, so the oracle pins the exact assignment.
+    *
+    * Scale shape: the cluster labels are n4's output (banded-LSH
+    * candidates + label propagation — id-only shuffles); attaching them is
+    * one left join on doc_id, and the label side is the near-dup subset
+    * (≪ corpus). Split assignment stays a pure column expression; the
+    * only new corpus-wide shuffle is the label join. */
+  def p17LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val clusters = NearDup.minhashClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val keyed = documents(s, d).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+    val bucket = conv(substring(
+      md5(col("split_key").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    keyed
+      .withColumn("split",
+        when(bucket < 900, lit("train"))
+          .when(bucket < 950, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered"))
+      .orderBy(col("split"))
+  }
+
+  /** p17 oracle — n4's recursive-CTE component derivation verbatim as a
+    * CTE (the n7 pattern), then p10's md5 bucket rule on the coalesced
+    * split key. */
+  def p17Oracle: String =
+    s"""WITH clusters AS (${NearDup.minhashClustersOracle}),
+      |k AS (SELECT d.doc_id, c.cluster_id,
+      |    coalesce(c.cluster_id, d.doc_id) AS split_key
+      |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+      |b AS (SELECT doc_id, cluster_id,
+      |    CAST('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8) AS BIGINT)
+      |      % 1000 AS bucket
+      |  FROM k),
+      |sp AS (SELECT doc_id, cluster_id, CASE WHEN bucket < 900 THEN 'train'
+      |    WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split FROM b)
+      |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |  CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clustered
+      |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
+
   /** p11 — SEQUENCE PACKING: concatenate documents into fixed-budget
     * training sequences (512 tokens) and report, per document, where it
     * lands — shard, token offset, first sequence id, and how many sequences
@@ -672,6 +729,7 @@ object PipelineOps {
     "p12_overlap_chunks" -> (p12OverlapChunks _),
     "p11_pack_sequences" -> (p11PackSequences _),
     "p10_split" -> (p10Split _),
+    "p17_leakage_safe_split" -> (p17LeakageSafeSplit _),
     "p9_source_cap" -> ((s: SparkSession, d: String) => p9SourceCap(s, d)),
     "p8_interval_join" -> ((s: SparkSession, d: String) => p8IntervalJoin(s, d)),
     "p7_weighted_sample" -> (p7WeightedSample _),
@@ -691,6 +749,7 @@ object PipelineOps {
     "p12_overlap_chunks" -> p12Oracle,
     "p11_pack_sequences" -> p11Oracle,
     "p10_split" -> p10Oracle,
+    "p17_leakage_safe_split" -> p17Oracle,
     "p9_source_cap" -> p9Oracle,
     "p8_interval_join" -> p8Oracle,
     "p7_weighted_sample" -> p7Oracle,

@@ -210,6 +210,84 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** e7 — MUTUAL k-NN GRAPH construction: every vector's top-k cosine
+    * neighbors among its IVF cell-mates (the e4 codebook/assignment,
+    * reused verbatim), kept only where the preference is RECIPROCAL
+    * (a in b's top-k AND b in a's top-k). The mutual-kNN graph is the
+    * curation workhorse behind density-based pruning, diversity
+    * sampling, and graph-ANN index builds — and reciprocal-nearest
+    * filtering is the standard trick to strip hub vectors (high-degree
+    * false neighbors) without any tunable threshold. Within-cell
+    * candidacy makes the result exactly reproducible (and
+    * oracle-replayable) instead of depending on an index traversal
+    * order.
+    *
+    * Scale shape: one broadcast-codebook assignment scan (e4's only
+    * full pass), then a cell-keyed self-join whose quadratic term is
+    * bounded by per-cell occupancy — nCells grows with the corpus
+    * (the c2/SemDeDup K ≈ √n rule) so occupancy stays flat. The
+    * directed top-k reduces each (src, cell) group to k rows BEFORE
+    * the mutual join, which therefore joins two O(n·k) edge lists on
+    * the (src, dst) pair key. Like c2 the self-join carries vectors
+    * (dense in-cell candidates; an id-only pair distinct would shuffle
+    * the pair set twice more). */
+  def knnGraph(s: SparkSession, d: String, k: Int = 3, nCells: Int = 16): DataFrame = {
+    val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
+    val centroids = emb
+      .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    val assignScore = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cell_id"))
+    // cached: feeds both sides of the in-cell self-join
+    val assigned = emb.join(broadcast(centroids))
+      .withColumn("cscore", cosine("v", "cv"))
+      .withColumn("crk", row_number().over(assignScore))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("cell_id"))
+      .cache()
+    val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val topk = assigned.as("a").join(assigned.as("b"),
+        col("a.cell_id") === col("b.cell_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        cosine("a.v", "b.v").as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"))
+    topk.as("x").join(topk.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
+          col("x.src") < col("x.dst"))
+      .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** e7 oracle — e4's codebook/assignment CTEs re-derived, the directed
+    * in-cell top-k, then the reciprocal join; ties break by vec_id in
+    * both engines, so the edge set hashes exactly. */
+  val knnGraphOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm FROM e),
+      |cent AS (SELECT vec_id AS cell_id, v AS cv, vnorm AS cnorm FROM n
+      |         WHERE vec_id % 31 = 0 AND vec_id < 496),
+      |assigned AS (SELECT vec_id, cell_id FROM (
+      |    SELECT n.vec_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) / (n.vnorm * c.cnorm) DESC,
+      |        c.cell_id) AS crk
+      |    FROM n, cent c) WHERE crk = 1),
+      |topk AS (SELECT src, dst FROM (
+      |    SELECT a.vec_id AS src, b.vec_id AS dst,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> na.v[i] * nb.v[i])) / (na.vnorm * nb.vnorm) DESC,
+      |        b.vec_id) AS rk
+      |    FROM assigned a JOIN assigned b
+      |      ON b.cell_id = a.cell_id AND b.vec_id <> a.vec_id
+      |    JOIN n na ON na.vec_id = a.vec_id
+      |    JOIN n nb ON nb.vec_id = b.vec_id) t
+      |  WHERE rk <= 3)
+      |SELECT x.src AS vec_a, x.dst AS vec_b
+      |FROM topk x JOIN topk y ON y.src = x.dst AND y.dst = x.src
+      |WHERE x.src < x.dst ORDER BY vec_a, vec_b""".stripMargin
+
   /** e2 oracle — DuckDB recomputes the ENTIRE LSH definition independently:
     * the hyperplane matrix is a compile-time constant of exact rationals
     * (n/1e6, n integer), so its values are embedded as literal lists and the
@@ -680,7 +758,8 @@ object Similarity {
     "e2_ann_lsh_topk" -> ((s: SparkSession, d: String) => lshCosineTopK(s, d)),
     "e3_embedding_neardup" -> (embeddingNearDup _),
     "e4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfCosineTopK(s, d)),
-    "e5_ann_recall" -> (annRecall _)
+    "e5_ann_recall" -> (annRecall _),
+    "e7_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -692,6 +771,7 @@ object Similarity {
     "e2_ann_lsh_topk" -> lshCosineOracle,
     "e3_embedding_neardup" -> embeddingNearDupOracle,
     "e4_ann_ivf_topk" -> ivfCosineOracle,
-    "e5_ann_recall" -> annRecallOracle
+    "e5_ann_recall" -> annRecallOracle,
+    "e7_knn_graph" -> knnGraphOracle
   )
 }

@@ -289,6 +289,51 @@ object StreamingQueries {
       |  event_type, count(*) AS n_events
       |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin
 
+  /** s8 — STREAM-STREAM INTERVAL JOIN under the oracle gate: clicks and
+    * purchases read as two watermarked file streams, inner-joined on
+    * user + the closed lookback window `[p_ts − 1h, p_ts]` (the
+    * [[graft.streaming.StreamJoin.attributionJoin]] contract), drained
+    * with `Trigger.AvailableNow` into a memory sink. The drained pair
+    * set must equal the batch interval join — the output is checked
+    * against p8's DuckDB `BETWEEN`-join oracle VERBATIM, closing the
+    * last gap between the streaming operator family and the oracle gate
+    * (spec coverage in StreamJoinSpec pins watermark eviction; this
+    * pins the join's exact pair semantics at corpus scale).
+    *
+    * Scale shape: state per side is bounded by watermark + join window
+    * (clicks older than `maxSeen(p_ts) − 1h − watermark` are evicted);
+    * the join itself shuffles both sides on user_id. The batch twin
+    * (p8) bins instead of relying on eviction — the right shape when
+    * the data is at rest; this one is the right shape when it never
+    * stops arriving. */
+  def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_s8_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    def src = Tables.normalizeEventTs(spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("tsx"), col("event_type"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("tsx").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("tsx").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val q = purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("p_user").as("user_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("p_id"), col("click_id"))
+  }
+
   /** s7 — stateful STREAMING DEDUP under the oracle gate: every event is
     * duplicated in-stream (explode over a 2-element array — the
     * at-least-once re-delivery shape), `dropDuplicates("event_id")` must
@@ -322,6 +367,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_stream_interval_join" -> (streamIntervalJoin _),
     "s7_stream_dedup" -> (streamDedup _),
     "s6_stream_window_counts" -> (streamWindowCounts _),
     "s1_stream_count_by_type" -> (streamCountByType _),
@@ -332,6 +378,7 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s8_stream_interval_join" -> PipelineOps.p8Oracle,
     "s7_stream_dedup" -> streamCountOracle,
     "s6_stream_window_counts" -> streamWindowOracle,
     "s1_stream_count_by_type" -> streamCountOracle,

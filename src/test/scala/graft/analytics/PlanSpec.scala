@@ -23,10 +23,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   private val planBased = SparkEntry.queries.keys
     .filterNot(Set("s1_stream_count_by_type", "s3_stream_dead_letter",
       "s4_stream_resume", "s5_stream_soft_retry",
-      // s6/s7 return the drained memory-sink table; inspecting it would
+      // s6/s7/s8 return the drained memory-sink table; inspecting it would
       // launch the streaming query itself, and the returned plan is a
       // plain LocalTableScan with nothing to gate.
-      "s6_stream_window_counts", "s7_stream_dedup")).toSeq.sorted
+      "s6_stream_window_counts", "s7_stream_dedup",
+      "s8_stream_interval_join")).toSeq.sorted
 
   test("no query plan contains a cartesian product or unconditioned nested loop") {
     // e4 (IVF) legitimately scores every vector against a BOUNDED broadcast
@@ -36,8 +37,9 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // c1 (k-means) assigns against its K-row broadcast centroid table —
     // the same sanctioned codebook shape, once per Lloyd iteration.
     // c2 (SemDeDup) shares c1/e4's broadcast-codebook assignment pass.
+    // e7 (mutual kNN graph) reuses e4's broadcast-codebook assignment.
     val codebookJoins = Set("e4_ann_ivf_topk", "e5_ann_recall", "c1_kmeans",
-      "c2_semantic_dedup")
+      "c2_semantic_dedup", "e7_knn_graph")
     planBased.foreach { name =>
       val plan = planOf(name)
       withClue(s"$name plan:\n$plan\n") {
@@ -111,6 +113,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       // the map-side combine (partial_max) before the probe_id exchange
       plan should include("partial_max")
     }
+  }
+
+  test("e7 kNN-graph edges come from the cell-key equi-join; mutual filter is a pair-key equi-join") {
+    val plan = planOf("e7_knn_graph")
+    // in-cell candidate generation must be an equi-join on cell_id (never
+    // an all-pairs cross), and the reciprocal filter an equi-join on the
+    // (src, dst) pair key
+    plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*cell_id"
+    plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*src"
+    plan should not include "CartesianProduct"
   }
 
   test("c2 semantic-dedup pairs come from an equi-join on the cell key") {
