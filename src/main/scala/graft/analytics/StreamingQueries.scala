@@ -18,6 +18,20 @@ import graft.sources.{EventStream, SourceClient}
   * path (S1-S4, T1/T3/T4, K1-K4, O1-O9) sits under this oracle. */
 object StreamingQueries {
 
+  /** File-stream source for the events table. The source requires a
+    * DIRECTORY; the driver testdata ships `events.parquet` as a single
+    * FILE (→ read the parent dir with a leaf-name glob), while
+    * Spark-written rehearsal data (graft.ScaleUp) ships it as a
+    * DIRECTORY of part files (→ read the directory itself; the leaf glob
+    * would match nothing inside and silently stream zero rows). */
+  private def eventsFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val asDir = new java.io.File(s"$sfDir/events.parquet").isDirectory
+    val reader = spark.readStream.schema(schema)
+    if (asDir) reader.parquet(s"$sfDir/events.parquet")
+    else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+  }
+
   /** Decodes the `"event_type|value|props"` payload and emits the event
     * type — the reference's doc example shape (UTF-8 decode in user code,
     * `src/lib.rs:95-113`). */
@@ -267,11 +281,8 @@ object StreamingQueries {
     * the memory sink is the test harness, a real run writes to a table. */
   def streamWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_s6_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    // the file stream source requires a DIRECTORY; filter it to the one table
-    val q = Tables.normalizeEventTs(spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    val q = Tables.normalizeEventTs(eventsFileStream(spark, sfDir))
       .select(timestamp_micros(expr("ts div 1000")).as("tsx"), col("event_type"))
       .groupBy(window(col("tsx"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -308,10 +319,8 @@ object StreamingQueries {
     * stops arriving. */
   def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_s8_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    def src = Tables.normalizeEventTs(spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    def src = Tables.normalizeEventTs(eventsFileStream(spark, sfDir))
       .select(col("event_id"), col("user_id"),
         timestamp_micros(expr("ts div 1000")).as("tsx"), col("event_type"))
     val clicks = src.filter(col("event_type") === "click")
@@ -350,10 +359,8 @@ object StreamingQueries {
     * after the drain so the oracle comparison is placement-independent. */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_s7_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val q = eventsFileStream(spark, sfDir)
       .withColumn("copy", explode(array(lit(1), lit(2))))
       .select(col("event_id"), col("event_type"))
       .dropDuplicates("event_id")
