@@ -642,6 +642,47 @@ object ExtendedQueries {
       |max(array_to_string(json_keys(props), ',')) AS key_set
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q49 — the higher-order MAP-function surface (`transform_values`,
+    * `map_filter`, `map_zip_with`, map explode), completing the
+    * collection-function family next to q45's arrays and q34's map
+    * parsing. A 3-entry map is built per event from plain columns, pushed
+    * through a value transform, a key filter, and a two-map zip, then
+    * EXPLODED to (event_id, src, key, val) rows — so the oracle re-derives
+    * every entry from the underlying columns with plain string concat and
+    * never needs a map type of its own. All map work is per-row codegen;
+    * the probe filter (user_id < 5) reaches the scan.
+    *
+    * Scale shape: shuffle-free except the final presentation sort. */
+  def q49MapFunctions(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).filter(col("user_id") < 5)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").as("k"),
+        col("user_id").cast("string").as("u"))
+      .withColumn("m1", map(lit("t"), col("event_type"),
+        lit("k"), col("k"), lit("u"), col("u")))
+      .withColumn("m2", expr("transform_values(m1, (k, v) -> concat(k, ':', v))"))
+      .withColumn("m3", expr("map_filter(m2, (k, v) -> k != 'u')"))
+      .withColumn("mz", expr("map_zip_with(m1, m2, (k, a, b) -> concat(a, '|', b))"))
+    ev.select(col("event_id"), lit("filtered").as("src"),
+        explode(col("m3")).as(Seq("key", "val")))
+      .unionByName(ev.select(col("event_id"), lit("zipped").as("src"),
+        explode(col("mz")).as(Seq("key", "val"))))
+      .orderBy(col("event_id"), col("src"), col("key"))
+  }
+
+  val q49Oracle: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |    props->>'$.k' AS k, CAST(user_id AS VARCHAR) AS u
+      |  FROM events WHERE user_id < 5),
+      |rows AS (
+      |  SELECT event_id, 'filtered' AS src, 't' AS key, 't:' || event_type AS val FROM e
+      |  UNION ALL SELECT event_id, 'filtered', 'k', 'k:' || k FROM e
+      |  UNION ALL SELECT event_id, 'zipped', 't', event_type || '|' || 't:' || event_type FROM e
+      |  UNION ALL SELECT event_id, 'zipped', 'k', k || '|' || 'k:' || k FROM e
+      |  UNION ALL SELECT event_id, 'zipped', 'u', u || '|' || 'u:' || u FROM e)
+      |SELECT event_id, src, key, val FROM rows
+      |ORDER BY event_id, src, key""".stripMargin
+
   /** q22 — semi-structured JSON extraction: the events `props` column is a
     * JSON string; pull `$.k` out (Spark `get_json_object`, DuckDB `->>`),
     * cast to BIGINT, and aggregate per event type. Exact integer outputs
@@ -1140,6 +1181,7 @@ object ExtendedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_recursive_chain" -> (q48RecursiveChain _),
+    "q49_map_functions" -> (q49MapFunctions _),
     "q46_locf" -> (q46Locf _),
     "q47_rolling_wau" -> (q47RollingWau _),
     "q42_posexplode" -> (q42Posexplode _),
@@ -1213,6 +1255,7 @@ object ExtendedQueries {
     "q32_unpivot" -> q32Oracle,
     "q17_event_gaps" -> q17Oracle,
     "q48_recursive_chain" -> q48Oracle,
+    "q49_map_functions" -> q49Oracle,
     "q12_event_time_window" -> q12Oracle,
     "q25_sliding_window" -> q25Oracle,
     "q13_union_balances" -> q13Oracle,
