@@ -123,6 +123,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*cell_id"
     plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*src"
     plan should not include "CartesianProduct"
+    // the directed top-k must prune map-side: a Partial WindowGroupLimit
+    // below the src exchange caps the shuffled pair stream at k rows per
+    // (src, map partition) — without it the in-cell pair set (the
+    // (n/K)²·K term) would cross the wire into one window sort
+    plan should include regex "WindowGroupLimit \\[src.*Partial"
   }
 
   test("c2 semantic-dedup pairs come from an equi-join on the cell key") {
