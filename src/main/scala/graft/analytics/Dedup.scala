@@ -347,7 +347,74 @@ object Dedup {
       |WHERE 2 * len(list_intersect(a.sgs, b.sgs)) >= len(a.sgs)
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** d10 — INCREMENTAL INGEST DEDUP: the daily-batch shape (new crawl vs
+    * resident corpus) rather than d1's full-corpus backfill. The corpus is
+    * the md5-bucket-<800 docs (deterministic stand-in for "already
+    * ingested"), the batch is the rest; every batch doc gets a verdict —
+    * `dup_of_corpus` (content hash already resident), `dup_in_batch`
+    * (a lower-id batch doc has the same hash), or `kept`. Reports count +
+    * id-sum per verdict so the oracle pins exact membership.
+    *
+    * Scale shape: the corpus side reduces to DISTINCT 8-byte hashes before
+    * a hash-key left join (at 100 TB this is the bloom/bucketed lookup
+    * path — the join key is never text); in-batch first-wins is a
+    * partial+final min on the hash, not a window. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    val docs = documents(s, d)
+      .select(col("doc_id"), xxhash64(normText).as("h"), bucket.as("b"))
+    val existing = docs.filter(col("b") < 800)
+      .select(col("h")).distinct().withColumn("in_corpus", lit(1))
+    // The corpus has no natural exact dups (the d1 precedent), so the
+    // batch synthesizes the incremental shape deterministically: fresh
+    // docs, re-crawls of resident docs (every 7th corpus doc, re-idd),
+    // and an in-batch double (every 11th batch doc, re-idd)
+    val fresh = docs.filter(col("b") >= 800)
+    val batch = fresh
+      .unionByName(docs.filter(col("b") < 800 && col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+      .unionByName(fresh.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 3000000L))
+    val firstIds = batch.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    batch
+      .join(existing, Seq("h"), "left")
+      .join(firstIds, "h")
+      .withColumn("verdict",
+        when(col("in_corpus").isNotNull, lit("dup_of_corpus"))
+          .when(col("doc_id") === col("first_id"), lit("kept"))
+          .otherwise(lit("dup_in_batch")))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("verdict"))
+  }
+
+  /** d10 oracle — same verdict logic on the normalized-text key itself
+    * (matches xxhash64 grouping modulo 64-bit collisions, the d1
+    * precedent). */
+  val incrementalDedupOracle: String =
+    """WITH docs AS (SELECT doc_id,
+      |    regexp_replace(lower(text), '\s+', ' ', 'g') AS nt,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |      % 1000 AS b
+      |  FROM documents),
+      |existing AS (SELECT DISTINCT nt FROM docs WHERE b < 800),
+      |batch AS (SELECT doc_id, nt FROM docs WHERE b >= 800
+      |  UNION ALL SELECT doc_id + 2000000, nt FROM docs WHERE b < 800 AND doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + 3000000, nt FROM docs WHERE b >= 800 AND doc_id % 11 = 0),
+      |f AS (SELECT nt, min(doc_id) AS first_id FROM batch GROUP BY nt),
+      |v AS (SELECT bt.doc_id,
+      |    CASE WHEN e.nt IS NOT NULL THEN 'dup_of_corpus'
+      |         WHEN bt.doc_id = f.first_id THEN 'kept'
+      |         ELSE 'dup_in_batch' END AS verdict
+      |  FROM batch bt LEFT JOIN existing e ON e.nt = bt.nt
+      |  JOIN f ON f.nt = bt.nt)
+      |SELECT verdict, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM v GROUP BY 1 ORDER BY verdict""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_incremental_dedup" -> (incrementalDedup _),
     "d7_containment_dedup" -> (containmentDedup _),
     "d1_exact_dedup" -> (exactDedup _),
     "d2_dedup_stats" -> (dedupStats _),
@@ -358,6 +425,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "d10_incremental_dedup" -> incrementalDedupOracle,
     "d7_containment_dedup" -> containmentDedupOracle,
     "d1_exact_dedup" -> exactDedupOracle,
     "d2_dedup_stats" -> dedupStatsOracle,

@@ -683,6 +683,41 @@ object ExtendedQueries {
       |SELECT event_id, src, key, val FROM rows
       |ORDER BY event_id, src, key""".stripMargin
 
+  /** q50 — the ANSI error-safe `try_*` surface (`try_divide`, `try_cast`,
+    * `try_element_at`): under ANSI semantics these return NULL where the
+    * strict form would raise — the contract that lets a 100 TB pipeline
+    * quarantine malformed rows as data instead of dying mid-job. Each
+    * failure mode is made data-dependent (divide by `user_id % 3`,
+    * out-of-range list index from `user_id % 4`, a non-numeric cast) and
+    * counted per event type; the oracle re-derives the NULL rule with
+    * plain CASE arithmetic, so the outputs pin the exact null semantics.
+    *
+    * Scale shape: per-row expressions + one partial+final aggregate. */
+  def q50TryFunctions(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"), col("user_id"),
+        expr("try_divide(CAST(1 AS DOUBLE), CAST(user_id % 3 AS DOUBLE))").as("dv"),
+        // index 0 is categorically invalid (raises even under try_); map
+        // the 0 residue to 4 — genuinely out of range, which try_element_at
+        // converts to NULL
+        expr("try_element_at(array('a', 'b', 'c'), CAST(CASE WHEN user_id % 4 = 0 THEN 4 ELSE user_id % 4 END AS INT))").as("el"),
+        expr("try_cast(event_type AS BIGINT)").as("bc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dv").isNull, 1L).otherwise(0L)).as("n_div_null"),
+        sum(when(col("el").isNull, 1L).otherwise(0L)).as("n_elem_null"),
+        sum(when(col("bc").isNull, 1L).otherwise(0L)).as("n_cast_null"),
+        max(col("el")).as("max_elem"))
+      .orderBy(col("event_type"))
+
+  val q50Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+      |  CAST(sum(CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_elem_null,
+      |  count(*) AS n_cast_null,
+      |  max(CASE user_id % 4 WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c' END) AS max_elem
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q22 — semi-structured JSON extraction: the events `props` column is a
     * JSON string; pull `$.k` out (Spark `get_json_object`, DuckDB `->>`),
     * cast to BIGINT, and aggregate per event type. Exact integer outputs
@@ -1182,6 +1217,7 @@ object ExtendedQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_recursive_chain" -> (q48RecursiveChain _),
     "q49_map_functions" -> (q49MapFunctions _),
+    "q50_try_functions" -> (q50TryFunctions _),
     "q46_locf" -> (q46Locf _),
     "q47_rolling_wau" -> (q47RollingWau _),
     "q42_posexplode" -> (q42Posexplode _),
@@ -1256,6 +1292,7 @@ object ExtendedQueries {
     "q17_event_gaps" -> q17Oracle,
     "q48_recursive_chain" -> q48Oracle,
     "q49_map_functions" -> q49Oracle,
+    "q50_try_functions" -> q50Oracle,
     "q12_event_time_window" -> q12Oracle,
     "q25_sliding_window" -> q25Oracle,
     "q13_union_balances" -> q13Oracle,

@@ -343,6 +343,40 @@ object StreamingQueries {
     spark.table(name).orderBy(col("p_id"), col("click_id"))
   }
 
+  /** s9 — STREAMING SESSIONIZATION under the oracle gate: `session_window`
+    * over the watermark-free complete-mode path, drained with
+    * `Trigger.AvailableNow`, then s2's per-user reduction — the drained
+    * session set must converge to the batch gaps-and-islands oracle
+    * exactly. Complete mode is deliberate (the s6 argument: an
+    * oracle-gated output must not depend on micro-batch placement or on
+    * how far the final watermark advanced past the last session); the
+    * bounded-state append/watermark sessionization is exercised in
+    * SessionizeSpec where batch boundaries are controlled.
+    *
+    * Scale shape: session-window state is O(open sessions) per user in
+    * the state store; merges happen store-side per micro-batch. */
+  def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val gapMs = 6L * 3600 * 1000
+    val name = s"graft_s9_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = Tables.normalizeEventTs(eventsFileStream(spark, sfDir))
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("tsx"))
+      .groupBy(session_window(col("tsx"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("n_events"),
+        (unix_millis(col("session_window.end")) -
+          unix_millis(col("session_window.start")) - gapMs).as("span_ms"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_events"),
+        max(col("span_ms")).as("max_span_ms"))
+      .orderBy(col("user_id"))
+  }
+
   /** s7 — stateful STREAMING DEDUP under the oracle gate: every event is
     * duplicated in-stream (explode over a 2-element array — the
     * at-least-once re-delivery shape), `dropDuplicates("event_id")` must
@@ -375,6 +409,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_stream_interval_join" -> (streamIntervalJoin _),
+    "s9_stream_sessions" -> (streamSessions _),
     "s7_stream_dedup" -> (streamDedup _),
     "s6_stream_window_counts" -> (streamWindowCounts _),
     "s1_stream_count_by_type" -> (streamCountByType _),
@@ -386,6 +421,7 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "s8_stream_interval_join" -> PipelineOps.p8Oracle,
+    "s9_stream_sessions" -> sessionStatsOracle,
     "s7_stream_dedup" -> streamCountOracle,
     "s6_stream_window_counts" -> streamWindowOracle,
     "s1_stream_count_by_type" -> streamCountOracle,
