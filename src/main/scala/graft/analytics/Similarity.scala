@@ -297,6 +297,117 @@ object Similarity {
       |FROM topk x JOIN topk y ON y.src = x.dst AND y.dst = x.src
       |WHERE x.src < x.dst ORDER BY vec_a, vec_b""".stripMargin
 
+  /** e8 — MMR (maximal marginal relevance) DIVERSITY RE-RANKING: from each
+    * probe's brute-force top-5 (e1's exact candidate set), greedily select
+    * 3 by `λ·cos(probe, c) − (1−λ)·max_{s∈selected} cos(c, s)` with
+    * λ = 0.7 — the standard redundancy-penalized retrieval used to keep
+    * near-identical neighbors from crowding a result set (and, in corpus
+    * curation, to pick diverse exemplars per cluster). The greedy loop is
+    * UNROLLED for fixed depth 3, so the whole operator is three
+    * argmax-over-a-tiny-set stages — no iteration state, no driver loop.
+    *
+    * Determinism: every cosine is the shared double fold; the MMR score
+    * is two IEEE multiplies and a subtract applied identically in both
+    * engines (0.3 written literally, never computed as 1 − 0.7); argmax
+    * ties break on vec_id. Scale shape: the corpus-wide work is exactly
+    * e1's scored scan; everything after operates on 8 probes × 5
+    * candidates and the 5×4 in-set pair sims — broadcast-sized forever. */
+  def mmrRerank(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val lam = 0.7; val oneMinusLam = 0.3
+    val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_pc").desc, col("vec_id"))
+    val cands = broadcast(probes)
+      .join(emb, col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_pc", cosine("pv", "v"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id").as("cand"), col("cos_pc"))
+      .cache()
+    // in-set pair similarities (5×4 per probe; vectors join back by id)
+    val sims = cands.as("a").join(cands.as("b"),
+        col("a.probe_id") === col("b.probe_id") && col("a.cand") =!= col("b.cand"))
+      .select(col("a.probe_id").as("probe_id"), col("a.cand").as("ca"),
+        col("b.cand").as("cb"))
+      .join(emb.select(col("vec_id").as("ca"), col("v").as("va")), "ca")
+      .join(emb.select(col("vec_id").as("cb"), col("v").as("vb")), "cb")
+      .withColumn("sim", cosine("va", "vb"))
+      .select(col("probe_id"), col("ca"), col("cb"), col("sim"))
+    def argmax(df: DataFrame, score: Column): DataFrame = {
+      val ws = Window.partitionBy(col("probe_id")).orderBy(score.desc, col("cand"))
+      df.withColumn("srk", row_number().over(ws)).filter(col("srk") === 1)
+        .select(col("probe_id"), col("cand"))
+    }
+    val s1 = argmax(cands, col("cos_pc"))
+    val c2 = cands.join(s1.select(col("probe_id"), col("cand").as("sel1")), "probe_id")
+      .filter(col("cand") =!= col("sel1"))
+      .join(sims.select(col("probe_id"), col("ca").as("cand"),
+        col("cb").as("sel1"), col("sim")), Seq("probe_id", "cand", "sel1"))
+      .withColumn("sco", lit(lam) * col("cos_pc") - lit(oneMinusLam) * col("sim"))
+    val s2 = argmax(c2, col("sco"))
+    // two explicit sim lookups (vs sel1, sel2), then the max penalty
+    val c3 = cands
+      .join(s1.select(col("probe_id"), col("cand").as("sel1")), "probe_id")
+      .join(s2.select(col("probe_id"), col("cand").as("sel2")), "probe_id")
+      .filter(col("cand") =!= col("sel1") && col("cand") =!= col("sel2"))
+      .join(sims.select(col("probe_id"), col("ca").as("cand"),
+        col("cb").as("sel1"), col("sim").as("sim1")), Seq("probe_id", "cand", "sel1"))
+      .join(sims.select(col("probe_id"), col("ca").as("cand"),
+        col("cb").as("sel2"), col("sim").as("sim2")), Seq("probe_id", "cand", "sel2"))
+      .withColumn("sco", lit(lam) * col("cos_pc") -
+        lit(oneMinusLam) * greatest(col("sim1"), col("sim2")))
+    val s3 = argmax(c3, col("sco"))
+    s1.withColumn("mmr_rank", lit(1L))
+      .unionByName(s2.withColumn("mmr_rank", lit(2L)))
+      .unionByName(s3.withColumn("mmr_rank", lit(3L)))
+      .select(col("probe_id"), col("mmr_rank"), col("cand").as("vec_id"))
+      .orderBy(col("probe_id"), col("mmr_rank"))
+  }
+
+  /** e8 oracle — e1's scored-candidate derivation, the in-set pair sims,
+    * and the unrolled 3-step greedy replayed in SQL with the identical
+    * literal coefficients and tie-breaks. */
+  val mmrRerankOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm FROM e),
+      |sc AS (SELECT probe_id, cand, cos_pc FROM (
+      |  SELECT a.vec_id AS probe_id, b.vec_id AS cand,
+      |    list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) / (a.vnorm * b.vnorm) AS cos_pc,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) / (a.vnorm * b.vnorm) DESC,
+      |      b.vec_id) AS rk
+      |  FROM n a JOIN n b ON b.vec_id != a.vec_id
+      |  WHERE a.vec_id < 8) WHERE rk <= 5),
+      |ps AS (SELECT x.probe_id, x.cand AS ca, y.cand AS cb,
+      |    list_sum(list_transform(generate_series(1, 64), i -> na.v[i] * nb.v[i])) / (na.vnorm * nb.vnorm) AS sim
+      |  FROM sc x JOIN sc y ON y.probe_id = x.probe_id AND y.cand != x.cand
+      |  JOIN n na ON na.vec_id = x.cand JOIN n nb ON nb.vec_id = y.cand),
+      |s1 AS (SELECT probe_id, cand FROM (
+      |  SELECT probe_id, cand, row_number() OVER (PARTITION BY probe_id ORDER BY cos_pc DESC, cand) rk
+      |  FROM sc) WHERE rk = 1),
+      |c2 AS (SELECT sc.probe_id, sc.cand, 0.7 * sc.cos_pc - 0.3 * ps.sim AS sco
+      |  FROM sc JOIN s1 ON s1.probe_id = sc.probe_id AND sc.cand != s1.cand
+      |  JOIN ps ON ps.probe_id = sc.probe_id AND ps.ca = sc.cand AND ps.cb = s1.cand),
+      |s2 AS (SELECT probe_id, cand FROM (
+      |  SELECT probe_id, cand, row_number() OVER (PARTITION BY probe_id ORDER BY sco DESC, cand) rk
+      |  FROM c2) WHERE rk = 1),
+      |c3 AS (SELECT sc.probe_id, sc.cand,
+      |    0.7 * sc.cos_pc - 0.3 * greatest(p1.sim, p2.sim) AS sco
+      |  FROM sc
+      |  JOIN s1 ON s1.probe_id = sc.probe_id
+      |  JOIN s2 ON s2.probe_id = sc.probe_id
+      |  JOIN ps p1 ON p1.probe_id = sc.probe_id AND p1.ca = sc.cand AND p1.cb = s1.cand
+      |  JOIN ps p2 ON p2.probe_id = sc.probe_id AND p2.ca = sc.cand AND p2.cb = s2.cand
+      |  WHERE sc.cand != s1.cand AND sc.cand != s2.cand),
+      |s3 AS (SELECT probe_id, cand FROM (
+      |  SELECT probe_id, cand, row_number() OVER (PARTITION BY probe_id ORDER BY sco DESC, cand) rk
+      |  FROM c3) WHERE rk = 1)
+      |SELECT probe_id, CAST(1 AS BIGINT) AS mmr_rank, cand AS vec_id FROM s1
+      |UNION ALL SELECT probe_id, 2, cand FROM s2
+      |UNION ALL SELECT probe_id, 3, cand FROM s3
+      |ORDER BY probe_id, mmr_rank""".stripMargin
+
   /** e2 oracle — DuckDB recomputes the ENTIRE LSH definition independently:
     * the hyperplane matrix is a compile-time constant of exact rationals
     * (n/1e6, n integer), so its values are embedded as literal lists and the
@@ -768,7 +879,8 @@ object Similarity {
     "e3_embedding_neardup" -> (embeddingNearDup _),
     "e4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfCosineTopK(s, d)),
     "e5_ann_recall" -> (annRecall _),
-    "e7_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d))
+    "e7_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d)),
+    "e8_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -781,6 +893,7 @@ object Similarity {
     "e3_embedding_neardup" -> embeddingNearDupOracle,
     "e4_ann_ivf_topk" -> ivfCosineOracle,
     "e5_ann_recall" -> annRecallOracle,
-    "e7_knn_graph" -> knnGraphOracle
+    "e7_knn_graph" -> knnGraphOracle,
+    "e8_mmr_rerank" -> mmrRerankOracle
   )
 }
