@@ -407,7 +407,42 @@ object StreamingQueries {
       .orderBy(col("event_type"))
   }
 
+  /** s10 — EXACTLY-ONCE FILE SINK under the oracle gate: the production
+    * sink path (memory sinks are test scaffolding). The events stream is
+    * written to a parquet directory through the transactional file sink,
+    * then the SAME query (same checkpoint) is started a second time — an
+    * operator restart. The second run must commit NOTHING new: the sink's
+    * `_spark_metadata` commit log is what a metadata-aware re-read
+    * respects, so the final aggregate equals the batch count IFF (a) the
+    * first drain committed every row exactly once and (b) the restart was
+    * a no-op. Either a dropped batch, a double-committed batch, or a
+    * restart reprocessing would break the hash.
+    *
+    * Scale shape: the file sink appends per-batch manifests (no global
+    * commit lock); re-reads prune to committed files via the metadata
+    * log. State: none beyond source offsets in the checkpoint. */
+  def streamFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_s10_").toString
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def runOnce(): Unit = {
+      val q = eventsFileStream(spark, sfDir)
+        .select(col("event_id"), col("event_type"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    runOnce() // restart with the same checkpoint: must commit nothing new
+    spark.read.parquet(out) // respects _spark_metadata: committed files only
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_file_sink_exactly_once" -> (streamFileSink _),
     "s8_stream_interval_join" -> (streamIntervalJoin _),
     "s9_stream_sessions" -> (streamSessions _),
     "s7_stream_dedup" -> (streamDedup _),
@@ -420,6 +455,7 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s10_file_sink_exactly_once" -> streamCountOracle,
     "s8_stream_interval_join" -> PipelineOps.p8Oracle,
     "s9_stream_sessions" -> sessionStatsOracle,
     "s7_stream_dedup" -> streamCountOracle,
