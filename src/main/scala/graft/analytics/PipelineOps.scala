@@ -500,8 +500,15 @@ object PipelineOps {
     * Scale shape: the pair list is the near-dup output (≪ corpus); split
     * assignment attaches by two id joins. Nothing here rescans text. */
   def p18SplitLeakageAudit(s: SparkSession, d: String): DataFrame = {
-    val pairs = NearDup.minhashNearDup(s, d).select(col("doc_a"), col("doc_b"))
-    val clusters = NearDup.minhashClusters(s, d)
+    // ONE near-dup pass feeds both the pair list and the clustering.
+    // Calling minhashClusters(s, d) separately happens to be rescued by
+    // CacheManager plan-identity matching against this call's caches;
+    // sharing the DataFrame makes the reuse structural instead of
+    // incidental (a param or config divergence between the two calls
+    // would silently double the corpus-scale work)
+    val pairs = NearDup.minhashNearDup(s, d)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val clusters = NearDup.connectedComponentsLabelProp(pairs)
       .select(col("doc_id"), col("cluster_id"))
     def bucketOf(c: Column): Column = conv(substring(
       md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long") % 1000
