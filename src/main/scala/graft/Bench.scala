@@ -1,9 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Driver-heap preflight (VERDICT r7 item 8): the sf10 rehearsal needs
+    * ~48 g of heap (GCLocker OOM, exit 52, below that — SCALE.md); that was
+    * tribal knowledge. Heuristic: cached signature/vector tables and
+    * local-mode shuffle buffers scale with input bytes — require heap ≥
+    * 8× on-disk parquet (compressed ~4-6× + working copies), floor 4 g.
+    * Returns a warning string when the current heap looks undersized. */
+  def heapWarning(dataBytes: Long, maxHeapBytes: Long): Option[String] = {
+    val need = math.max(4L << 30, 8L * dataBytes)
+    if (maxHeapBytes < need)
+      Some(s"[bench] heap preflight: max heap ${maxHeapBytes >> 20} MiB < " +
+        s"recommended ${need >> 20} MiB for ${dataBytes >> 20} MiB of input " +
+        "(sf10 rehearsals died with GCLocker OOM below 48 g — SCALE.md); " +
+        "set -Xmx accordingly")
+    else None
+  }
+
+  /** Total on-disk bytes of the SF directory's parquet tables. */
+  def dirBytes(dir: java.io.File): Long =
+    if (!dir.exists()) 0L
+    else if (dir.isFile) dir.length()
+    else Option(dir.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    heapWarning(dirBytes(new java.io.File(sfDir)),
+      Runtime.getRuntime.maxMemory()).foreach(System.err.println)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,7 +72,10 @@ object Bench {
       .mkString("{", ",", "}")
     val qsMax = results.map { case (k, (_, mx)) => s"\"" + k + "\":" + r4(mx) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
+    // total through the same rounding as the per-query entries, so the
+    // printed line is self-consistent and stays compact (ADVICE r7)
+    val total = BigDecimal(results.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     // A -1.0 timing buried in a 100-entry map with rc=0 reads as a green
     // round (ADVICE r6): surface failures as a first-class list AND a
     // nonzero exit so the harness cannot record the run as clean.

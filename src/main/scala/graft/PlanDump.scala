@@ -16,7 +16,7 @@ object PlanDump {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
       println(s"=== $q exchanges=" + "Exchange hashpartitioning".r.findAllIn(plan).length)
-      println(plan.take(4000))
+      println(plan.take(sys.env.getOrElse("PLAN_DUMP_CHARS", "4000").toInt))
     }
     spark.stop()
   }

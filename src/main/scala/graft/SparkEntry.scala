@@ -22,6 +22,13 @@ object SparkEntry {
       Multimodal.queries ++ ExtendedQueries.queries ++ PipelineOps.queries ++
       FormatQueries.queries
 
+  /** The registered-surface FLOOR: round 6's correctness artifact silently
+    * shrank from 115 to 98 entries with rc=0 (a query-map merge dropped
+    * entries without any failure record) and only a human diffing entry
+    * counts caught it. Verify hard-fails when `queries` falls below this;
+    * bump it in the same commit that registers a new query. */
+  val expectedQueryCount: Int = 129
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

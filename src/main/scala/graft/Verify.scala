@@ -21,6 +21,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Coverage-collapse guard (VERDICT r7 item 5): a registered surface
+    // that SHRANK must read as red, never as a smaller green artifact.
+    if (only.isEmpty && SparkEntry.queries.size < SparkEntry.expectedQueryCount) {
+      System.err.println(s"[verify] registered query count ${SparkEntry.queries.size} " +
+        s"< expected floor ${SparkEntry.expectedQueryCount} — coverage collapsed")
+      spark.stop()
+      sys.exit(2)
+    }
+    // every oracle must gate a registered query (a dangling oracle entry
+    // means a rename half-landed)
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    if (dangling.nonEmpty) {
+      System.err.println(s"[verify] oracles without queries: ${dangling.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     // A query that throws must leave an EXPLICIT trace, not just a missing
     // output dir: round 6's correctness artifact silently shrank by 17
     // entries because failed queries vanished without a record (ADVICE r6).

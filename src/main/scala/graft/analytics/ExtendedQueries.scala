@@ -696,11 +696,14 @@ object ExtendedQueries {
   def q50TryFunctions(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .select(col("event_type"), col("user_id"),
-        expr("try_divide(CAST(1 AS DOUBLE), CAST(user_id % 3 AS DOUBLE))").as("dv"),
+        // pmod, not %: a negative user_id under % yields a negative residue,
+        // which try_element_at would index from the array END (returns a
+        // value) while the oracle's CASE yields NULL (ADVICE r7)
+        expr("try_divide(CAST(1 AS DOUBLE), CAST(pmod(user_id, 3) AS DOUBLE))").as("dv"),
         // index 0 is categorically invalid (raises even under try_); map
         // the 0 residue to 4 — genuinely out of range, which try_element_at
         // converts to NULL
-        expr("try_element_at(array('a', 'b', 'c'), CAST(CASE WHEN user_id % 4 = 0 THEN 4 ELSE user_id % 4 END AS INT))").as("el"),
+        expr("try_element_at(array('a', 'b', 'c'), CAST(CASE WHEN pmod(user_id, 4) = 0 THEN 4 ELSE pmod(user_id, 4) END AS INT))").as("el"),
         expr("try_cast(event_type AS BIGINT)").as("bc"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -712,10 +715,10 @@ object ExtendedQueries {
 
   val q50Oracle: String =
     """SELECT event_type, count(*) AS n,
-      |  CAST(sum(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
-      |  CAST(sum(CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_elem_null,
+      |  CAST(sum(CASE WHEN ((user_id % 3) + 3) % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+      |  CAST(sum(CASE WHEN ((user_id % 4) + 4) % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_elem_null,
       |  count(*) AS n_cast_null,
-      |  max(CASE user_id % 4 WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c' END) AS max_elem
+      |  max(CASE ((user_id % 4) + 4) % 4 WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c' END) AS max_elem
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q22 — semi-structured JSON extraction: the events `props` column is a

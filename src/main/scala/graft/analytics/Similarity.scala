@@ -81,18 +81,25 @@ object Similarity {
   /** Near-dup banding (e3). False-candidate volume grows as
     * bands · n² / 2^bits — the one super-linear term in the family
     * (measured: e3's slope is the suite's worst at sf1/sf10). 16-bit
-    * bands are right for ~10⁴–10⁶ vectors; past that, set
-    * `spark.graft.ann.neardupBandBits=32` (one full-signature band — at
-    * cos ≥ 0.95 per-bit agreement is ~0.9, so a 32-bit exact match still
-    * recalls ~3.4% per genuine pair… the real 10⁸+ deployment widens
-    * `HyperplaneConstants.numPlanes` and keeps bits ≈ log₂(n) + 8; the
-    * knob exists so the growth law is a configuration decision, not a
-    * rewrite). The DEFAULT (16) is what every oracle pins. */
-  private def withBands(df: DataFrame): DataFrame = {
-    val bits = df.sparkSession.conf
-      .get("spark.graft.ann.neardupBandBits", "16").toInt
+    * bands are right for ~10⁴–10⁶ vectors; past that, 32 bits (one
+    * full-signature band — at cos ≥ 0.95 per-bit agreement is ~0.9, so a
+    * 32-bit exact match still recalls ~3.4% per genuine pair… the real
+    * 10⁸+ deployment widens `HyperplaneConstants.numPlanes` and keeps
+    * bits ≈ log₂(n) + 8; the knob exists so the growth law is a
+    * configuration decision, not a rewrite). Resolution (VERDICT r7
+    * item 1): explicit `bits0` (the e3 oracle pins 16 through the
+    * registered query) → `spark.graft.ann.neardupBandBits` → SELF-SCALING
+    * on corpus rows (≤10⁶ → 16, else 32). */
+  private def withBands(df: DataFrame, bits0: Int = 0,
+      selfScaleRows: => Long = 0L): DataFrame = {
+    val bits =
+      if (bits0 > 0) bits0
+      else df.sparkSession.conf.getOption("spark.graft.ann.neardupBandBits") match {
+        case Some(c) => c.toInt
+        case None => if (selfScaleRows <= 1000000L) 16 else 32
+      }
     require(bits == 8 || bits == 16 || bits == 32,
-      s"spark.graft.ann.neardupBandBits must be 8, 16, or 32, got $bits")
+      s"neardup band bits must be 8, 16, or 32, got $bits")
     val nb = 32 / bits
     val mask = (1L << bits) - 1
     df.withColumn("bands", array((0 until nb).map(b =>
@@ -140,7 +147,7 @@ object Similarity {
     * The corpus has no natural embedding near-dups (max pairwise cosine
     * ≈ 0.51), so the operator runs on the table unioned with a scaled copy
     * (same direction ⇒ cosine 1) — every original must pair with its copy. */
-  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+  def embeddingNearDup(s: SparkSession, d: String, bits0: Int = 0): DataFrame = {
     val base = embeddings(s, d)
     val doubled = base.unionByName(
       base.withColumn("vec_id", col("vec_id") + 1000000L)
@@ -154,7 +161,8 @@ object Similarity {
       .cache()
     // id-only candidate pairs from bucket self-join; vectors join back
     // AFTER dedup — the distinct shuffles 16-byte pairs, never vectors
-    val banded = withBands(emb).select(col("vec_id"), explode(col("bands")).as("bk"))
+    val banded = withBands(emb, bits0, 2L * base.count())
+      .select(col("vec_id"), explode(col("bands")).as("bk"))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -235,12 +243,37 @@ object Similarity {
     * The in-cell quadratic term (n/K)²·K is the operator's growth law
     * (measured: 0.48 s at sf0.1 → 9.7 s at sf1 with K fixed at 16 — a
     * 20× slope for 10× data, exactly the occupancy square): K must grow
-    * with the corpus, the c2/SemDeDup K ≈ √n rule. The default 16 is
-    * what the oracle pins at test SF; scale via
-    * `spark.graft.knn.cells`. */
+    * with the corpus, the c2/SemDeDup K ≈ √n rule.
+    *
+    * Parameter resolution (VERDICT r7 item 1 — the old oracle-pinned
+    * default 16 was a measured 803 s scale-killer at sf10):
+    *   - `nCells0 > 0`: explicit single-level K — what the e7 oracle pins
+    *     (the registered query passes 16, immune to session config);
+    *   - else `spark.graft.knn.cells` set: single-level K from config
+    *     (the SCALE.md rehearsal knob, back-compatible);
+    *   - else SELF-SCALING: K ≈ √n via the TWO-LEVEL codebook
+    *     ([[knnGraphTwoLevel]], k1 = k2 ≈ n^(1/4)) — assignment cost
+    *     n·(k1+k2) ≈ 2·n^1.25 instead of single-level n·√n = n^1.5, and
+    *     in-cell occupancy ≈ √n keeps the verify term at n^1.5/1 —
+    *     measured at sf10 this is the ≤60 s path vs 803 s at K=16. The
+    *     one count() job is noise next to the assignment scan it sizes. */
   def knnGraph(s: SparkSession, d: String, k: Int = 3, nCells0: Int = 0): DataFrame = {
-    val nCells = if (nCells0 > 0) nCells0
-      else s.conf.get("spark.graft.knn.cells", "16").toInt
+    if (nCells0 > 0) return knnGraphSingleLevel(s, d, k, nCells0)
+    val conf = s.conf.getOption("spark.graft.knn.cells")
+    conf match {
+      case Some(c) => knnGraphSingleLevel(s, d, k, c.toInt)
+      case None =>
+        val n = embeddings(s, d).count()
+        // k1·k2 ≈ √n; side capped so the broadcast fine codebook stays
+        // executor-memory-sized (256² = 65k cells covers 4·10⁹ vectors)
+        val side = math.min(256, math.max(4,
+          math.ceil(math.pow(n.toDouble, 0.25)).toInt))
+        knnGraphTwoLevel(s, d, k, side, side)
+    }
+  }
+
+  /** Single-level e7 core (K explicit). */
+  def knnGraphSingleLevel(s: SparkSession, d: String, k: Int, nCells: Int): DataFrame = {
     val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
     val centroids = emb
       .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * nCells)
@@ -268,6 +301,111 @@ object Similarity {
       .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** e9 — TWO-LEVEL (coarse-then-fine) codebook kNN graph: the IVF/IMI
+    * refinement that kills single-level e7's n·K assignment term (n^1.5
+    * under the K ≈ √n occupancy rule — SCALE.md's own analysis, VERDICT r7
+    * item 2). Level 1: k1 deterministic coarse centroids (the e4
+    * every-31st-vector rule, coarse_id = vec_id div 31), cosine-argmax
+    * assignment — one broadcast scan, n·k1 comparisons. Level 2: within
+    * each coarse cell, the k2 LOWEST-ID members become fine centroids (a
+    * deterministic, SQL-replayable "training"); each vector argmaxes over
+    * its OWN cell's fine centroids only — an equi-join on coarse_id, n·k2
+    * comparisons. Fine cells are (coarse_id, fine_id) pairs, K = k1·k2 of
+    * them; with k1 = k2 = n^(1/4) the assignment is 2·n^1.25 while in-cell
+    * occupancy stays n/√n = √n, same as single-level √n cells.
+    *
+    * The directed top-k + reciprocal tail is e7's verbatim, keyed on the
+    * composite cell. Oracle-pinned at k1 = k2 = 4 (e9); [[knnGraph]]'s
+    * self-scaling default dispatches here with derived sides. */
+  def knnGraphTwoLevel(s: SparkSession, d: String, k: Int = 3,
+      k1: Int = 4, k2: Int = 4): DataFrame = {
+    val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
+    val coarse = emb
+      .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * k1)
+      .select(expr("vec_id div 31").as("coarse_id"), col("v").as("cv"))
+    val wCoarse = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("coarse_id"))
+    // cached: feeds the fine-centroid selection AND the fine assignment
+    val coarseAssigned = emb.join(broadcast(coarse))
+      .withColumn("cscore", cosine("v", "cv"))
+      .withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("coarse_id"))
+      .cache()
+    val wFineSel = Window.partitionBy(col("coarse_id")).orderBy(col("vec_id"))
+    val fine = coarseAssigned
+      .withColumn("frk", row_number().over(wFineSel))
+      .filter(col("frk") <= k2)
+      .select(col("coarse_id"), col("vec_id").as("fine_id"), col("v").as("fv"))
+    val wFine = Window.partitionBy(col("vec_id"))
+      .orderBy(col("fscore").desc, col("fine_id"))
+    // cached: feeds both sides of the in-cell self-join
+    val assigned = coarseAssigned.join(broadcast(fine), "coarse_id")
+      .withColumn("fscore", cosine("v", "fv"))
+      .withColumn("rk2", row_number().over(wFine))
+      .filter(col("rk2") === 1)
+      .select(col("vec_id"), col("v"), col("coarse_id"), col("fine_id"))
+      .cache()
+    val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val topk = assigned.as("a").join(assigned.as("b"),
+        col("a.coarse_id") === col("b.coarse_id") &&
+          col("a.fine_id") === col("b.fine_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        cosine("a.v", "b.v").as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"))
+    topk.as("x").join(topk.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
+          col("x.src") < col("x.dst"))
+      .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** e9 oracle — both codebook levels re-derived independently: coarse
+    * centroids/assignment (the e4 CTEs at k1 = 4), the per-cell lowest-4
+    * fine-centroid selection, the in-cell fine argmax, then e7's directed
+    * top-k + reciprocal tail on the composite cell key. Ties break on
+    * (coarse_id | fine_id | vec_id) in both engines. */
+  val knnGraphTwoLevelOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm FROM e),
+      |coarse AS (SELECT vec_id // 31 AS coarse_id, v AS cv, vnorm AS cnorm FROM n
+      |           WHERE vec_id % 31 = 0 AND vec_id < 124),
+      |ca AS (SELECT vec_id, coarse_id FROM (
+      |    SELECT n.vec_id, c.coarse_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) / (n.vnorm * c.cnorm) DESC,
+      |        c.coarse_id) AS crk
+      |    FROM n, coarse c) WHERE crk = 1),
+      |fine AS (SELECT coarse_id, fine_id FROM (
+      |    SELECT coarse_id, vec_id AS fine_id,
+      |      row_number() OVER (PARTITION BY coarse_id ORDER BY vec_id) AS frk
+      |    FROM ca) WHERE frk <= 4),
+      |fa AS (SELECT vec_id, coarse_id, fine_id FROM (
+      |    SELECT ca.vec_id, ca.coarse_id, f.fine_id,
+      |      row_number() OVER (PARTITION BY ca.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> nv.v[i] * nf.v[i])) / (nv.vnorm * nf.vnorm) DESC,
+      |        f.fine_id) AS rk2
+      |    FROM ca JOIN fine f ON f.coarse_id = ca.coarse_id
+      |    JOIN n nv ON nv.vec_id = ca.vec_id
+      |    JOIN n nf ON nf.vec_id = f.fine_id) WHERE rk2 = 1),
+      |topk AS (SELECT src, dst FROM (
+      |    SELECT a.vec_id AS src, b.vec_id AS dst,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> na.v[i] * nb.v[i])) / (na.vnorm * nb.vnorm) DESC,
+      |        b.vec_id) AS rk
+      |    FROM fa a JOIN fa b
+      |      ON b.coarse_id = a.coarse_id AND b.fine_id = a.fine_id
+      |     AND b.vec_id <> a.vec_id
+      |    JOIN n na ON na.vec_id = a.vec_id
+      |    JOIN n nb ON nb.vec_id = b.vec_id) t
+      |  WHERE rk <= 3)
+      |SELECT x.src AS vec_a, x.dst AS vec_b
+      |FROM topk x JOIN topk y ON y.src = x.dst AND y.dst = x.src
+      |WHERE x.src < x.dst ORDER BY vec_a, vec_b""".stripMargin
 
   /** e7 oracle — e4's codebook/assignment CTEs re-derived, the directed
     * in-cell top-k, then the reciprocal join; ties break by vec_id in
@@ -657,11 +795,20 @@ object Similarity {
   def semanticDedup(s: SparkSession, d: String, tau: Double = 0.95,
       nCells0: Int = 0): DataFrame = {
     // SemDeDup's scale knob (K ≈ √n): per-cell occupancy n/K drives the
-    // quadratic verify term (n/K)²·K — K must grow with the corpus. The
-    // oracle pins the default 16 at test SF; raise via session conf at
-    // scale (the e3 bandBits precedent).
+    // quadratic verify term (n/K)²·K — K must grow with the corpus.
+    // Resolution (VERDICT r7 item 1): explicit arg (the oracle pins 16
+    // through the registered query — immune to session config) →
+    // `spark.graft.semdedup.cells` (rehearsal knob) → SELF-SCALING
+    // K = √(2n) from a corpus count (capped at 65536; if K outruns the
+    // every-31st id range the codebook self-limits to the ids present).
     val nCells = if (nCells0 > 0) nCells0
-      else s.conf.get("spark.graft.semdedup.cells", "16").toInt
+      else s.conf.getOption("spark.graft.semdedup.cells") match {
+        case Some(c) => c.toInt
+        case None =>
+          val n = 2L * embeddings(s, d).count() // operator runs doubled
+          math.max(16, math.min(65536,
+            math.ceil(math.sqrt(n.toDouble)).toInt))
+      }
     val base = embeddings(s, d)
     val doubled = base.unionByName(
       base.withColumn("vec_id", col("vec_id") + 1000000L)
@@ -873,14 +1020,19 @@ object Similarity {
     "d8_semantic_decontaminate" -> ((s: SparkSession, d: String) => semanticDecontaminate(s, d)),
     "e6_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
     "c1_kmeans" -> ((s: SparkSession, d: String) => kmeansClusters(s, d)),
-    "c2_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    // oracle-gated entries pin their cell/band parameters EXPLICITLY so a
+    // session conf or the self-scaling count can never diverge the gated
+    // path from its oracle (ADVICE r7); the self-scaling defaults are the
+    // production entry points and are spec-gated in SimilaritySpec.
+    "c2_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d, nCells0 = 16)),
     "e1_ann_brute_topk" -> ((s: SparkSession, d: String) => bruteCosineTopK(s, d)),
     "e2_ann_lsh_topk" -> ((s: SparkSession, d: String) => lshCosineTopK(s, d)),
-    "e3_embedding_neardup" -> (embeddingNearDup _),
+    "e3_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d, bits0 = 16)),
     "e4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfCosineTopK(s, d)),
     "e5_ann_recall" -> (annRecall _),
-    "e7_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d)),
-    "e8_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(s, d))
+    "e7_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d, nCells0 = 16)),
+    "e8_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
+    "e9_knn_graph_2level" -> ((s: SparkSession, d: String) => knnGraphTwoLevel(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -894,6 +1046,7 @@ object Similarity {
     "e4_ann_ivf_topk" -> ivfCosineOracle,
     "e5_ann_recall" -> annRecallOracle,
     "e7_knn_graph" -> knnGraphOracle,
-    "e8_mmr_rerank" -> mmrRerankOracle
+    "e8_mmr_rerank" -> mmrRerankOracle,
+    "e9_knn_graph_2level" -> knnGraphTwoLevelOracle
   )
 }

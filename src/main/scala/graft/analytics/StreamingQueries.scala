@@ -18,6 +18,27 @@ import graft.sources.{EventStream, SourceClient}
   * path (S1-S4, T1/T3/T4, K1-K4, O1-O9) sits under this oracle. */
 object StreamingQueries {
 
+  /** Temp dirs for stream scratch output (items, checkpoints, the s10 file
+    * sink) used to accumulate per invocation for the life of the JVM —
+    * Bench's warm-up + min-of-N runs left several full event-table copies
+    * under /tmp per bench run (ADVICE r7). The returned DataFrames are
+    * LAZY (and s10's re-read respects `_spark_metadata`), so deletion must
+    * not happen before the caller materializes — a JVM shutdown hook is
+    * the earliest safe point that needs no cooperation from callers. */
+  private def tempDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      try {
+        val all = Files.walk(p)
+        try all.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f => { Files.deleteIfExists(f); () })
+        finally all.close()
+      } catch { case _: Throwable => () } // best-effort: never block shutdown
+    }))
+    p.toString
+  }
+
   /** File-stream source for the events table. The source requires a
     * DIRECTORY; the driver testdata ships `events.parquet` as a single
     * FILE (→ read the parent dir with a leaf-name glob), while
@@ -60,7 +81,7 @@ object StreamingQueries {
 
   def streamCountByType(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tmp = Files.createTempDirectory("graft-stream-q").toString
+    val tmp = tempDir("graft-stream-q")
     val itemsDir = s"$tmp/items"
     // Without volume-scaled sizing (see sizedClient) the fixed 8×500
     // layout made s1 super-linear in the sf1/sf10 rehearsals.
@@ -153,7 +174,7 @@ object StreamingQueries {
     * (Java shortest-repr doubles), pinning the T1 decode too. */
   def streamDeadLetter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tmp = Files.createTempDirectory("graft-stream-q3").toString
+    val tmp = tempDir("graft-stream-q3")
     val itemsDir = s"$tmp/items"
     val (client, batch) = sizedClient(spark, sfDir)
     val gp = new GraftProcessor[String](
@@ -195,7 +216,7 @@ object StreamingQueries {
     * the counts and breaks the hash against the single-pass oracle. */
   def streamResume(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tmp = Files.createTempDirectory("graft-stream-q4").toString
+    val tmp = tempDir("graft-stream-q4")
     val itemsDir = s"$tmp/items"
     val (client, batch) = sizedClient(spark, sfDir)
     val store = new InMemoryCheckpointStore
@@ -244,7 +265,7 @@ object StreamingQueries {
     * failures, restart, and transient-retry semantics end-to-end. */
   def streamSoftRetry(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tmp = Files.createTempDirectory("graft-stream-q5").toString
+    val tmp = tempDir("graft-stream-q5")
     val itemsDir = s"$tmp/items"
     val (client, batch) = sizedClient(spark, sfDir)
     val gp = new GraftProcessor[String](
@@ -423,7 +444,7 @@ object StreamingQueries {
     * log. State: none beyond source offsets in the checkpoint. */
   def streamFileSink(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val base = Files.createTempDirectory("graft_s10_").toString
+    val base = tempDir("graft_s10_")
     val out = s"$base/out"; val ckpt = s"$base/ckpt"
     def runOnce(): Unit = {
       val q = eventsFileStream(spark, sfDir)

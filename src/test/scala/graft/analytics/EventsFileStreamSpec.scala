@@ -24,16 +24,26 @@ class EventsFileStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
 
     // directory layout: re-write the events table the way ScaleUp does
     val tmp = Files.createTempDirectory("graft_evdir_").toString
-    spark.read.parquet(s"$srcDir/events.parquet")
-      .repartition(2).write.parquet(s"$tmp/events.parquet")
-    Files.list(Paths.get(s"$tmp/events.parquet")).count() should be > 1L
+    try {
+      spark.read.parquet(s"$srcDir/events.parquet")
+        .repartition(2).write.parquet(s"$tmp/events.parquet")
+      val partFiles = Files.list(Paths.get(s"$tmp/events.parquet"))
+      try partFiles.count() should be > 1L
+      finally partFiles.close() // Files.list holds a directory handle
 
-    val fromFile = StreamingQueries.streamWindowCounts(spark, srcDir)
-      .agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0)
-    val fromDir = StreamingQueries.streamWindowCounts(spark, tmp)
-      .agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0)
+      val fromFile = StreamingQueries.streamWindowCounts(spark, srcDir)
+        .agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0)
+      val fromDir = StreamingQueries.streamWindowCounts(spark, tmp)
+        .agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0)
 
-    fromFile shouldBe batch
-    fromDir shouldBe batch
+      fromFile shouldBe batch
+      fromDir shouldBe batch
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val all = Files.walk(Paths.get(tmp))
+      try all.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally all.close()
+    }
   }
 }

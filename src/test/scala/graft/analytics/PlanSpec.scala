@@ -38,8 +38,10 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the same sanctioned codebook shape, once per Lloyd iteration.
     // c2 (SemDeDup) shares c1/e4's broadcast-codebook assignment pass.
     // e7 (mutual kNN graph) reuses e4's broadcast-codebook assignment.
+    // e9 (two-level kNN) broadcast-scans only the k1-row COARSE codebook;
+    // its fine assignment is already an equi-join on coarse_id.
     val codebookJoins = Set("e4_ann_ivf_topk", "e5_ann_recall", "c1_kmeans",
-      "c2_semantic_dedup", "e7_knn_graph")
+      "c2_semantic_dedup", "e7_knn_graph", "e9_knn_graph_2level")
     planBased.foreach { name =>
       val plan = planOf(name)
       withClue(s"$name plan:\n$plan\n") {
@@ -128,6 +130,22 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // (src, map partition) — without it the in-cell pair set (the
     // (n/K)²·K term) would cross the wire into one window sort
     plan should include regex "WindowGroupLimit \\[src.*Partial"
+  }
+
+  test("e9 two-level kNN: fine assignment and candidates are equi-joins; only the coarse codebook is a nested loop") {
+    val plan = planOf("e9_knn_graph_2level")
+    withClue(s"e9 plan:\n$plan\n") {
+      // the fine assignment must be an equi-join on coarse_id — that is
+      // the whole point (n·k2 comparisons instead of n·K); the only
+      // nested loop is the k1-row coarse codebook (its line may repeat in
+      // the string — cached subtrees reprint per InMemoryTableScan)
+      plan should include regex "BroadcastHashJoin \\[coarse_id"
+      // in-cell candidates join on the composite (coarse_id, fine_id) key
+      plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*coarse_id.*fine_id"
+      // directed top-k prunes map-side (the e7 WindowGroupLimit pin)
+      plan should include regex "WindowGroupLimit \\[src.*Partial"
+      plan should not include "CartesianProduct"
+    }
   }
 
   test("c2 semantic-dedup pairs come from an equi-join on the cell key") {
