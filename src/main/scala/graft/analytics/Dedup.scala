@@ -286,51 +286,96 @@ object Dedup {
     * containment(a→b) can be high while Jaccard(a,b) is tiny, so no
     * symmetric-similarity LSH bucket ever pairs them.
     *
-    * Candidate generation is the published prefix-filter guarantee
-    * (PPJoin family): order all trigrams by (corpus frequency, trigram);
-    * if |a∩b| ≥ t = ⌈|a|/2⌉ then b must share one of a's first
-    * |a| − t + 1 trigrams in that order (pigeonhole) — so probing only
-    * those prefix trigrams against the full inverted index finds every
-    * qualifying pair, and rare-first ordering keeps the probe lists off
-    * the hot keys. Verification computes the exact intersection on the
-    * per-document sorted trigram arrays; the threshold test is integer
-    * (2·|∩| ≥ |a|), the reported containment one IEEE division.
+    * Candidate generation is the published prefix-filter guarantee plus
+    * PPJoin's two candidate-pruning filters (Xiao, Wang, Lin, Yu,
+    * "Efficient Similarity Joins for Near Duplicate Detection", WWW '08):
+    *
+    *   - PREFIX: order all trigrams by (corpus frequency, trigram); if
+    *     |a∩b| ≥ t = ⌈|a|/2⌉ then b must share one of a's first
+    *     |a| − t + 1 trigrams in that order (pigeonhole) — so probing
+    *     only those prefix trigrams against the inverted index finds
+    *     every qualifying pair, and rare-first ordering keeps the probe
+    *     lists off the hot keys;
+    *   - LENGTH: |a∩b| ≤ |b|, so any b with 2·|b| < |a| can be skipped
+    *     at the index probe — in a fixed-vocabulary corpus this alone
+    *     removes every (long a, short b) pairing;
+    *   - POSITIONAL: a probe trigram at rank i of a matching rank j of b
+    *     bounds the remaining overlap by 1 + min(|a|−i, |b|−j) (every
+    *     other common trigram ranks AFTER both, in the shared global
+    *     order); pairs whose bound misses t are dropped BEFORE the pair
+    *     distinct. Completeness: the FIRST common trigram in global
+    *     order lies in a's prefix and realizes the bound, so a
+    *     qualifying pair always survives through at least that probe.
+    *
+    * Verification computes the exact intersection on the per-document
+    * sorted trigram arrays; the threshold test is integer (2·|∩| ≥ |a|),
+    * the reported containment one IEEE division. The filters prune
+    * CANDIDATES only — the verified output is unchanged (d7's oracle is
+    * the brute-force pair join).
     *
     * Scale shape: the trigram equi-joins are keyed by `xxhash64(trigram)`
     * (8-byte shuffle, d1's discipline; a hash collision only adds a false
     * candidate that verification discards). Candidate pairs carry ids
-    * only; the trigram arrays join back per matched doc id. */
-  def containmentDedup(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(s)
-    // n1's native shingle path: sorted distinct xxhash64(trigram) per doc in
-    // one codegen'd loop — set sizes equal the string-set sizes the oracle
-    // computes, absent 64-bit collisions (d1's documented caveat).
-    val sgArr = documents(s, d)
-      .select(col("doc_id"),
-        expr("graft_shingle_hashes(split(text, ' '), 3)").as("sgs"))
-      .filter(size(col("sgs")) > 0)
-    val exploded = sgArr
-      .select(col("doc_id"), size(col("sgs")).as("sa"), explode(col("sgs")).as("h"))
-    val dfc = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val ranked = exploded.join(dfc, "h")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-    val prefixes = ranked.filter(col("rk") <= expr("sa div 2 + 1"))
-      .select(col("doc_id").as("a_id"), col("h"))
-    val cand = prefixes
-      .join(exploded.select(col("doc_id").as("b_id"), col("h")), "h")
-      .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    cand
-      .join(sgArr.select(col("doc_id").as("a_id"), col("sgs").as("a_sgs")), "a_id")
-      .join(sgArr.select(col("doc_id").as("b_id"), col("sgs").as("b_sgs")), "b_id")
+    * only; the trigram arrays join back per matched doc id. The ranked
+    * posting table feeds both the probe prefixes and the index side, so
+    * it is cached. Measured at sf10 (SCALE.md r8): the adversarial
+    * fixed-vocabulary case was 374.9 s on the prefix filter alone. */
+  def containmentDedup(s: SparkSession, d: String): DataFrame =
+    containmentCandidates(s, d).select(col("a_id"), col("b_id"))
+      .join(containmentShingles(s, d)
+        .select(col("doc_id").as("a_id"), col("sgs").as("a_sgs")), "a_id")
+      .join(containmentShingles(s, d)
+        .select(col("doc_id").as("b_id"), col("sgs").as("b_sgs")), "b_id")
       .select(col("a_id"), col("b_id"),
         size(col("a_sgs")).cast("long").as("size_a"),
         size(array_intersect(col("a_sgs"), col("b_sgs"))).cast("long").as("n_shared"))
       .filter(lit(2L) * col("n_shared") >= col("size_a"))
       .withColumn("containment", col("n_shared").cast("double") / col("size_a"))
       .orderBy(col("a_id"), col("b_id"))
+
+  /** n1's native shingle path: sorted distinct xxhash64(trigram) per doc in
+    * one codegen'd loop — set sizes equal the string-set sizes the oracle
+    * computes, absent 64-bit collisions (d1's documented caveat). */
+  private def containmentShingles(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    documents(s, d)
+      .select(col("doc_id"),
+        expr("graft_shingle_hashes(split(text, ' '), 3)").as("sgs"))
+      .filter(size(col("sgs")) > 0)
+  }
+
+  /** d7's candidate pairs after prefix + length + positional filtering —
+    * exposed for the SCALE.md candidate-count comparison (the dev probe
+    * measures this against the prefix-only volume). */
+  private[analytics] def containmentCandidates(s: SparkSession, d: String,
+      positional: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = containmentShingles(s, d)
+      .select(col("doc_id"), size(col("sgs")).as("sz"), explode(col("sgs")).as("h"))
+    val dfc = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // every doc's trigrams ranked rare-first in ONE shared global order —
+    // both the probe prefixes and the full inverted index read this
+    val ranked = exploded.join(dfc, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixes = ranked.filter(col("rk") <= expr("sz div 2 + 1"))
+      .select(col("doc_id").as("a_id"), col("sz").as("sa"),
+        col("rk").as("pa"), col("h"))
+    val index = ranked
+      .select(col("doc_id").as("b_id"), col("sz").as("sb"),
+        col("rk").as("pb"), col("h"))
+    val probed = prefixes.join(index, "h")
+      .filter(col("a_id") =!= col("b_id"))
+      // length filter: t ≤ |a∩b| ≤ |b| ⇒ 2·|b| ≥ |a|
+      .filter(lit(2L) * col("sb") >= col("sa"))
+    val filtered =
+      if (positional)
+        // positional filter: overlap ≤ 1 + min(sa−pa, sb−pb); need ≥ ⌈sa/2⌉
+        probed.filter(lit(1L) + least(col("sa") - col("pa"), col("sb") - col("pb")) >=
+          expr("(sa + 1) div 2"))
+      else probed
+    filtered.select(col("a_id"), col("b_id")).distinct()
   }
 
   val containmentDedupOracle: String =

@@ -54,6 +54,28 @@ object NearDup {
       .withColumn("sig", expr("graft_minhash(sh)"))
   }
 
+  /** ONE corpus signature table per (session, sfDir), persisted and shared
+    * by the whole MinHash family — n1/n4/n6/n7 (via [[minhashNearDup]]),
+    * d9, n2, and p17/p18 by composition. Before this, each query ran its
+    * own shingle→minhash pass (the dominant sf10 cost: 90–110 s EACH,
+    * VERDICT r7 item 6) and pinned its own private `.cache()` copy of the
+    * same table; now the family pays one pass and one copy per dataset.
+    * MEMORY_AND_DISK: the sh arrays are the corpus's token mass — evicting
+    * to disk beats recomputing the 64-permutation signature.
+    *
+    * At 100 TB this table is exactly what [[graft.sources.Bucketing]]
+    * materializes as a bucketed layout; the in-session persist is the
+    * local[n] stand-in for that. */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[analytics] def corpusSignatures(s: SparkSession, d: String): DataFrame = {
+    sigCache.filterInPlace { case ((ss, _), _) => !ss.sparkContext.isStopped }
+    sigCache.getOrElseUpdate((s, d),
+      signatures(documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Candidate pairs from banded buckets: explode 32 (band, bandHash) keys
     * per doc, self-join per bucket, dedupe pairs. */
   private def candidatePairs(sigs: DataFrame): DataFrame = {
@@ -72,7 +94,7 @@ object NearDup {
     * Output matches the brute-force oracle (recall ≈ 1 at the threshold,
     * exact verify kills false positives). */
   def minhashNearDup(s: SparkSession, d: String): DataFrame = {
-    val sigs = signatures(documents(s, d)).cache()
+    val sigs = corpusSignatures(s, d)
     // Broadcast hint for the exact-verify joins is CONFIG-gated, not
     // count()-gated: an eager count() would run a whole extra job over the
     // corpus before the real query starts (VERDICT r4). Default true — at
@@ -125,7 +147,7 @@ object NearDup {
     * verify joins the shingle sets back by id (benchmark side broadcast),
     * so recall follows n1's banded-LSH guarantee and precision is exact. */
   def minhashDecontaminate(s: SparkSession, d: String, nBench: Long = 64): DataFrame = {
-    val sigs = signatures(documents(s, d)).cache()
+    val sigs = corpusSignatures(s, d)
     def banded(df: DataFrame): DataFrame =
       df.select(col("doc_id"), posexplode(
         array((0 until numBands).map(b =>
@@ -343,9 +365,11 @@ object NearDup {
     * table is computed once and cached (probe + corpus sides share it). */
   def ngramJaccardTop1(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val sh = documents(s, d)
-      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-      .cache()
+    // the shared family table (its sig column rides along unused — the
+    // whole point is to scan/persist the shingle mass ONCE across
+    // n1/n2/d9/p17/p18; docs with <3 words have no shingles and can match
+    // nothing, so the shared table's empty-set filter is semantics-free)
+    val sh = corpusSignatures(s, d).select(col("doc_id"), col("sh"))
     val probes = sh.filter(col("doc_id") < 20)
       .select(col("doc_id").as("probe_id"), col("sh").as("probe_sh"))
     broadcast(probes)

@@ -112,6 +112,16 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     got shouldBe expected
     // the corpus must actually exercise the guarantee
     expected.size should be > 10
+
+    // the PPJoin length + positional filters (r8) prune the candidate set
+    // monotonically and still cover every qualifying pair
+    val full = Dedup.containmentCandidates(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefixOnly = Dedup.containmentCandidates(spark, tmp, positional = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    full.subsetOf(prefixOnly) shouldBe true
+    expected.map(p => (p._1, p._2)).subsetOf(full) shouldBe true
+    full.size should be < prefixOnly.size // fixed vocab: must actually prune
   }
 
   test("d5 plan: content-hash window + doc regroup, no joins, no cartesian") {
