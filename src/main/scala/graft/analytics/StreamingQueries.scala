@@ -45,12 +45,23 @@ object StreamingQueries {
     * Spark-written rehearsal data (graft.ScaleUp) ships it as a
     * DIRECTORY of part files (→ read the directory itself; the leaf glob
     * would match nothing inside and silently stream zero rows). */
-  private def eventsFileStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val asDir = new java.io.File(s"$sfDir/events.parquet").isDirectory
-    val reader = spark.readStream.schema(schema)
-    if (asDir) reader.parquet(s"$sfDir/events.parquet")
-    else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+  private def eventsFileStream(spark: SparkSession, sfDir: String): DataFrame =
+    tableFileStream(spark, sfDir, "events")
+
+  /** File-stream source for any driver table, handling both physical
+    * layouts (single file vs Spark-written part-file directory — see
+    * [[eventsFileStream]]'s contract note). `singleBatch` forces the
+    * whole table into ONE micro-batch (a maxFilesPerTrigger large enough
+    * to cover any part-file count) — required by operators whose
+    * per-batch fold assumes event-time order within the batch (s12). */
+  private def tableFileStream(spark: SparkSession, sfDir: String,
+      table: String, singleBatch: Boolean = false): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
+    val asDir = new java.io.File(s"$sfDir/$table.parquet").isDirectory
+    var reader = spark.readStream.schema(schema)
+    if (singleBatch) reader = reader.option("maxFilesPerTrigger", "1000000")
+    if (asDir) reader.parquet(s"$sfDir/$table.parquet")
+    else reader.option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
   }
 
   /** Decodes the `"event_type|value|props"` payload and emits the event
@@ -462,7 +473,138 @@ object StreamingQueries {
       .orderBy(col("event_type"))
   }
 
+  /** s11 — STREAMING NEAR-DUP under the oracle gate: documents stream in
+    * (file stream over the documents table, benchmark ids < 64 excluded)
+    * against the STATIC benchmark corpus — [[NearDup.streamingNearDup]]'s
+    * stream-static band join + watermark-bounded candidate dedup + exact
+    * Jaccard verify, drained with `Trigger.AvailableNow`. The drained
+    * pair set must equal d9's BATCH decontamination output exactly (same
+    * banded-LSH recall guarantee, same exact verify), so the oracle is
+    * d9's brute-force DuckDB re-derivation VERBATIM — closing the last
+    * spec-only gap in the near-dup family (VERDICT r7 item 4).
+    *
+    * The synthetic event time (`timestamp_micros(doc_id)`) keeps every
+    * arrival inside one watermark horizon: candidate-dedup state never
+    * evicts mid-drain, so the output is micro-batch-placement-independent
+    * (the s6/s9 oracle-gating discipline; eviction under lateness is
+    * spec-gated in StreamingNearDupSpec). */
+  def streamNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_s11_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val nBench = 64L
+    val stream = tableFileStream(spark, sfDir, "documents")
+      .filter(col("doc_id") >= nBench)
+      .select(col("doc_id"), col("text"),
+        timestamp_micros(col("doc_id")).as("arrival_ts"))
+    val corpus = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < nBench)
+      .select(col("doc_id"), col("text"))
+    val q = NearDup.streamingNearDup(stream, corpus, tsCol = "arrival_ts")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("doc_id"), col("match_id").as("bench_id"), col("jaccard"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** s12 — the ARBITRARY-STATEFUL API family under the oracle gate:
+    * [[graft.streaming.Sessionize.closedSessions]]
+    * (`flatMapGroupsWithState`, append, 0..N emission) sessionizes the
+    * event stream and its drained closed-session set must reduce to
+    * exactly s2's gaps-and-islands oracle. s9 gates the DECLARATIVE
+    * `session_window` operator; this gates the imperative per-key state
+    * fold itself — the last SQL-expressible output outside the gate
+    * (VERDICT r7 item 4).
+    *
+    * Two determinism moves make an oracle possible at all:
+    *   - every event is emitted twice, the copy shifted +200 years: the
+    *     copy's arrival CLOSES the user's final real session through the
+    *     ordinary gap-crossing path, so emission never depends on how far
+    *     the final watermark advanced (the s6 complete-mode argument, in
+    *     flush-token form); shifted sessions are dropped by a start-time
+    *     cut afterwards;
+    *   - the whole table drains in ONE micro-batch (the fold sorts within
+    *     a batch; cross-batch arrival order is a physical accident —
+    *     bounded-state multi-batch behavior is SessionizeSpec's job);
+    *   - gapMs = gap − 1 ms: closedSessions merges at diff ≤ gapMs while
+    *     `session_window`/the oracle break at diff ≥ gap; on integer
+    *     milliseconds the two coincide exactly. */
+  def streamStatefulSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.Sessionize
+    import spark.implicits._
+    val gapMs = 6L * 3600 * 1000
+    val shiftMs = 200L * 365 * 86400 * 1000 // +200 years
+    val realBefore = 4102444800000L // 2100-01-01: real data is ~2024
+    val name = s"graft_s12_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val events = Tables.normalizeEventTs(
+        tableFileStream(spark, sfDir, "events", singleBatch = true))
+      .select(col("user_id"), expr("ts div 1000000").as("tsms"), col("event_type"))
+      .withColumn("shift", explode(array(lit(0L), lit(shiftMs))))
+      .select(col("user_id").as("userId"), col("event_type").as("eventType"),
+        timestamp_millis(col("tsms") + col("shift")).as("ts"))
+      .as[Sessionize.UserEvent]
+    val q = Sessionize.closedSessions(events, gapMs = gapMs - 1)
+      .toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .filter(col("sessionStartMs") < realBefore) // drop the flush copies
+      .groupBy(col("userId"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("nEvents")).as("max_events"),
+        max(col("sessionEndMs") - col("sessionStartMs")).as("max_span_ms"))
+      .select(col("userId").as("user_id"), col("n_sessions"),
+        col("max_events"), col("max_span_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  /** s13 — `transformWithState` (Spark 4's typed stateful processor,
+    * RocksDB-backed) under the oracle gate:
+    * [[graft.streaming.Sessionize.runningCounts]] maintains one
+    * `ValueState[Long]` per user and emits the running total each batch;
+    * the LAST emission per user must equal the batch per-user count —
+    * correct across ANY micro-batch placement (each batch re-emits the
+    * updated total), so the oracle needs no single-batch pin. */
+  def streamRunningCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.Sessionize
+    import spark.implicits._
+    val name = s"graft_s13_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Tables.normalizeEventTs(eventsFileStream(spark, sfDir))
+        .select(col("user_id").as("userId"), col("event_type").as("eventType"),
+          timestamp_micros(expr("ts div 1000")).as("ts"))
+        .as[Sessionize.UserEvent]
+      val q = Sessionize.runningCounts(events)
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.table(name)
+      .groupBy(col("userId"))
+      .agg(max(col("nEvents")).as("n_events")) // last emission = running max
+      .select(col("userId").as("user_id"), col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val runningCountsOracle: String =
+    "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_stream_neardup" -> (streamNearDup _),
+    "s12_stateful_sessions" -> (streamStatefulSessions _),
+    "s13_running_counts" -> (streamRunningCounts _),
     "s10_file_sink_exactly_once" -> (streamFileSink _),
     "s8_stream_interval_join" -> (streamIntervalJoin _),
     "s9_stream_sessions" -> (streamSessions _),
@@ -476,6 +618,9 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s11_stream_neardup" -> NearDup.minhashDecontaminateOracle,
+    "s12_stateful_sessions" -> sessionStatsOracle,
+    "s13_running_counts" -> runningCountsOracle,
     "s10_file_sink_exactly_once" -> streamCountOracle,
     "s8_stream_interval_join" -> PipelineOps.p8Oracle,
     "s9_stream_sessions" -> sessionStatsOracle,
