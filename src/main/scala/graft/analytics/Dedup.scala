@@ -328,7 +328,10 @@ object Dedup {
         .select(col("doc_id").as("b_id"), col("sgs").as("b_sgs")), "b_id")
       .select(col("a_id"), col("b_id"),
         size(col("a_sgs")).cast("long").as("size_a"),
-        size(array_intersect(col("a_sgs"), col("b_sgs"))).cast("long").as("n_shared"))
+        // native sorted merge-walk: array_intersect hashes + materializes
+        // the intersection per pair only for size() to discard it — on the
+        // sf10 candidate volume that allocation was the verify stage
+        expr("graft_intersect_count(a_sgs, b_sgs)").as("n_shared"))
       .filter(lit(2L) * col("n_shared") >= col("size_a"))
       .withColumn("containment", col("n_shared").cast("double") / col("size_a"))
       .orderBy(col("a_id"), col("b_id"))
@@ -347,7 +350,7 @@ object Dedup {
   /** d7's candidate pairs after prefix + length + positional filtering —
     * exposed for the SCALE.md candidate-count comparison (the dev probe
     * measures this against the prefix-only volume). */
-  private[analytics] def containmentCandidates(s: SparkSession, d: String,
+  private[graft] def containmentCandidates(s: SparkSession, d: String,
       positional: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val exploded = containmentShingles(s, d)

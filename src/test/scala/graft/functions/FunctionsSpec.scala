@@ -50,6 +50,17 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     both.filter("abs(native - composed) > 0").count() shouldBe 0
   }
 
+  test("graft_intersect_count == size(array_intersect) on sorted distinct arrays") {
+    val sh = docs.selectExpr("doc_id", "graft_shingle_hashes(ws) AS sh").filter("size(sh) > 0")
+    val pairs = sh.limit(50).selectExpr("doc_id AS a_id", "sh AS sa")
+      .crossJoin(sh.limit(50).selectExpr("doc_id AS b_id", "sh AS sb"))
+    val both = pairs.selectExpr(
+      "graft_intersect_count(sa, sb) AS native",
+      "CAST(size(array_intersect(sa, sb)) AS BIGINT) AS composed")
+    both.filter("native != composed").count() shouldBe 0
+    both.filter("native > 0").count() should be > 0L
+  }
+
   test("graft_simhash == per-bit voting fold") {
     val th = docs.selectExpr("transform(ws, t -> xxhash64(t)) AS th")
     val composed = (0 until 64).map(i =>
