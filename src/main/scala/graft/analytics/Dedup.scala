@@ -461,7 +461,76 @@ object Dedup {
       |SELECT verdict, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM v GROUP BY 1 ORDER BY verdict""".stripMargin
 
+  /** d11 — EXACT SUBSTRING DUPLICATION PROFILE (winnowing): the
+    * character-level twin of d1. Lee et al. 2021 ("Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499) remove verbatim
+    * substrings ≥ 50 tokens found anywhere else in the corpus via a suffix
+    * array; a suffix array is a single-machine structure, so the
+    * distributed re-expression is winnowing fingerprints
+    * (Schleimer–Wilkerson–Aiken 2003): hash every k-char window, keep the
+    * minimum hash of each run of w consecutive windows
+    * ([[graft.functions.WinnowHashes]], one codegen'd O(n) deque pass per
+    * document). Content-defined selection makes detection
+    * ALIGNMENT-ROBUST: any verbatim run of ≥ k + w − 1 chars (k=20, w=16 ⇒
+    * 35 chars) shared by two documents selects at least one identical
+    * fingerprint in both copies wherever the copies sit — the guarantee
+    * fixed-stride position sampling cannot give, while storing only
+    * ~2/(w+1) of all window hashes.
+    *
+    * Per-doc report: distinct fingerprint count, fingerprints shared with
+    * ≥ 1 other document, and their ratio (one IEEE division of exact
+    * integers — deterministic).
+    *
+    * Scale shape: the shuffle key is the 60-bit fingerprint (8-byte long,
+    * d1's discipline; the oracle re-derives identical values from
+    * `md5()`). Full window text never crosses the wire. Two exchanges —
+    * (fingerprint) for the document-frequency count and (doc_id) for the
+    * per-doc fold — plus one fingerprint-keyed equi-join of two narrow
+    * (id, long) tables; all aggregates partial+final. Fingerprinting is a
+    * per-row generator (no shuffle), linear in corpus bytes. */
+  def substringDedup(s: SparkSession, d: String): DataFrame =
+    substringDedupDf(s, documents(s, d))
+
+  /** d11 on an explicit (doc_id, text) frame — spec seam for planted-run
+    * recall tests. The expression emits per-doc DISTINCT fingerprints, so
+    * the per-fingerprint row count below is exactly its document
+    * frequency. */
+  private[graft] def substringDedupDf(s: SparkSession, docs: DataFrame,
+      k: Int = 20, w: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val fps = docs.select(col("doc_id"),
+      explode(expr(s"graft_winnow_hashes(text, $k, $w)")).as("fp"))
+    val freq = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+    fps.join(freq, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_fingerprints"))
+      .withColumn("dup_ratio",
+        col("n_dup_fingerprints").cast("double") / col("n_fingerprints"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d11 oracle — re-derives the winnowing selection in SQL: per-position
+    * 15-hex md5 prefixes (lexicographic min ≡ numeric min for fixed-width
+    * hex), per-window list_min, distinct per doc. */
+  val substringDedupOracle: String =
+    """WITH hs AS (SELECT doc_id,
+      |    list_transform(generate_series(1, greatest(length(text)-19, 1)),
+      |      p -> substr(md5(substr(text, CAST(p AS INT), 20)), 1, 15)) AS h
+      |  FROM documents),
+      |sel AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(generate_series(1, greatest(len(h)-15, 1)),
+      |      i -> list_min(list_slice(h, CAST(i AS INT), CAST(i AS INT)+15))))) AS fp
+      |  FROM hs),
+      |f AS (SELECT fp, count(*) AS nd FROM sel GROUP BY fp)
+      |SELECT doc_id, count(*) AS n_fingerprints,
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_fingerprints,
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
+      |FROM sel JOIN f USING (fp)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_substring_dedup" -> (substringDedup _),
     "d10_incremental_dedup" -> (incrementalDedup _),
     "d7_containment_dedup" -> (containmentDedup _),
     "d1_exact_dedup" -> (exactDedup _),
@@ -473,6 +542,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "d11_substring_dedup" -> substringDedupOracle,
     "d10_incremental_dedup" -> incrementalDedupOracle,
     "d7_containment_dedup" -> containmentDedupOracle,
     "d1_exact_dedup" -> exactDedupOracle,

@@ -611,6 +611,100 @@ case class HyperplaneSignature(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_winnow_hashes(string, k, w) → array<bigint>` — the sorted DISTINCT
+  * winnowing fingerprints of a text (Schleimer–Wilkerson–Aiken 2003, the
+  * MOSS algorithm): hash every k-char window (60-bit md5 prefix, the
+  * engine-NEUTRAL [[ShingleMd5Hashes]] convention — DuckDB re-derives the
+  * identical values as `substr(md5(substr(text, p, k)), 1, 15)` and compares
+  * them lexicographically, which for fixed-width lowercase hex equals the
+  * numeric order used here), then from every window of w consecutive hashes
+  * select the minimum. Any verbatim run of ≥ k + w − 1 chars shared by two
+  * documents contains a full w-window of identical k-gram hashes in BOTH
+  * copies regardless of offset alignment, so both select the same minimum —
+  * the content-defined-selection guarantee fixed-stride sampling lacks.
+  *
+  * One native loop per row: an O(n) monotonic-deque rolling minimum over
+  * the position hashes (the interpreted twin is an O(n·w)
+  * `transform(sequence, i -> array_min(slice(...)))` chain of boxing
+  * CodegenFallback HOFs). Window offsets count UTF-16 units while the
+  * oracle's `substr` counts code points — identical for BMP text (the
+  * corpus contract; same accepted class as the md5-prefix collision
+  * caveat). Short texts (< k chars) yield their single clipped window,
+  * matching SQL `substr` clipping in both engines. */
+case class WinnowHashes(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0, "graft_winnow_hashes: k and w must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child), Seq(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_hashes"
+
+  // MessageDigest is stateful and not thread-safe; per-thread instance
+  @transient private lazy val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): GenericArrayData = {
+    val str = text.toString
+    val len = str.length
+    val m = math.max(len - k + 1, 1)
+    val md = digest.get()
+    val bytes = text.getBytes
+    val ascii = bytes.length == len // 1 byte per UTF-16 unit ⇒ pure ASCII
+    val h = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      val end = math.min(p + k, len)
+      if (ascii) md.update(bytes, p, end - p)
+      else md.update(str.substring(p, end)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest() // digest() resets for the next window
+      // first 15 hex chars = top 60 bits: big-endian first 8 bytes >>> 4
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+      h(p) = v >>> 4
+      p += 1
+    }
+    // rolling minimum over windows of we = min(w, m) hashes: monotonic
+    // deque of indices, O(m) total
+    val we = math.min(w, m)
+    val sel = new Array[Long](m - we + 1)
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    var out = 0
+    var i = 0
+    while (i < m) {
+      while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - we) head += 1
+      if (i >= we - 1) { sel(out) = h(dq(head)); out += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(sel)
+    // in-place dedupe of the sorted array
+    var wr = 0
+    var r = 0
+    while (r < sel.length) {
+      if (r == 0 || sel(r) != sel(r - 1)) { sel(wr) = sel(r); wr += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, wr))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("winnower", this, classOf[WinnowHashes].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+}
+
 /** Registration: per-session function registry (callable from any code that
   * holds the session) plus a [[org.apache.spark.sql.SparkSessionExtensions]]
   * hook for `spark.sql.extensions=graft.functions.GraftExtensions`. */
@@ -645,7 +739,11 @@ object GraftFunctions {
     ("graft_md5_prefix_hashes", (c: Seq[Expression]) => Md5PrefixHashes(c.head)),
     // optional 2nd arg: shingle width n (a literal), default word 5-grams
     ("graft_shingle_md5_hashes", (c: Seq[Expression]) => ShingleMd5Hashes(c.head,
-      if (c.length > 1) c(1).eval().asInstanceOf[Number].intValue() else 5))
+      if (c.length > 1) c(1).eval().asInstanceOf[Number].intValue() else 5)),
+    // optional literal args: k-gram width, winnow window (defaults 20, 16)
+    ("graft_winnow_hashes", (c: Seq[Expression]) => WinnowHashes(c.head,
+      if (c.length > 1) c(1).eval().asInstanceOf[Number].intValue() else 20,
+      if (c.length > 2) c(2).eval().asInstanceOf[Number].intValue() else 16))
   )
 
   def register(spark: SparkSession): Unit =

@@ -124,6 +124,37 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     full.size should be < prefixOnly.size // fixed vocab: must actually prune
   }
 
+  test("d11 planted-run recall: a 35-char shared run is found at ANY alignment; sub-threshold runs are not") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(23)
+    def rand(n: Int): String =
+      Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    // k=20, w=16 ⇒ guarantee threshold k+w−1 = 35 chars. Random 26-letter
+    // text makes accidental 20-gram collisions impossible in practice.
+    val run = rand(35)
+    val short = rand(24) // ≥ k but < k+w−1: no selection guarantee
+    val docs = Seq(
+      (1L, rand(7) + run + rand(180)),    // planted run at offset 7
+      (2L, rand(113) + run + rand(60)),   // same run at offset 113 (≠ mod w)
+      (3L, rand(41) + short + rand(150)), // sub-threshold overlap pair...
+      (4L, rand(88) + short + rand(90)),  // ...may or may not collide
+      (5L, rand(220)),                    // clean
+      (6L, rand(200))                     // clean
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedupDf(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map { case (id, n, d) => id -> ((n, d)) }.toMap
+    // both copies of the planted run MUST share a fingerprint, wherever
+    // the run sits (the winnowing guarantee; stride sampling fails this)
+    got(1L)._2 should be > 0L
+    got(2L)._2 should be > 0L
+    // clean docs share nothing
+    got(5L)._2 shouldBe 0L
+    got(6L)._2 shouldBe 0L
+    // every doc fingerprints something, ~2/(w+1) of its positions
+    got.values.foreach { case (n, _) => n should be > 0L }
+  }
+
   test("d5 plan: content-hash window + doc regroup, no joins, no cartesian") {
     val plan = Dedup.paragraphDedup(spark, sfDir).queryExecution.executedPlan.toString
     withClue(s"d5 plan:\n$plan\n") {

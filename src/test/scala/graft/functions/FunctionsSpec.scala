@@ -141,6 +141,52 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("graft_winnow_hashes == HOF winnowing (per-position md5, window array_min)") {
+    val both = docs.sparkSession.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text",
+        """transform(sequence(1, greatest(length(text) - 19, 1)),
+          |  p -> CAST(conv(substring(md5(CAST(substring(text, p, 20) AS BINARY)),
+          |       1, 15), 16, 10) AS BIGINT)) AS hs""".stripMargin)
+      .selectExpr(
+        "graft_winnow_hashes(text, 20, 16) AS native",
+        """array_sort(array_distinct(transform(
+          |  sequence(1, greatest(size(hs) - 15, 1)),
+          |  i -> array_min(slice(hs, i, 16))))) AS composed""".stripMargin)
+    both.filter("native != composed").count() shouldBe 0
+    both.filter("size(native) > 0").count() should be > 400L
+  }
+
+  test("graft_winnow_hashes matches a JVM reference on random corpora (short/empty/unicode text)") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(17)
+    val alphabet = "abcdefgh Ωλ.!" // multi-byte chars exercise the non-ASCII path
+    val k = 5; val w = 4
+    val rows = (0 until 80).map { id =>
+      val n = rng.nextInt(30) // 0..29 chars — below and above k and k+w-1
+      (id.toLong, Seq.fill(n)(alphabet(rng.nextInt(alphabet.length))).mkString)
+    }
+    val got = rows.toDF("id", "text")
+      .selectExpr("id", s"graft_winnow_hashes(text, $k, $w) AS fp")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // independent derivation: hex-string slice of the digest + brute-force
+    // window minimum, not bit math or a deque
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (id, text) =>
+      val m = math.max(text.length - k + 1, 1)
+      val hs = (0 until m).map { p =>
+        val d = md.digest(
+          text.substring(p, math.min(p + k, text.length)).getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      }
+      val we = math.min(w, m)
+      val expect = (0 to m - we).map(i => hs.slice(i, i + we).min)
+        .distinct.sorted
+      withClue(s"doc $id ('$text'): ") { got(id) shouldBe expect }
+    }
+  }
+
   test("graft_hyperplane_sig is stable and spreads across buckets") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
