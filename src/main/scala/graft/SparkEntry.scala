@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.analytics.{Dedup, ExtendedQueries, FormatQueries, Multimodal, NearDup, PipelineOps, RelationalQueries, Similarity, StreamingQueries, TextAnalytics}
+import graft.analytics.{Dedup, ExtendedQueries, FormatQueries, GraphOps, Multimodal, NearDup, PipelineOps, RelationalQueries, Similarity, StreamingQueries, TextAnalytics}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,14 +20,14 @@ object SparkEntry {
     RelationalQueries.queries ++ TextAnalytics.queries ++ Dedup.queries ++
       StreamingQueries.queries ++ NearDup.queries ++ Similarity.queries ++
       Multimodal.queries ++ ExtendedQueries.queries ++ PipelineOps.queries ++
-      FormatQueries.queries
+      FormatQueries.queries ++ GraphOps.queries
 
   /** The registered-surface FLOOR: round 6's correctness artifact silently
     * shrank from 115 to 98 entries with rc=0 (a query-map merge dropped
     * entries without any failure record) and only a human diffing entry
     * counts caught it. Verify hard-fails when `queries` falls below this;
     * bump it in the same commit that registers a new query. */
-  val expectedQueryCount: Int = 133
+  val expectedQueryCount: Int = 135
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,5 @@ object SparkEntry {
     RelationalQueries.oracles ++ TextAnalytics.oracles ++ Dedup.oracles ++
       StreamingQueries.oracles ++ NearDup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ ExtendedQueries.oracles ++ PipelineOps.oracles ++
-      FormatQueries.oracles
+      FormatQueries.oracles ++ GraphOps.oracles
 }

@@ -1,0 +1,121 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Graph analytics over data-derived graphs — the link-centrality family a
+  * web-crawl curation pipeline runs (Common Crawl publishes harmonic
+  * centrality / PageRank rankings to pick crawl seeds and weight domains).
+  * The near-dup connected-components twins (label propagation,
+  * large-star/small-star) live in [[NearDup]].
+  *
+  * Determinism discipline: PageRank is usually iterated IEEE arithmetic —
+  * cross-engine ULP drift compounding over iterations. Here every iteration
+  * is EXACT integer arithmetic: rank mass is a scaled BIGINT (10^12 total),
+  * transition probabilities are parts-per-million integers, damping is the
+  * exact rational 85/100, every division is floor division. Integer sums
+  * are order-independent, so the result is bit-identical in any engine that
+  * implements floor division — which is what lets a 10-iteration fixpoint
+  * hash-match DuckDB exactly.
+  */
+object GraphOps {
+
+  import Tables._
+
+  /** Mass scale: total rank mass in scaled units (10^12). */
+  private val S = "1000000000000"
+  /** Damped teleport numerator: (15 · S) / 100 exactly (100 | 15·S). */
+  private val TeleportNum = "150000000000"
+  /** Transition probabilities are parts-per-million. */
+  private val PPM = "1000000"
+
+  /** One chained-CTE iteration r{i} from r{i-1}: contributions are
+    * floor((floor(85·r/100) · pnum) / 10^6) summed per destination (exact
+    * BIGINT — ≤ 8.5e17 per term, far under Long.Max), plus the constant
+    * teleport share. Nodes with no in-edges still receive the teleport via
+    * the LEFT JOIN. `div` is the dialect's floor-division operator. */
+  private def iterCte(i: Int, div: String, nodesRel: String, pRel: String): String =
+    s"""r$i AS (SELECT n.etype,
+       |    $TeleportNum $div (SELECT count(*) FROM $nodesRel) + coalesce(c.contrib, 0) AS r
+       |  FROM $nodesRel n LEFT JOIN (
+       |    SELECT p.dst, sum((((85 * r.r) $div 100) * p.pnum) $div $PPM) AS contrib
+       |    FROM $pRel p JOIN r${i - 1} r ON r.etype = p.src
+       |    GROUP BY p.dst) c ON c.dst = n.etype)""".stripMargin
+
+  private def rankSql(div: String, nodesRel: String, pRel: String,
+      iters: Int): String = {
+    val chain = (1 to iters).map(iterCte(_, div, nodesRel, pRel)).mkString(",\n")
+    s"""WITH r0 AS (SELECT etype, $S $div (SELECT count(*) FROM $nodesRel) AS r
+       |  FROM $nodesRel),
+       |$chain
+       |SELECT etype, CAST(r AS BIGINT) AS rank_scaled
+       |FROM r$iters ORDER BY rank_scaled DESC, etype""".stripMargin
+  }
+
+  /** g1 — EVENT-TRANSITION PAGERANK: the stationary importance ranking of
+    * event types under the empirical user-journey Markov chain (damping
+    * 0.85, 10 iterations) — "which states do user sessions keep flowing
+    * into", the behavioral-analytics twin of crawl-graph centrality.
+    *
+    * Edge derivation is the distributed part: per-user consecutive event
+    * pairs via a lag window partitioned by user_id (unbounded parallelism
+    * across users; ties broken by event_id), folded to (src, dst, count) —
+    * a partial+final aggregation whose output is at most |types|² rows.
+    * The iteration then runs on that tiny persisted edge table: 10 chained
+    * joins that never touch the events table again (the persist pins ONE
+    * materialization of the window pass; at 100 TB the edge fold is the
+    * only corpus-sized work, and it is one shuffle on user_id plus one on
+    * the type pair). Dangling nodes (a type never observed as a
+    * transition source) receive only teleport mass — the standard
+    * "removed dangling" PageRank simplification, identical in the oracle.
+    */
+  def eventPagerank(s: SparkSession, d: String): DataFrame =
+    eventPagerankDf(s, events(s, d))
+
+  /** g1 on an explicit events frame — spec seam for hand-built chains with
+    * known stationary distributions. */
+  private[graft] def eventPagerankDf(s: SparkSession, ev: DataFrame): DataFrame = {
+    ev.createOrReplaceTempView("graft_pr_events_v")
+    val p = s.sql(
+      """WITH trans AS (SELECT
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+        |    event_type AS dst
+        |  FROM graft_pr_events_v),
+        |e AS (SELECT src, dst, count(1) AS w FROM trans
+        |      WHERE src IS NOT NULL GROUP BY src, dst),
+        |o AS (SELECT src, sum(w) AS outw FROM e GROUP BY src)
+        |SELECT e.src, e.dst, (e.w * 1000000) div o.outw AS pnum
+        |FROM e JOIN o ON e.src = o.src""".stripMargin)
+      .persist()
+    p.createOrReplaceTempView("graft_pr_p_v")
+    val nodes = s.sql(
+      "SELECT DISTINCT event_type AS etype FROM graft_pr_events_v").persist()
+    nodes.createOrReplaceTempView("graft_pr_nodes_v")
+    s.sql(rankSql("div", "graft_pr_nodes_v", "graft_pr_p_v", iters = 10))
+  }
+
+  /** g1 oracle — the identical exact-integer chain in DuckDB (`//` floor
+    * division); edge table and node set derived inline. */
+  val eventPagerankOracle: String = {
+    val body = rankSql("//", "nodes", "p", iters = 10)
+    // splice the edge/node derivation CTEs into the generated WITH chain
+    s"""WITH trans AS (SELECT
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+       |    event_type AS dst
+       |  FROM events),
+       |e AS (SELECT src, dst, count(*) AS w FROM trans
+       |      WHERE src IS NOT NULL GROUP BY src, dst),
+       |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+       |p AS (SELECT e.src, e.dst, (e.w * 1000000) // o.outw AS pnum
+       |      FROM e JOIN o ON e.src = o.src),
+       |nodes AS (SELECT DISTINCT event_type AS etype FROM events),
+       |${body.stripPrefix("WITH ")}""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_event_pagerank" -> (eventPagerank _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g1_event_pagerank" -> eventPagerankOracle
+  )
+}

@@ -526,7 +526,58 @@ object TextAnalytics {
       |FROM cp JOIN fs ON fs.first_id < cp.prefix_end
       |GROUP BY prefix_end ORDER BY prefix_end""".stripMargin
 
+  /** t15 — UNIGRAM SURPRISAL QUALITY SCORE: the language-model perplexity
+    * filter of CCNet (Wenzek et al. 2020) / the C4 pipeline, re-expressed
+    * as a corpus-self-trained unigram model with integer-exact surprisal.
+    * A KenLM log-probability is transcendental (cross-engine ULP drift),
+    * so per-token "surprisal" is ⌊log₂(corpus count)⌋ — the bit length of
+    * an exact BIGINT (`length(bin(cnt)) − 1`), identical in both engines.
+    * Low mean ⇒ the document is built from rare tokens (high-perplexity
+    * class); high min ⇒ even its rarest token is common (boilerplate
+    * class). The report keeps the exact integer sums plus ONE IEEE
+    * division for the mean.
+    *
+    * Scale shape (t9's discipline): tf is a (doc, token) partial+final
+    * aggregation; the corpus count RE-AGGREGATES tf by token — the
+    * repeated subtree's exchange is identical, so ReuseExchange dedupes
+    * the heavy shuffle — and joins back on the token key. Document rows
+    * never meet the corpus-count table un-aggregated (the tf pre-fold
+    * bounds the join input at distinct-tokens-per-doc, not tokens). At
+    * 100 TB the count table is the natural broadcast/top-K-cap candidate;
+    * the equi-join shape is AQE-skew-splittable either way. */
+  def unigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).createOrReplaceTempView("graft_docs_us_v")
+    s.sql(
+      """WITH tf AS (SELECT doc_id, token, count(1) AS tf
+        |  FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS token
+        |        FROM graft_docs_us_v)
+        |  GROUP BY doc_id, token),
+        |c AS (SELECT token, sum(tf) AS cnt FROM tf GROUP BY token),
+        |j AS (SELECT doc_id, tf, CAST(length(bin(cnt)) - 1 AS BIGINT) AS lf
+        |  FROM tf JOIN c ON tf.token = c.token)
+        |SELECT doc_id, sum(tf) AS n_tokens,
+        |  sum(tf * lf) AS sum_log2f,
+        |  min(lf) AS min_log2f,
+        |  CAST(sum(tf * lf) AS DOUBLE) / sum(tf) AS mean_log2f
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  val unigramSurprisalOracle: String =
+    """WITH tf AS (SELECT doc_id, token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |        FROM documents) t
+      |  GROUP BY doc_id, token),
+      |c AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY token),
+      |j AS (SELECT doc_id, tf, length(bin(cnt)) - 1 AS lf
+      |  FROM tf JOIN c USING (token))
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  CAST(sum(tf * lf) AS BIGINT) AS sum_log2f,
+      |  CAST(min(lf) AS BIGINT) AS min_log2f,
+      |  CAST(sum(tf * lf) AS DOUBLE) / sum(tf) AS mean_log2f
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_unigram_surprisal" -> ((s: SparkSession, d: String) => unigramSurprisal(s, d)),
     "t14_vocab_growth" -> ((s: SparkSession, d: String) => vocabGrowth(s, d)),
     "t13_rare_bigrams" -> (rareBigrams _),
     "t12_gopher_quality" -> (gopherQuality _),
@@ -544,6 +595,7 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "t15_unigram_surprisal" -> unigramSurprisalOracle,
     "t14_vocab_growth" -> vocabGrowthOracle,
     "t13_rare_bigrams" -> rareBigramsOracle,
     "t12_gopher_quality" -> gopherQualityOracle,
