@@ -601,7 +601,61 @@ object StreamingQueries {
   val runningCountsOracle: String =
     "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id"
 
+  /** s14 — STREAMING HEAVY HITTERS on `MapState` (the map-of-substate
+    * handle s13's ValueState doesn't cover):
+    * [[graft.streaming.HeavyHitters.typeUserCounts]] maintains exact
+    * user → count maps per salted (event_type, user_id % 64) group and
+    * emits the exact updated count of every user a batch touches. Counts
+    * are monotone, so `max` over emissions = each user's final count
+    * regardless of micro-batch placement, and the drained top-5 per type
+    * (count desc, user_id tie-break) equals the batch leaderboard. */
+  def streamTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{HeavyHitters, Sessionize}
+    import spark.implicits._
+    val name = s"graft_s14_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Tables.normalizeEventTs(eventsFileStream(spark, sfDir))
+        .select(col("user_id").as("userId"), col("event_type").as("eventType"),
+          timestamp_micros(expr("ts div 1000")).as("ts"))
+        .as[Sessionize.UserEvent]
+      val q = HeavyHitters.typeUserCounts(events)
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("user_id"))
+    spark.table(name)
+      .groupBy(col("eventType"), col("userId"))
+      .agg(max(col("n")).as("n")) // monotone → last emission
+      .select(col("eventType").as("event_type"), col("userId").as("user_id"),
+        col("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  val topKOracle: String =
+    """SELECT event_type, user_id, n, rk FROM (
+      |  SELECT event_type, user_id, n,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |         ORDER BY n DESC, user_id) AS BIGINT) AS rk
+      |  FROM (SELECT event_type, user_id, count(*) AS n
+      |        FROM events GROUP BY event_type, user_id) c) ranked
+      |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_stream_topk" -> (streamTopK _),
     "s11_stream_neardup" -> (streamNearDup _),
     "s12_stateful_sessions" -> (streamStatefulSessions _),
     "s13_running_counts" -> (streamRunningCounts _),
@@ -620,6 +674,7 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     "s11_stream_neardup" -> NearDup.minhashDecontaminateOracle,
     "s12_stateful_sessions" -> sessionStatsOracle,
+    "s14_stream_topk" -> topKOracle,
     "s13_running_counts" -> runningCountsOracle,
     "s10_file_sink_exactly_once" -> streamCountOracle,
     "s8_stream_interval_join" -> PipelineOps.p8Oracle,
