@@ -92,7 +92,50 @@ object FormatQueries {
       |min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM documents WHERE lang = 'en' GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
 
+  /** f5 — SCHEMA EVOLUTION across parquet vintages: a 100 TB lake is never
+    * one schema — columns get added (here `quality`) and early batches
+    * lack columns later ones carry (`source`). Write the corpus twice
+    * (v1: pre-`source`/pre-`quality` vintage; v2: full schema + the new
+    * `quality` column), read BOTH with `mergeSchema=true`, and aggregate
+    * the union — absent columns must surface as NULLs, never as read
+    * errors or silent drops. The oracle rebuilds the two vintages as a
+    * UNION ALL with explicit NULL columns, so a row coerced or lost in
+    * the merge breaks the hash.
+    *
+    * Scale discipline: `mergeSchema` is a FOOTER-ONLY pass (per-file
+    * metadata union, no data read) but it is O(files) on the namenode —
+    * at lake scale you pin the merged schema in a table catalog and pass
+    * `.schema(...)` instead; this path exercises the semantics the
+    * catalog entry must encode. */
+  def f5SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-evo").toString
+    val docs = documents(s, d)
+    docs.select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/v1")
+    docs.withColumn("quality", pmod(col("n_chars"), lit(7L)))
+      .write.mode("overwrite").parquet(s"$tmp/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_v1_rows"),
+        sum(coalesce(col("quality"), lit(0L))).as("sum_quality"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val f5Oracle: String =
+    """WITH m AS (
+      |  SELECT lang, n_chars, NULL AS source, NULL AS quality FROM documents
+      |  UNION ALL
+      |  SELECT lang, n_chars, source, n_chars % 7 AS quality FROM documents)
+      |SELECT lang, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1_rows,
+      |  CAST(sum(coalesce(quality, 0)) AS BIGINT) AS sum_quality,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f5_schema_evolution" -> (f5SchemaEvolution _),
     "f4_partitioned_source" -> (f4PartitionedSource _),
     "f1_jsonl_source" -> (f1JsonlSource _),
     "f2_csv_source" -> (f2CsvSource _),
@@ -100,6 +143,7 @@ object FormatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "f5_schema_evolution" -> f5Oracle,
     "f4_partitioned_source" -> f4Oracle,
     "f1_jsonl_source" -> roundtripOracle,
     "f2_csv_source" -> roundtripOracle,

@@ -970,6 +970,87 @@ object Similarity {
       |  FROM a WHERE vec_id <> probe_id) t
       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
+  /** e10 — SCALAR QUANTIZATION (SQ8) ANN: the third compression scheme in
+    * the index family (e2 LSH signatures, e6 product quantization). Every
+    * dimension is linearly quantized to an 8-bit code against per-dimension
+    * corpus [min, max] — 64 bytes per vector instead of 256, with NO
+    * codebook training (one stats pass), which is why FAISS ships SQ8 as
+    * the default compromise between flat and PQ indexes. Search is
+    * symmetric: the probe is quantized with the same grid and ranked by
+    * exact INTEGER squared L2 over codes (≤ 64·255² < 2^23 — exact in any
+    * engine, no float-sum order sensitivity), so the full
+    * (probe, neighbor, rank, dist_sq) tuple hash-matches DuckDB.
+    *
+    * Scale shape: the "training" pass is a partial+final (dim → min/max)
+    * aggregation folded to ONE 64-row stats array that broadcasts to the
+    * encode scan — the corpus is never shuffled, never exploded; encoding
+    * is a single projection (`transform` over the vector against the
+    * broadcast grid). Search reuses e1's sanctioned conditioned
+    * broadcast-probe pass over the 64-byte codes (4× less traffic than
+    * float vectors), with the codegen'd `graft_l2sq` doing the distance
+    * (integer-valued doubles — exact). At 100 TB the code table is the
+    * resident index; the stats row is the SQ codebook analog of e4/e6's
+    * broadcast codebooks. */
+  def sq8TopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
+    // one partial+final stats pass, folded to a single 64-element grid row
+    val grid = emb
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx"))))
+        .as("st"))
+    // encode: pure projection against the broadcast grid — ((x−mn)·255)/(mx−mn)
+    // evaluated in IEEE double with the same association as the oracle
+    val codes = emb.join(broadcast(grid))
+      .select(col("vec_id"), expr(
+        """transform(v, (x, ix) ->
+          |  CASE WHEN st[ix].mx = st[ix].mn THEN 0L
+          |       ELSE least(255L, floor(((x - st[ix].mn) * 255.0D)
+          |                              / (st[ix].mx - st[ix].mn))) END)"""
+          .stripMargin).as("c"))
+    val probes = codes.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("c").as("pc"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist_sq"), col("vec_id"))
+    broadcast(probes)
+      .join(codes, col("vec_id") =!= col("probe_id"))
+      .withColumn("dist_sq", expr(
+        "CAST(graft_l2sq(CAST(pc AS ARRAY<DOUBLE>), CAST(c AS ARRAY<DOUBLE>)) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("dist_sq"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** DuckDB re-derives the grid, the codes, and the exact integer distance;
+    * the only IEEE step (the quantization expression) is written with the
+    * identical association in both engines, and everything downstream is
+    * integer arithmetic. */
+  val sq8Oracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |  FROM embeddings),
+      |st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+      |  FROM e CROSS JOIN generate_series(1, 64) t(i) GROUP BY i),
+      |codes AS (SELECT vec_id, list(code ORDER BY i) AS c FROM (
+      |    SELECT e.vec_id, st.i,
+      |      CASE WHEN st.mx = st.mn THEN 0
+      |           ELSE least(255, CAST(floor(((e.v[st.i] - st.mn) * 255.0)
+      |                                      / (st.mx - st.mn)) AS BIGINT)) END AS code
+      |    FROM e CROSS JOIN st) q
+      |  GROUP BY vec_id),
+      |pairs AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(generate_series(1, 64),
+      |      i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i]))) AS BIGINT) AS dist_sq
+      |  FROM codes a JOIN codes b ON b.vec_id != a.vec_id
+      |  WHERE a.vec_id < 8)
+      |SELECT probe_id, neighbor_id, rank, dist_sq FROM (
+      |  SELECT probe_id, neighbor_id, dist_sq,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY dist_sq, neighbor_id) AS rank
+      |  FROM pairs) t
+      |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   /** d8 — SEMANTIC decontamination: flag every corpus vector whose best
     * cosine against the benchmark embedding set reaches τ = 0.9 — the
     * embedding-space member of the decontamination family (d3 exact
@@ -1032,7 +1113,8 @@ object Similarity {
     "e5_ann_recall" -> (annRecall _),
     "e7_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d, nCells0 = 16)),
     "e8_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
-    "e9_knn_graph_2level" -> ((s: SparkSession, d: String) => knnGraphTwoLevel(s, d))
+    "e9_knn_graph_2level" -> ((s: SparkSession, d: String) => knnGraphTwoLevel(s, d)),
+    "e10_sq8_ann" -> ((s: SparkSession, d: String) => sq8TopK(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1047,6 +1129,7 @@ object Similarity {
     "e5_ann_recall" -> annRecallOracle,
     "e7_knn_graph" -> knnGraphOracle,
     "e8_mmr_rerank" -> mmrRerankOracle,
-    "e9_knn_graph_2level" -> knnGraphTwoLevelOracle
+    "e9_knn_graph_2level" -> knnGraphTwoLevelOracle,
+    "e10_sq8_ann" -> sq8Oracle
   )
 }

@@ -654,7 +654,80 @@ object StreamingQueries {
       |        FROM events GROUP BY event_type, user_id) c) ranked
       |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin
 
+  /** s15 — STREAM-STREAM LEFT OUTER JOIN under the oracle gate: s8's
+    * watermarked interval join, but every purchase must survive — the
+    * attribution shape where unattributed conversions are themselves the
+    * signal (organic-traffic measurement). The semantics Spark adds for
+    * OUTER stream joins is exactly what this pins: an unmatched left row
+    * may only emit its null-padded result once the CLICK-side watermark
+    * has passed its whole match window, i.e. once no future click can
+    * still claim it — so emission is a watermark eviction, not an
+    * end-of-batch scan.
+    *
+    * The s12 flush-token move makes that deterministic under
+    * `Trigger.AvailableNow`: every event carries a +200-year copy, so the
+    * final watermark stands far past every real purchase's window and
+    * every pending null row flushes through the ordinary eviction path
+    * (shifted rows are cut afterwards — shifted pairs only ever join each
+    * other, 200 years away from the real window). The drained set must
+    * equal DuckDB's batch LEFT JOIN verbatim.
+    *
+    * Scale shape: state is the same watermark-bounded two-sided store as
+    * s8 (clicks held 1 h + delay, purchases held until their window
+    * closes); the null-row scan rides the eviction pass, so an
+    * always-on deployment holds O(window) state per user, never O(stream). */
+  def streamLeftOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_s15_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val shiftUs = 200L * 365 * 86400 * 1000000L // +200 years, micros
+    val realBeforeUs = 4102444800000000L // 2100-01-01: real data is ~2024
+    def src = Tables.normalizeEventTs(
+        tableFileStream(spark, sfDir, "events", singleBatch = true))
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us0"),
+        col("event_type"))
+      .withColumn("shift", explode(array(lit(0L), lit(shiftUs))))
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us0") + col("shift")).as("tsx"), col("event_type"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("tsx").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("tsx").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val q = purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("p_id"), col("p_user").as("user_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"),
+        unix_micros(col("p_ts")).as("p_us"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .filter(col("p_us") < realBeforeUs) // drop the flush copies
+      .select(col("p_id"), col("user_id"), col("click_id"), col("gap_us"))
+      .orderBy(col("p_id"), col("click_id"))
+  }
+
+  /** p8's oracle with the join made LEFT — unmatched purchases keep a
+    * null click/gap row. */
+  val streamLeftOuterOracle: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+      |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click')
+      |SELECT p.event_id AS p_id, p.user_id, c.event_id AS click_id,
+      |  p.us - c.us AS gap_us
+      |FROM p LEFT JOIN c
+      |  ON c.user_id = p.user_id
+      | AND c.us BETWEEN p.us - 3600000000 AND p.us
+      |ORDER BY p_id, click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_stream_left_outer" -> (streamLeftOuterJoin _),
     "s14_stream_topk" -> (streamTopK _),
     "s11_stream_neardup" -> (streamNearDup _),
     "s12_stateful_sessions" -> (streamStatefulSessions _),
@@ -672,6 +745,7 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s15_stream_left_outer" -> streamLeftOuterOracle,
     "s11_stream_neardup" -> NearDup.minhashDecontaminateOracle,
     "s12_stateful_sessions" -> sessionStatsOracle,
     "s14_stream_topk" -> topKOracle,

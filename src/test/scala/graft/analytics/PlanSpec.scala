@@ -30,7 +30,7 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       "s8_stream_interval_join", "s9_stream_sessions",
       "s10_file_sink_exactly_once", "s11_stream_neardup",
       "s12_stateful_sessions", "s13_running_counts",
-      "s14_stream_topk")).toSeq.sorted
+      "s14_stream_topk", "s15_stream_left_outer")).toSeq.sorted
 
   test("no query plan contains a cartesian product or unconditioned nested loop") {
     // e4 (IVF) legitimately scores every vector against a BOUNDED broadcast
@@ -43,8 +43,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // e7 (mutual kNN graph) reuses e4's broadcast-codebook assignment.
     // e9 (two-level kNN) broadcast-scans only the k1-row COARSE codebook;
     // its fine assignment is already an equi-join on coarse_id.
+    // e10 (SQ8) joins the corpus against its ONE-row broadcast quantization
+    // grid (the SQ codebook) before the sanctioned conditioned probe pass.
     val codebookJoins = Set("e4_ann_ivf_topk", "e5_ann_recall", "c1_kmeans",
-      "c2_semantic_dedup", "e7_knn_graph", "e9_knn_graph_2level")
+      "c2_semantic_dedup", "e7_knn_graph", "e9_knn_graph_2level",
+      "e10_sq8_ann")
     planBased.foreach { name =>
       val plan = planOf(name)
       withClue(s"$name plan:\n$plan\n") {
