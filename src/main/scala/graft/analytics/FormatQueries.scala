@@ -134,7 +134,49 @@ object FormatQueries {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** f6 — SORT-CLUSTERED LAYOUT + DATA SKIPPING: rewrite the fact table
+    * range-partitioned AND sorted by `l_shipdate`, then answer a
+    * date-range aggregate off the re-read. Clustering is THE passive
+    * 100 TB read lever: with values clustered, parquet row-group min/max
+    * stats become tight, so a pushed range predicate skips whole row
+    * groups/files instead of decoding and discarding — the same scan on
+    * an unclustered layout reads everything. FormatSpec pins that the
+    * range predicate is pushed to the re-read scan; the oracle pins that
+    * the rewrite lost/duplicated nothing under the same predicate.
+    *
+    * `repartitionByRange` is the write-side shape: one range-exchange at
+    * write time buys every later reader the pruning — the batch analog of
+    * an index, amortized across all future scans. Low-cardinality daily
+    * partitions (f4) + in-file sort (f6) compose: dir pruning first, then
+    * row-group skipping within the day. */
+  def f6ClusteredLayout(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-clust").toString
+    lineitem(s, d)
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_orderkey")).as("max_okey"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val f6Oracle: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f6_clustered_layout" -> (f6ClusteredLayout _),
     "f5_schema_evolution" -> (f5SchemaEvolution _),
     "f4_partitioned_source" -> (f4PartitionedSource _),
     "f1_jsonl_source" -> (f1JsonlSource _),
@@ -143,6 +185,7 @@ object FormatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "f6_clustered_layout" -> f6Oracle,
     "f5_schema_evolution" -> f5Oracle,
     "f4_partitioned_source" -> f4Oracle,
     "f1_jsonl_source" -> roundtripOracle,

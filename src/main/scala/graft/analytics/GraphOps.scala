@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Graph analytics over data-derived graphs — the link-centrality family a
   * web-crawl curation pipeline runs (Common Crawl publishes harmonic
@@ -111,11 +112,64 @@ object GraphOps {
        |${body.stripPrefix("WITH ")}""".stripMargin
   }
 
+  /** g2 — BIPARTITE CO-ENGAGEMENT PROJECTION: project the user×event-type
+    * bipartite graph onto event types — for every type pair, the count of
+    * distinct users engaging with both, plus the exact user-set Jaccard.
+    * This is the item-item co-occurrence graph behavioral segmentation
+    * and recommender bootstraps run; on a crawl corpus the same shape is
+    * domain co-citation.
+    *
+    * Scale shape: the corpus-sized work is ONE distinct over (user, type)
+    * — a partial+final aggregate — and the projection self-join shuffles
+    * those deduplicated pairs on user_id, where per-user fanout is
+    * bounded by |types|² (event types are LOW-cardinality by contract;
+    * high-cardinality item projections are MinHash territory — n1's
+    * family). Totals re-join the tiny per-type count table broadcast-side.
+    * Power users skew the user_id shuffle → AQE skew-join splits it.
+    * Everything is integer counts except one final IEEE division. */
+  def typeCooccurrence(s: SparkSession, d: String): DataFrame = {
+    val ut = events(s, d).select(col("user_id"), col("event_type")).distinct()
+    val totals = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nu"))
+    val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("co_users"))
+    pairs
+      .join(broadcast(totals.select(col("event_type").as("type_a"),
+        col("nu").as("na"))), "type_a")
+      .join(broadcast(totals.select(col("event_type").as("type_b"),
+        col("nu").as("nb"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("co_users"),
+        (col("na") + col("nb") - col("co_users")).as("union_users"),
+        (col("co_users").cast("double") /
+          (col("na") + col("nb") - col("co_users"))).as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val typeCooccurrenceOracle: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |t AS (SELECT event_type, count(*) AS nu FROM ut GROUP BY event_type),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |        count(*) AS co_users
+      |      FROM ut a JOIN ut b
+      |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT type_a, type_b, co_users,
+      |  ta.nu + tb.nu - co_users AS union_users,
+      |  CAST(co_users AS DOUBLE) / (ta.nu + tb.nu - co_users) AS jaccard
+      |FROM p JOIN t ta ON ta.event_type = type_a
+      |       JOIN t tb ON tb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g2_type_cooccurrence" -> (typeCooccurrence _),
     "g1_event_pagerank" -> (eventPagerank _)
   )
 
   val oracles: Map[String, String] = Map(
+    "g2_type_cooccurrence" -> typeCooccurrenceOracle,
     "g1_event_pagerank" -> eventPagerankOracle
   )
 }

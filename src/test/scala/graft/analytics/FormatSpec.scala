@@ -42,4 +42,25 @@ class FormatSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should include regex "PartitionFilters: \\[isnotnull\\(lang.*\\), \\(lang.* = en\\)\\]"
     (plan should not).include("EqualTo(lang,en)")
   }
+
+  test("f6 clustered re-read pushes the date-range predicate to the scan") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val tmp = Files.createTempDirectory("graft-clust-spec").toString
+    li.repartitionByRange(4, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(tmp)
+    val plan = spark.read.parquet(tmp)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    // the range predicate must reach the parquet reader, where clustered
+    // row-group min/max stats turn it into row-group skips
+    plan should include regex "PushedFilters: \\[IsNotNull\\(l_shipdate\\), GreaterThanOrEqual\\(l_shipdate,"
+    plan should include regex "LessThan\\(l_shipdate,"
+    // pruned to the 3 needed columns (filter col stays for the residual)
+    plan should include regex
+      "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate:timestamp"
+  }
 }
