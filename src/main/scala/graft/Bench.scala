@@ -51,7 +51,13 @@ object Bench {
     // and reported as the MIN (this rig shows 2-4x single-run variance —
     // VERDICT r3 item 6); the max lands in "queries_max" for honesty.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter for iterating on one query's timing; the
+    // driver invokes with no filter and always measures the full surface
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -300,11 +300,16 @@ object TextAnalytics {
     def bucket(hexStart: Int): Column =
       conv(substring(md5(col("token").cast("binary")), hexStart, 3), 16, 10)
         .cast("long") % 256
+    // THREE consumers (c0, c1, top-10) read this vocab-sized table; persist
+    // pins ONE execution of the corpus-wide explode+md5+aggregate pass —
+    // without it each consumer re-runs the heavy subtree (measured 35× at
+    // the sf0.1 → sf1 rehearsal once the vocabulary outgrew exchange reuse)
     val exact = documents(s, d)
       .select(explode(words(lower(col("text")))).as("token"))
       .select(col("token"), bucket(1).as("b0"), bucket(4).as("b1"))
       .groupBy(col("token"), col("b0"), col("b1"))
       .agg(count(lit(1)).as("n_exact"))
+      .persist()
     val c0 = exact.groupBy(col("b0")).agg(sum(col("n_exact")).as("c0"))
     val c1 = exact.groupBy(col("b1")).agg(sum(col("n_exact")).as("c1"))
     val w = Window.orderBy(col("n_exact").desc, col("token"))
