@@ -263,13 +263,40 @@ object Similarity {
     conf match {
       case Some(c) => knnGraphSingleLevel(s, d, k, c.toInt)
       case None =>
-        val n = embeddings(s, d).count()
-        // k1·k2 ≈ √n; side capped so the broadcast fine codebook stays
-        // executor-memory-sized (256² = 65k cells covers 4·10⁹ vectors)
-        val side = math.min(256, math.max(4,
-          math.ceil(math.pow(n.toDouble, 0.25)).toInt))
+        val side = sideFor(embeddings(s, d).count())
         knnGraphTwoLevel(s, d, k, side, side)
     }
+  }
+
+  /** Smallest s in [4, 256] with s⁴ ≥ n — the k1 = k2 ≈ n^(1/4) two-level
+    * side rule as EXACT integer arithmetic, so the DuckDB oracle replays
+    * it bit-for-bit from `count(*)` (a `ceil(pow(n, 0.25))` would hinge
+    * on libm ULPs at exact fourth powers). The 256 cap keeps the
+    * broadcast fine codebook executor-sized (256² = 65k cells covers
+    * 4·10⁹ vectors). */
+  private[analytics] def sideFor(n: Long): Int =
+    (4 to 256).find(s => s.toLong * s * s * s >= n).getOrElse(256)
+
+  /** Smallest s in [4, 4096] with s² ≥ n — the single-level K ≈ √n
+    * occupancy rule, same exact-integer discipline. */
+  private[analytics] def cellsFor(n: Long): Int =
+    (4 to 4096).find(s => s.toLong * s >= n).getOrElse(4096)
+
+  /** The REGISTERED e7: single-level with K = cellsFor(count) — the
+    * operator self-scales from the corpus row count AND stays under the
+    * hash gate, because the oracle re-derives the same K from count(*)
+    * with the same integer rule (no pinned constant left to diverge at
+    * scale — the r7 803 s footgun closed from both ends). Conf/session
+    * state cannot divert it: K is passed as an explicit argument. */
+  def knnGraphSelfScaled(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    knnGraphSingleLevel(s, d, k, cellsFor(embeddings(s, d).count()))
+
+  /** The REGISTERED e9: two-level at side = sideFor(count) — exactly the
+    * plan [[knnGraph]]'s unconfigured default dispatches to, so the gate
+    * covers the production path verbatim. */
+  def knnGraphTwoLevelSelfScaled(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val side = sideFor(embeddings(s, d).count())
+    knnGraphTwoLevel(s, d, k, side, side)
   }
 
   /** Single-level e7 core (K explicit). */
@@ -316,8 +343,10 @@ object Similarity {
     * occupancy stays n/√n = √n, same as single-level √n cells.
     *
     * The directed top-k + reciprocal tail is e7's verbatim, keyed on the
-    * composite cell. Oracle-pinned at k1 = k2 = 4 (e9); [[knnGraph]]'s
-    * self-scaling default dispatches here with derived sides. */
+    * composite cell. The registered e9 entry runs at side = sideFor(count)
+    * — the same dispatch as [[knnGraph]]'s unconfigured default — and its
+    * oracle re-derives the side from count(*) with the identical integer
+    * rule, so the gate covers the production configuration at any SF. */
   def knnGraphTwoLevel(s: SparkSession, d: String, k: Int = 3,
       k1: Int = 4, k2: Int = 4): DataFrame = {
     val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
@@ -364,16 +393,20 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** e9 oracle — both codebook levels re-derived independently: coarse
-    * centroids/assignment (the e4 CTEs at k1 = 4), the per-cell lowest-4
+  /** e9 oracle — both codebook levels re-derived independently: the side
+    * from count(*) via the exact-integer s⁴ ≥ n rule (prm), coarse
+    * centroids/assignment (the e4 CTEs), the per-cell lowest-side
     * fine-centroid selection, the in-cell fine argmax, then e7's directed
     * top-k + reciprocal tail on the composite cell key. Ties break on
     * (coarse_id | fine_id | vec_id) in both engines. */
   val knnGraphTwoLevelOracle: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+    """WITH prm AS (SELECT coalesce(min(s), 256) AS side
+      |  FROM generate_series(4, 256) t(s)
+      |  WHERE s * s * s * s >= (SELECT count(*) FROM embeddings)),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm FROM e),
       |coarse AS (SELECT vec_id // 31 AS coarse_id, v AS cv, vnorm AS cnorm FROM n
-      |           WHERE vec_id % 31 = 0 AND vec_id < 124),
+      |           WHERE vec_id % 31 = 0 AND vec_id < 31 * (SELECT side FROM prm)),
       |ca AS (SELECT vec_id, coarse_id FROM (
       |    SELECT n.vec_id, c.coarse_id,
       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -383,7 +416,7 @@ object Similarity {
       |fine AS (SELECT coarse_id, fine_id FROM (
       |    SELECT coarse_id, vec_id AS fine_id,
       |      row_number() OVER (PARTITION BY coarse_id ORDER BY vec_id) AS frk
-      |    FROM ca) WHERE frk <= 4),
+      |    FROM ca) WHERE frk <= (SELECT side FROM prm)),
       |fa AS (SELECT vec_id, coarse_id, fine_id FROM (
       |    SELECT ca.vec_id, ca.coarse_id, f.fine_id,
       |      row_number() OVER (PARTITION BY ca.vec_id ORDER BY
@@ -411,10 +444,13 @@ object Similarity {
     * in-cell top-k, then the reciprocal join; ties break by vec_id in
     * both engines, so the edge set hashes exactly. */
   val knnGraphOracle: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+    """WITH prm AS (SELECT coalesce(min(s), 4096) AS kk
+      |  FROM generate_series(4, 4096) t(s)
+      |  WHERE s * s >= (SELECT count(*) FROM embeddings)),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm FROM e),
       |cent AS (SELECT vec_id AS cell_id, v AS cv, vnorm AS cnorm FROM n
-      |         WHERE vec_id % 31 = 0 AND vec_id < 496),
+      |         WHERE vec_id % 31 = 0 AND vec_id < 31 * (SELECT kk FROM prm)),
       |assigned AS (SELECT vec_id, cell_id FROM (
       |    SELECT n.vec_id, c.cell_id,
       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -1111,9 +1147,13 @@ object Similarity {
     "e3_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d, bits0 = 16)),
     "e4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfCosineTopK(s, d)),
     "e5_ann_recall" -> (annRecall _),
-    "e7_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d, nCells0 = 16)),
+    // e7/e9 are gated SELF-SCALING: K/side derive from count(*) via exact
+    // integer rules the oracles replay, so the gate covers the production
+    // curve at every SF (r8 — the r7 pinned-constant entries measured
+    // 790/885 s at sf10 while the self-scaled paths run ~1 min)
+    "e7_knn_graph" -> ((s: SparkSession, d: String) => knnGraphSelfScaled(s, d)),
     "e8_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
-    "e9_knn_graph_2level" -> ((s: SparkSession, d: String) => knnGraphTwoLevel(s, d)),
+    "e9_knn_graph_2level" -> ((s: SparkSession, d: String) => knnGraphTwoLevelSelfScaled(s, d)),
     "e10_sq8_ann" -> ((s: SparkSession, d: String) => sq8TopK(s, d))
   )
 

@@ -27,7 +27,7 @@ class SelfScalingSpec extends AnyFunSuite with Matchers with SparkSpec {
   test("e7 default (no arg, no conf) dispatches to the two-level codebook at k1 = k2 ≈ n^(1/4)") {
     spark.conf.getOption("spark.graft.knn.cells") shouldBe None
     val n = Tables.embeddings(spark, sfDir).count()
-    val side = math.min(256, math.max(4, math.ceil(math.pow(n.toDouble, 0.25)).toInt))
+    val side = Similarity.sideFor(n)
     val selfScaled = Similarity.knnGraph(spark, sfDir).collect().toSeq
     val explicit = Similarity.knnGraphTwoLevel(spark, sfDir, k1 = side, k2 = side)
       .collect().toSeq
