@@ -40,21 +40,33 @@ object Bench {
     // per-plan Janino codegen compilation (measured: 5-15 s/query cold vs
     // <1 s steady-state); the benchmark should measure the engine, not
     // HotSpot warm-up.
+    // dev-only subset filter for iterating on one query's timing; the
+    // driver invokes with no filter and always measures the full surface.
+    // A filtered run must be UNMISTAKABLE in the artifact (the r6 lesson:
+    // a shrunken surface must never read as a smaller green line) — it
+    // stamps "filtered" into the JSON, and an empty/unknown filter is a
+    // hard error, not an empty green run.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY is empty or names unknown queries: ${unknown.mkString(", ")}")
+    }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
-      }
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (_, fn) =>
+          try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+        }
     }
     // A failing query must never read as a (fast) timing: report -1 for it
     // (VERDICT r1 "what's wrong" item 1). Each query is timed over N runs
     // and reported as the MIN (this rig shows 2-4x single-run variance —
     // VERDICT r3 item 6); the max lands in "queries_max" for honesty.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    // dev-only subset filter for iterating on one query's timing; the
-    // driver invokes with no filter and always measures the full surface
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -87,7 +99,8 @@ object Bench {
     // nonzero exit so the harness cannot record the run as clean.
     val failedNames = results.collect { case (k, (mn, _)) if mn < 0 => k }
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"failed_queries":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
+    val filteredTag = if (only.isDefined) ""","filtered":true""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) {
       System.err.println(s"[bench] ${failedNames.size} queries FAILED: " +

@@ -151,8 +151,10 @@ object FormatQueries {
     * row-group skipping within the day. */
   def f6ClusteredLayout(s: SparkSession, d: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft-clust").toString
+    // range-partition count follows the rig (one write task per core),
+    // never a pinned constant that caps parallelism as SF grows
     lineitem(s, d)
-      .repartitionByRange(8, col("l_shipdate"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("l_shipdate"))
       .sortWithinPartitions(col("l_shipdate"))
       .write.mode("overwrite").parquet(tmp)
     s.read.parquet(tmp)

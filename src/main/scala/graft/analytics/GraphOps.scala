@@ -128,7 +128,11 @@ object GraphOps {
     * Power users skew the user_id shuffle → AQE skew-join splits it.
     * Everything is integer counts except one final IEEE division. */
   def typeCooccurrence(s: SparkSession, d: String): DataFrame = {
+    // THREE consumers (totals + both self-join sides) — persist pins one
+    // execution of the corpus scan+distinct (the t10 lesson: exchange
+    // reuse is an optimization, not a contract)
     val ut = events(s, d).select(col("user_id"), col("event_type")).distinct()
+      .persist()
     val totals = ut.groupBy(col("event_type"))
       .agg(count(lit(1)).as("nu"))
     val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))

@@ -1035,6 +1035,7 @@ object Similarity {
       .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx"))))
         .as("st"))
+      .cache() // 1 row; two join consumers (probes branch + corpus encode)
     // encode: pure projection against the broadcast grid — ((x−mn)·255)/(mx−mn)
     // evaluated in IEEE double with the same association as the oracle
     val codes = emb.join(broadcast(grid))

@@ -18,6 +18,15 @@ import graft.sources.{EventStream, SourceClient}
   * path (S1-S4, T1/T3/T4, K1-K4, O1-O9) sits under this oracle. */
 object StreamingQueries {
 
+  /** Flush-token horizon shared by the watermark-dependent gated streams
+    * (s12, s15): every event carries a copy shifted +200 years so the
+    * final watermark stands past every real row's emission condition, and
+    * anything at/after 2100-01-01 is cut from the drained result. ONE
+    * definition — the shift and the cutoff must move together. */
+  private val FlushShiftMs = 200L * 365 * 86400 * 1000 // +200 years
+  private val RealBeforeMs = 4102444800000L // 2100-01-01: real data is ~2024
+
+
   /** Temp dirs for stream scratch output (items, checkpoints, the s10 file
     * sink) used to accumulate per invocation for the life of the JVM —
     * Bench's warm-up + min-of-N runs left several full event-table copies
@@ -535,8 +544,8 @@ object StreamingQueries {
     import graft.streaming.Sessionize
     import spark.implicits._
     val gapMs = 6L * 3600 * 1000
-    val shiftMs = 200L * 365 * 86400 * 1000 // +200 years
-    val realBefore = 4102444800000L // 2100-01-01: real data is ~2024
+    val shiftMs = FlushShiftMs
+    val realBefore = RealBeforeMs
     val name = s"graft_s12_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val events = Tables.normalizeEventTs(
         tableFileStream(spark, sfDir, "events", singleBatch = true))
@@ -679,8 +688,8 @@ object StreamingQueries {
   def streamLeftOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_s15_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val shiftUs = 200L * 365 * 86400 * 1000000L // +200 years, micros
-    val realBeforeUs = 4102444800000000L // 2100-01-01: real data is ~2024
+    val shiftUs = FlushShiftMs * 1000L
+    val realBeforeUs = RealBeforeMs * 1000L
     def src = Tables.normalizeEventTs(
         tableFileStream(spark, sfDir, "events", singleBatch = true))
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us0"),
