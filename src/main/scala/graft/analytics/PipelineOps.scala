@@ -788,7 +788,81 @@ object PipelineOps {
       |SELECT CAST(epoch AS BIGINT) AS epoch, pos, doc_id
       |FROM r WHERE pos <= 5 ORDER BY epoch, pos""".stripMargin
 
+  /** p19 — WINSORIZATION AUDIT via exact distributed selection: per event
+    * type, the exact P1/P99 order statistics of `value` (k-th smallest
+    * under the (value, event_id) total order, k = 1 + ⌊q·(n−1)⌋ — pure
+    * integer rank arithmetic) plus the clip counts — the outlier-bounding
+    * report a feature/reward pipeline runs before normalization, where
+    * the tail cut must be auditable, not approximate.
+    *
+    * Scale shape (the p14 bucket-histogram pattern applied to SELECTION —
+    * a full `row_number` over each type partition is the single-partition
+    * window trap): phase 1 folds the corpus to a (type, ⌊value⌋) histogram
+    * and walks the TINY cumulative table to locate the bucket holding
+    * rank k and the rank offset within it; phase 2 ranks ONLY inside the
+    * located buckets (occupancy n/buckets, joined via a broadcast of ≤
+    * 2·|types| target rows). The corpus is touched twice, both times as
+    * partial+final folds; no partition ever holds a full type. The oracle
+    * replays the naive window — equality IS the proof the two-phase
+    * selection picks the identical element. */
+  def p19Winsorize(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .persist() // three consumers: counts, histogram, final clip scan
+    val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val targets = counts.selectExpr("event_type", "n",
+      "stack(2, 'p01', 1L + (n - 1L) div 100L, 'p99', 1L + (99L * (n - 1L)) div 100L) AS (q, k)")
+    val hist = ev
+      .groupBy(col("event_type"), floor(col("value")).as("bkt"))
+      .agg(count(lit(1)).as("bn"))
+    val wB = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum_before", coalesce(sum(col("bn")).over(wB), lit(0L)))
+    val located = targets.join(cum, "event_type")
+      .filter(col("cum_before") < col("k") &&
+        col("k") <= col("cum_before") + col("bn"))
+      .select(col("event_type"), col("q"), col("bkt"),
+        (col("k") - col("cum_before")).as("k_in"))
+    val wIn = Window.partitionBy(col("event_type"), col("q"))
+      .orderBy(col("value"), col("event_id"))
+    val quantiles = ev.withColumn("bkt", floor(col("value")))
+      .join(broadcast(located), Seq("event_type", "bkt"))
+      .withColumn("rn", row_number().over(wIn))
+      .filter(col("rn") === col("k_in"))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("q") === "p01", col("value"))).as("p01"),
+        max(when(col("q") === "p99", col("value"))).as("p99"))
+    ev.join(broadcast(quantiles), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("p01")).as("p01"), max(col("p99")).as("p99"),
+        sum(when(col("value") < col("p01"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("value") > col("p99"), 1L).otherwise(0L)).as("n_above"))
+      .orderBy(col("event_type"))
+  }
+
+  val p19Oracle: String =
+    """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      |k AS (SELECT event_type, n, 1 + (n - 1) // 100 AS k_lo,
+      |        1 + (99 * (n - 1)) // 100 AS k_hi FROM c),
+      |r AS (SELECT event_type, value,
+      |        row_number() OVER (PARTITION BY event_type
+      |          ORDER BY value, event_id) AS rn
+      |      FROM events),
+      |q AS (SELECT k.event_type,
+      |        max(CASE WHEN rn = k_lo THEN value END) AS p01,
+      |        max(CASE WHEN rn = k_hi THEN value END) AS p99
+      |      FROM k JOIN r ON r.event_type = k.event_type
+      |        AND (rn = k_lo OR rn = k_hi)
+      |      GROUP BY 1)
+      |SELECT q.event_type, count(*) AS n, q.p01, q.p99,
+      |  CAST(sum(CASE WHEN e.value < q.p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+      |  CAST(sum(CASE WHEN e.value > q.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+      |FROM q JOIN events e ON e.event_type = q.event_type
+      |GROUP BY 1, 3, 4 ORDER BY q.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_winsorize" -> (p19Winsorize _),
     "p16_epoch_order" -> (p16EpochOrder _),
     "p15_temperature_mix" -> (p15TemperatureMix _),
     "p14_global_rank" -> (p14GlobalRank _),
@@ -810,6 +884,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p19_winsorize" -> p19Oracle,
     "p16_epoch_order" -> p16Oracle,
     "p15_temperature_mix" -> p15Oracle,
     "p14_global_rank" -> p14Oracle,
