@@ -351,7 +351,83 @@ object Multimodal {
       |FROM px GROUP BY media_id, i // 16
       |ORDER BY media_id, window_idx""".stripMargin
 
+  /** Packed 62-bit average-hash signature (media_id, sig). */
+  final case class MediaSignature(media_id: Long, sig: Long)
+
+  /** Average-hash (aHash) raster signature through the real parser: bit i
+    * (first 62 pixels, raster order) is set iff pixel i's gray value
+    * exceeds the image mean — compared as `n·gray_i > Σgray` (integer
+    * cross-multiplication, no division, no float), so the packed BIGINT
+    * is bit-identical in any engine. 62 bits keeps the value inside a
+    * signed long. */
+  private[analytics] def aHash(media: Media): MediaSignature = {
+    val (w, h, off) = PpmDecoder.parseHeader(media.media_id, media.payload)
+    val n = w * h
+    val gray = new Array[Long](n)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val p = off + i * 3
+      val g = (media.payload(p) & 0xff).toLong +
+        (media.payload(p + 1) & 0xff) + (media.payload(p + 2) & 0xff)
+      gray(i) = g; total += g; i += 1
+    }
+    var sig = 0L
+    var b = 0
+    val nb = math.min(62, n)
+    while (b < nb) {
+      if (n.toLong * gray(b) > total) sig |= 1L << b
+      b += 1
+    }
+    MediaSignature(media.media_id, sig)
+  }
+
+  /** m6 — PERCEPTUAL-HASH MEDIA DEDUP: the multimodal member of the dedup
+    * family. Every raster gets a decode-side aHash signature and dedup is
+    * d1's hash-groupBy applied to it — the corpus is doubled (media_id
+    * shift, the d1 convention) so every image has exactly one duplicate
+    * and the operator's effect is observable. Exact-signature grouping is
+    * the degenerate (Hamming 0) case; a production near-dup (Hamming ≤ k)
+    * reuses n3's SimHash banding machinery on this same signature — the
+    * seam, not a new algorithm.
+    *
+    * Scale shape: decode + signature run executor-side per partition
+    * (mapPartitions through the [[MediaDecoder]] parser); only the
+    * (8-byte sig, id) pair ever crosses the shuffle — payloads never
+    * move. Oracle: DuckDB re-derives every pixel from md5(text), the
+    * gray totals, the cross-multiplied bit tests, and the packed BIGINT. */
+  def phashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = ppmTable(s, d)
+    val doubled = base.unionByName(
+      base.withColumn("media_id", col("media_id") + 1000000L)).as[Media]
+    doubled.mapPartitions(_.map(aHash))
+      .groupBy(col("sig"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("sig"))
+      .orderBy(col("keep_id"))
+  }
+
+  val phashDedupOracle: String =
+    """WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+      |dup AS (SELECT media_id, h FROM m
+      |        UNION ALL SELECT media_id + 1000000, h FROM m),
+      |g AS (SELECT media_id, CAST(i AS INT) AS i,
+      |        unicode(substr(h, ((3 * CAST(i AS INT)) % 32) + 1, 1))
+      |      + unicode(substr(h, ((3 * CAST(i AS INT) + 1) % 32) + 1, 1))
+      |      + unicode(substr(h, ((3 * CAST(i AS INT) + 2) % 32) + 1, 1)) AS gray
+      |      FROM dup, unnest(generate_series(0, 164)) AS t(i)),
+      |tot AS (SELECT media_id, CAST(sum(gray) AS BIGINT) AS total
+      |        FROM g GROUP BY 1),
+      |sg AS (SELECT g.media_id,
+      |        CAST(sum(CASE WHEN g.i < 62 AND 165 * g.gray > tot.total
+      |                      THEN (CAST(1 AS BIGINT) << g.i) ELSE 0 END) AS BIGINT) AS sig
+      |       FROM g JOIN tot USING (media_id) GROUP BY 1)
+      |SELECT min(media_id) AS keep_id, count(*) AS n_copies, sig
+      |FROM sg GROUP BY sig ORDER BY keep_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_phash_dedup" -> (phashDedup _),
     "m5_audio_energy" -> ((s: SparkSession, d: String) => audioEnergy(s, d)),
     "m1_media_stats" -> (mediaStats _),
     "m2_media_features" -> ((s: SparkSession, d: String) => mediaFeatures(s, d)),
@@ -360,6 +436,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "m6_phash_dedup" -> phashDedupOracle,
     "m5_audio_energy" -> audioEnergyOracle,
     "m1_media_stats" -> mediaStatsOracle,
     "m2_media_features" -> mediaFeaturesOracle,
