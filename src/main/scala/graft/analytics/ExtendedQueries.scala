@@ -642,6 +642,39 @@ object ExtendedQueries {
       |max(array_to_string(json_keys(props), ',')) AS key_set
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q51 — the VARIANT semi-structured type (Spark 4's open-schema JSON
+    * path, next to q22's string extraction and q34's schema-pinned
+    * `from_json`): `parse_json` → VARIANT → typed `variant_get` paths,
+    * plus `try_variant_get` with a wrong type returning NULL instead of
+    * raising (the q50 safety contract on the variant surface). VARIANT
+    * stores a parsed binary form, so repeated path reads skip re-parsing
+    * — the 100 TB answer to "props is JSON and every query probes it"
+    * (parse once per row, no schema migration when keys appear).
+    * Aggregates are engine-neutral integers, so DuckDB's JSON operators
+    * re-derive them without a variant type of its own. */
+  def q51Variant(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"), expr("parse_json(props)").as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.k', 'array<bigint>')").as("bad_cast"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("absent"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(when(col("bad_cast").isNull, 1L).otherwise(0L)).as("n_bad_cast_null"),
+        sum(when(col("absent").isNull, 1L).otherwise(0L)).as("n_absent_null"))
+      .orderBy(col("event_type"))
+
+  val q51Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      |CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+      |CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+      |count(*) AS n_bad_cast_null,
+      |count(*) AS n_absent_null
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q49 — the higher-order MAP-function surface (`transform_values`,
     * `map_filter`, `map_zip_with`, map explode), completing the
     * collection-function family next to q45's arrays and q34's map
@@ -1220,6 +1253,7 @@ object ExtendedQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_recursive_chain" -> (q48RecursiveChain _),
     "q49_map_functions" -> (q49MapFunctions _),
+    "q51_variant" -> (q51Variant _),
     "q50_try_functions" -> (q50TryFunctions _),
     "q46_locf" -> (q46Locf _),
     "q47_rolling_wau" -> (q47RollingWau _),
@@ -1295,6 +1329,7 @@ object ExtendedQueries {
     "q17_event_gaps" -> q17Oracle,
     "q48_recursive_chain" -> q48Oracle,
     "q49_map_functions" -> q49Oracle,
+    "q51_variant" -> q51Oracle,
     "q50_try_functions" -> q50Oracle,
     "q12_event_time_window" -> q12Oracle,
     "q25_sliding_window" -> q25Oracle,

@@ -97,6 +97,18 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     row shouldBe ((0L + 2 + 0 + 2, 0L + 0 + 1 + 1, 0L + 20 + 1 + 21))
   }
 
+  test("m6 aHash sets exactly the above-mean bits, packed little-endian") {
+    // 2x2 grays: (1,1,1)=3, (100,100,100)=300, (1,1,1)=3, (100,100,100)=300
+    // total = 606, n = 4: bit i set iff 4·gray_i > 606 → bits 1 and 3
+    val px = Array(1, 1, 1, 100, 100, 100, 1, 1, 1, 100, 100, 100)
+    val sig = Multimodal.aHash(media(ppm("P6\n2 2\n255\n", px)))
+    sig.media_id shouldBe 7L
+    sig.sig shouldBe ((1L << 1) | (1L << 3))
+    // uniform image: no gray strictly exceeds the mean → all bits clear
+    val flat = Array.fill(12)(9)
+    Multimodal.aHash(media(ppm("P6\n2 2\n255\n", flat))).sig shouldBe 0L
+  }
+
   test("m2 decodes the generated corpus: header dims parsed, means bounded by hex-char codes") {
     val rows = Multimodal.mediaFeatures(spark, "/root/testdata/sf0.001").collect()
     rows.length should be > 0
