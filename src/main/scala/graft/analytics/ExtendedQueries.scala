@@ -642,6 +642,68 @@ object ExtendedQueries {
       |max(array_to_string(json_keys(props), ',')) AS key_set
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q52 — XML ingestion (`from_xml`, the Spark 4 built-in that absorbed
+    * spark-xml — the third wire format next to q34's JSON and f2's CSV):
+    * an XML fragment is built per event from plain columns (the q49
+    * move, so the oracle needs no XML of its own), parsed back through
+    * an explicit struct schema — attribute (`_id`), nested element, and
+    * a missing-element NULL all pinned — and aggregated. Round-tripping
+    * build→parse proves the parser inverts the writer on exactly the
+    * construct set used; parsing is per-row and shuffle-free until the
+    * final aggregate. */
+  def q52FromXml(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        concat(lit("<e id=\""), col("event_id"), lit("\"><u>"), col("user_id"),
+          lit("</u><t>"), col("event_type"), lit("</t></e>")).as("xml"))
+      .select(col("event_type"), expr(
+        "from_xml(xml, '_id BIGINT, u BIGINT, t STRING, missing BIGINT')").as("p"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p._id")).as("sum_id"),
+        sum(col("p.u")).as("sum_u"),
+        sum(when(col("p.t") === col("event_type"), 1L).otherwise(0L)).as("n_t_match"),
+        sum(when(col("p.missing").isNull, 1L).otherwise(0L)).as("n_missing_null"))
+      .orderBy(col("event_type"))
+
+  val q52Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      |CAST(sum(event_id) AS BIGINT) AS sum_id,
+      |CAST(sum(user_id) AS BIGINT) AS sum_u,
+      |count(*) AS n_t_match,
+      |count(*) AS n_missing_null
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q53 — COLLATION-aware comparison (Spark 4 collations): grouping and
+    * equality under `UTF8_LCASE` must merge case-variants the way the
+    * oracle's explicit lower() does — the multilingual-corpus reality
+    * where 'En'/'EN'/'en' are one language key. The collated path keeps
+    * comparison semantics in the TYPE (so every downstream join/group
+    * inherits it) instead of sprinkling lower() at use sites; the query
+    * mixes case deterministically per row, groups under the collation,
+    * and also counts collated equality hits against a fixed literal. */
+  def q53Collation(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        // deterministic case mix: even ids upper-case the lang key
+        when(pmod(col("doc_id"), lit(2)) === 0, upper(col("lang")))
+          .otherwise(col("lang")).as("lang_mixed"))
+      .select(col("doc_id"), col("n_chars"),
+        expr("collate(lang_mixed, 'UTF8_LCASE')").as("lang_ci"))
+      .groupBy(col("lang_ci"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("lang_ci") === lit("EN"), 1L).otherwise(0L)).as("n_en_ci"))
+      .select(lower(col("lang_ci")).as("lang"), col("n_docs"),
+        col("total_chars"), col("n_en_ci"))
+      .orderBy(col("lang"))
+
+  val q53Oracle: String =
+    """SELECT lower(lang) AS lang, count(*) AS n_docs,
+      |CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |CAST(sum(CASE WHEN lower(lang) = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_ci
+      |FROM documents GROUP BY lower(lang) ORDER BY lang""".stripMargin
+
   /** q51 — the VARIANT semi-structured type (Spark 4's open-schema JSON
     * path, next to q22's string extraction and q34's schema-pinned
     * `from_json`): `parse_json` → VARIANT → typed `variant_get` paths,
@@ -1253,6 +1315,8 @@ object ExtendedQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_recursive_chain" -> (q48RecursiveChain _),
     "q49_map_functions" -> (q49MapFunctions _),
+    "q53_collation" -> (q53Collation _),
+    "q52_from_xml" -> (q52FromXml _),
     "q51_variant" -> (q51Variant _),
     "q50_try_functions" -> (q50TryFunctions _),
     "q46_locf" -> (q46Locf _),
@@ -1329,6 +1393,8 @@ object ExtendedQueries {
     "q17_event_gaps" -> q17Oracle,
     "q48_recursive_chain" -> q48Oracle,
     "q49_map_functions" -> q49Oracle,
+    "q53_collation" -> q53Oracle,
+    "q52_from_xml" -> q52Oracle,
     "q51_variant" -> q51Oracle,
     "q50_try_functions" -> q50Oracle,
     "q12_event_time_window" -> q12Oracle,
