@@ -642,6 +642,69 @@ object ExtendedQueries {
       |max(array_to_string(json_keys(props), ',')) AS key_set
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q54 — ORDERED STRING AGGREGATION (`listagg ... WITHIN GROUP`, the
+    * Spark 4 ANSI aggregate): per region, the comma-joined nation list in
+    * collation order — the report-building aggregate every BI layer
+    * needs, with the determinism pitfall made explicit: listagg WITHOUT
+    * the WITHIN GROUP order is nondeterministic under parallel
+    * aggregation, so the ordered form is the only one a hash gate can
+    * admit. DISTINCT dedup rides along via the supplier join fanout. */
+  def q54Listagg(s: SparkSession, d: String): DataFrame = {
+    nation(s, d).createOrReplaceTempView("graft_q54_nation_v")
+    region(s, d).createOrReplaceTempView("graft_q54_region_v")
+    supplier(s, d).createOrReplaceTempView("graft_q54_supplier_v")
+    s.sql(
+      """WITH rn AS (SELECT DISTINCT r.r_name, n.n_name
+        |  FROM graft_q54_region_v r
+        |  JOIN graft_q54_nation_v n ON n.n_regionkey = r.r_regionkey
+        |  JOIN graft_q54_supplier_v s ON s.s_nationkey = n.n_nationkey)
+        |SELECT r_name AS region,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        |  count(1) AS n_nations
+        |FROM rn GROUP BY r_name ORDER BY region""".stripMargin)
+  }
+
+  val q54Oracle: String =
+    """WITH rn AS (SELECT DISTINCT r.r_name, n.n_name
+      |  FROM region r
+      |  JOIN nation n ON n.n_regionkey = r.r_regionkey
+      |  JOIN supplier s ON s.s_nationkey = n.n_nationkey)
+      |SELECT r_name AS region,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  count(*) AS n_nations
+      |FROM rn GROUP BY r_name ORDER BY region""".stripMargin
+
+  /** q55 — the BITMAP aggregate family (Spark 3.5+ `bitmap_bucket_number`
+    * / `bitmap_construct_agg` / `bitmap_count` / `bitmap_or_agg`): exact
+    * distinct-count as a two-level bitmap rollup — per (key, bucket)
+    * bitmaps built map-side, OR-merged, then popcounted. This is the
+    * scalable exact alternative between q6's count(DISTINCT) (full
+    * shuffle of values) and q14/q24's sketches (approximate): state per
+    * group is bounded by 4KB-bucket bitmaps however many distinct values
+    * arrive, merge is bitwise-OR (associative, any partiality), and the
+    * final count is exact. The oracle is plain count(DISTINCT) — equality
+    * proves the bitmap path loses nothing. */
+  def q55Bitmap(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("graft_q55_events_v")
+    s.sql(
+      """WITH b AS (SELECT event_type, bitmap_bucket_number(user_id + 1) AS bkt,
+        |    bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS bm
+        |  FROM graft_q55_events_v
+        |  GROUP BY event_type, bitmap_bucket_number(user_id + 1)),
+        |m AS (SELECT event_type, sum(bitmap_count(bm)) AS n_users,
+        |    count(1) AS n_buckets
+        |  FROM b GROUP BY event_type)
+        |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_buckets AS BIGINT) AS n_buckets
+        |FROM m ORDER BY event_type""".stripMargin)
+  }
+
+  val q55Oracle: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT user_id // 32768) AS n_buckets
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q52 — XML ingestion (`from_xml`, the Spark 4 built-in that absorbed
     * spark-xml — the third wire format next to q34's JSON and f2's CSV):
     * an XML fragment is built per event from plain columns (the q49
@@ -1315,6 +1378,8 @@ object ExtendedQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_recursive_chain" -> (q48RecursiveChain _),
     "q49_map_functions" -> (q49MapFunctions _),
+    "q55_bitmap" -> (q55Bitmap _),
+    "q54_listagg" -> (q54Listagg _),
     "q53_collation" -> (q53Collation _),
     "q52_from_xml" -> (q52FromXml _),
     "q51_variant" -> (q51Variant _),
@@ -1393,6 +1458,8 @@ object ExtendedQueries {
     "q17_event_gaps" -> q17Oracle,
     "q48_recursive_chain" -> q48Oracle,
     "q49_map_functions" -> q49Oracle,
+    "q55_bitmap" -> q55Oracle,
+    "q54_listagg" -> q54Oracle,
     "q53_collation" -> q53Oracle,
     "q52_from_xml" -> q52Oracle,
     "q51_variant" -> q51Oracle,
