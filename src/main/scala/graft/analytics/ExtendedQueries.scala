@@ -682,15 +682,18 @@ object ExtendedQueries {
     * shuffle of values) and q14/q24's sketches (approximate): state per
     * group is bounded by 4KB-bucket bitmaps however many distinct values
     * arrive, merge is bitwise-OR (associative, any partiality), and the
-    * final count is exact. The oracle is plain count(DISTINCT) — equality
+    * final count is exact. Keys ride an injective ×1024 spread so MULTIPLE
+    * buckets exist per group at every SF — the cross-bucket rollup (the
+    * path the operator exists for) is exercised at the gate SF, not just
+    * at rehearsal scale. The oracle is plain count(DISTINCT) — equality
     * proves the bitmap path loses nothing. */
   def q55Bitmap(s: SparkSession, d: String): DataFrame = {
     events(s, d).createOrReplaceTempView("graft_q55_events_v")
     s.sql(
-      """WITH b AS (SELECT event_type, bitmap_bucket_number(user_id + 1) AS bkt,
-        |    bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS bm
+      """WITH b AS (SELECT event_type, bitmap_bucket_number(user_id * 1024 + 1) AS bkt,
+        |    bitmap_construct_agg(bitmap_bit_position(user_id * 1024 + 1)) AS bm
         |  FROM graft_q55_events_v
-        |  GROUP BY event_type, bitmap_bucket_number(user_id + 1)),
+        |  GROUP BY event_type, bitmap_bucket_number(user_id * 1024 + 1)),
         |m AS (SELECT event_type, sum(bitmap_count(bm)) AS n_users,
         |    count(1) AS n_buckets
         |  FROM b GROUP BY event_type)
@@ -702,7 +705,7 @@ object ExtendedQueries {
   val q55Oracle: String =
     """SELECT event_type,
       |  count(DISTINCT user_id) AS n_users,
-      |  count(DISTINCT user_id // 32768) AS n_buckets
+      |  count(DISTINCT (user_id * 1024) // 32768) AS n_buckets
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q52 — XML ingestion (`from_xml`, the Spark 4 built-in that absorbed

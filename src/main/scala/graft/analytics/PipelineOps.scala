@@ -806,15 +806,20 @@ object PipelineOps {
     * replays the naive window — equality IS the proof the two-phase
     * selection picks the identical element. */
   def p19Winsorize(s: SparkSession, d: String): DataFrame = {
+    // No persist: the three remaining consumers (histogram, in-bucket
+    // rank, clip scan) each re-SCAN a 3-column parquet projection — cheap
+    // by construction, unlike t10's recomputed explode+md5 subtree — and
+    // pinning a corpus-sized cache for one query would tax the whole
+    // session's block manager. Counts derive from the histogram, not a
+    // fourth scan.
     val ev = events(s, d)
       .select(col("event_type"), col("event_id"), col("value"))
-      .persist() // three consumers: counts, histogram, final clip scan
-    val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-    val targets = counts.selectExpr("event_type", "n",
-      "stack(2, 'p01', 1L + (n - 1L) div 100L, 'p99', 1L + (99L * (n - 1L)) div 100L) AS (q, k)")
     val hist = ev
       .groupBy(col("event_type"), floor(col("value")).as("bkt"))
       .agg(count(lit(1)).as("bn"))
+    val counts = hist.groupBy(col("event_type")).agg(sum(col("bn")).as("n"))
+    val targets = counts.selectExpr("event_type", "n",
+      "stack(2, 'p01', 1L + (n - 1L) div 100L, 'p99', 1L + (99L * (n - 1L)) div 100L) AS (q, k)")
     val wB = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = hist.withColumn("cum_before", coalesce(sum(col("bn")).over(wB), lit(0L)))
