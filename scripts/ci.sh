@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# Local CI gate — one command reproducing the full quality bar, mirroring
+# the reference's CI pipeline (/root/reference/.github/workflows/ci.yml:
+# fmt/clippy → test → coverage) with this repo's equivalents:
+#
+#   1. compile warnings-clean (`sbt compile` — scalac lint flags in build.sbt
+#      are the fmt/clippy analog available offline; no new deps)
+#   2. full ScalaTest suite (`sbt test`)
+#   3. correctness gate: graft.Verify at sf0.001 + the DuckDB oracle compare
+#      (scripts/check_oracle.py — the driver-side replica of the round gate)
+#
+# Usage: scripts/ci.sh [sfDir]   (default /root/testdata/sf0.001)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF="${1:-/root/testdata/sf0.001}"
+
+echo "[ci] 1/3 compile + test"
+sbt -batch compile test
+
+echo "[ci] 2/3 verify dump at $SF"
+CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+OUT="$(mktemp -d /tmp/graft-ci.XXXXXX)"
+trap 'rm -rf "$OUT"' EXIT
+java -Xmx8g -cp "$CP" --add-exports java.base/sun.nio.ch=ALL-UNNAMED \
+  graft.Verify "$SF" "$OUT"
+
+echo "[ci] 3/3 DuckDB oracle compare"
+python3 scripts/check_oracle.py "$SF" "$OUT"
+
+echo "[ci] all gates green"

@@ -50,9 +50,11 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim)
         .filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      require(names.nonEmpty,
+        "SPARK_GRAFT_BENCH_ONLY is set but empty — unset it to run the full surface")
       val unknown = names -- SparkEntry.queries.keySet
-      require(names.nonEmpty && unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY is empty or names unknown queries: ${unknown.mkString(", ")}")
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
@@ -100,7 +102,21 @@ object Bench {
     val failedNames = results.collect { case (k, (mn, _)) if mn < 0 => k }
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val filteredTag = if (only.isDefined) ""","filtered":true""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDir"}"""
+    // The harness records only a 2000-char stdout TAIL; at 148×2 map entries
+    // the full line is ~8 KiB and got truncated at BOTH ends for three
+    // rounds running (BENCH_r06..08 all `parsed: null` — VERDICT r8 item 2).
+    // Fix from both ends: (a) persist the FULL artifact as a file the round
+    // commit carries, (b) make the one stdout line COMPACT — total +
+    // failures + the slowest entries — so it survives any tail capture.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullLine + "\n").getBytes("UTF-8"))
+    val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(25)
+    val qsSlow = slowest.map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsSlow,"queries_shown":"slowest ${slowest.size} of ${results.size}","queries_file":"$outFile","failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) {
       System.err.println(s"[bench] ${failedNames.size} queries FAILED: " +

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -716,12 +716,19 @@ object ExtendedQueries {
     * a missing-element NULL all pinned — and aggregated. Round-tripping
     * build→parse proves the parser inverts the writer on exactly the
     * construct set used; parsing is per-row and shuffle-free until the
-    * final aggregate. */
-  def q52FromXml(s: SparkSession, d: String): DataFrame =
+    * final aggregate. The one STRING interpolation (`event_type`) is
+    * entity-escaped before the concat (ADVICE r8): a `&`/`<`/`>` in the
+    * value would otherwise make `from_xml` return null structs and fail
+    * the gate as a confusing hash mismatch; `from_xml` decodes the
+    * entities back, so `p.t` still equals the raw column. */
+  def q52FromXml(s: SparkSession, d: String): DataFrame = {
+    def xmlEscape(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(
+        c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
     events(s, d)
       .select(col("event_type"),
         concat(lit("<e id=\""), col("event_id"), lit("\"><u>"), col("user_id"),
-          lit("</u><t>"), col("event_type"), lit("</t></e>")).as("xml"))
+          lit("</u><t>"), xmlEscape(col("event_type")), lit("</t></e>")).as("xml"))
       .select(col("event_type"), expr(
         "from_xml(xml, '_id BIGINT, u BIGINT, t STRING, missing BIGINT')").as("p"))
       .groupBy(col("event_type"))
@@ -731,6 +738,7 @@ object ExtendedQueries {
         sum(when(col("p.t") === col("event_type"), 1L).otherwise(0L)).as("n_t_match"),
         sum(when(col("p.missing").isNull, 1L).otherwise(0L)).as("n_missing_null"))
       .orderBy(col("event_type"))
+  }
 
   val q52Oracle: String =
     """SELECT event_type, count(*) AS n,

@@ -1,6 +1,5 @@
 package graft.analytics
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,7 +40,7 @@ object FormatQueries {
 
   /** f1 — JSONL (newline-delimited JSON) source path. */
   def f1JsonlSource(s: SparkSession, d: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-jsonl").toString
+    val tmp = Scratch.dir("graft-jsonl")
     val docs = documents(s, d)
     docs.write.mode("overwrite").json(tmp)
     roundtripAgg(s.read.schema(docs.schema).json(tmp))
@@ -49,7 +48,7 @@ object FormatQueries {
 
   /** f2 — CSV source path (header + quoting exercised by the text column). */
   def f2CsvSource(s: SparkSession, d: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-csv").toString
+    val tmp = Scratch.dir("graft-csv")
     val docs = documents(s, d)
     docs.write.mode("overwrite").option("header", "true").csv(tmp)
     roundtripAgg(s.read.schema(docs.schema).option("header", "true").csv(tmp))
@@ -61,7 +60,7 @@ object FormatQueries {
     * so a deployment landing ORC from upstream can query it in place
     * rather than converting. */
   def f3OrcSource(s: SparkSession, d: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-orc").toString
+    val tmp = Scratch.dir("graft-orc")
     val docs = documents(s, d)
     docs.write.mode("overwrite").orc(tmp)
     roundtripAgg(s.read.schema(docs.schema).orc(tmp))
@@ -80,7 +79,7 @@ object FormatQueries {
     * cardinality (languages, dates, sources — not ids); each partition
     * dir × file adds namenode/listing load, the documented knob. */
   def f4PartitionedSource(s: SparkSession, d: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-part").toString
+    val tmp = Scratch.dir("graft-part")
     val docs = documents(s, d)
     docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
     roundtripAgg(s.read.parquet(tmp).filter(col("lang") === "en"))
@@ -108,7 +107,7 @@ object FormatQueries {
     * `.schema(...)` instead; this path exercises the semantics the
     * catalog entry must encode. */
   def f5SchemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-evo").toString
+    val tmp = Scratch.dir("graft-evo")
     val docs = documents(s, d)
     docs.select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$tmp/v1")
@@ -150,7 +149,7 @@ object FormatQueries {
     * partitions (f4) + in-file sort (f6) compose: dir pruning first, then
     * row-group skipping within the day. */
   def f6ClusteredLayout(s: SparkSession, d: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-clust").toString
+    val tmp = Scratch.dir("graft-clust")
     // range-partition count follows the rig (one write task per core),
     // never a pinned constant that caps parallelism as SF grows
     lineitem(s, d)

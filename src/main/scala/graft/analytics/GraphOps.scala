@@ -140,7 +140,7 @@ object GraphOps {
       .filter(col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).as("co_users"))
-    pairs
+    val out = pairs
       .join(broadcast(totals.select(col("event_type").as("type_a"),
         col("nu").as("na"))), "type_a")
       .join(broadcast(totals.select(col("event_type").as("type_b"),
@@ -150,6 +150,12 @@ object GraphOps {
         (col("co_users").cast("double") /
           (col("na") + col("nb") - col("co_users"))).as("jaccard"))
       .orderBy(col("type_a"), col("type_b"))
+      // eager materialization of the |types|²-row result lets the
+      // corpus-sized distinct table release NOW, not at ContextCleaner GC
+      // (ADVICE r8 — the p19 session-lifetime-cache lesson)
+      .localCheckpoint(true)
+    ut.unpersist(false)
+    out
   }
 
   val typeCooccurrenceOracle: String =

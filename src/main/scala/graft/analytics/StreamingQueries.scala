@@ -1,6 +1,5 @@
 package graft.analytics
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -27,26 +26,10 @@ object StreamingQueries {
   private val RealBeforeMs = 4102444800000L // 2100-01-01: real data is ~2024
 
 
-  /** Temp dirs for stream scratch output (items, checkpoints, the s10 file
-    * sink) used to accumulate per invocation for the life of the JVM —
-    * Bench's warm-up + min-of-N runs left several full event-table copies
-    * under /tmp per bench run (ADVICE r7). The returned DataFrames are
-    * LAZY (and s10's re-read respects `_spark_metadata`), so deletion must
-    * not happen before the caller materializes — a JVM shutdown hook is
-    * the earliest safe point that needs no cooperation from callers. */
-  private def tempDir(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      try {
-        val all = Files.walk(p)
-        try all.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(f => { Files.deleteIfExists(f); () })
-        finally all.close()
-      } catch { case _: Throwable => () } // best-effort: never block shutdown
-    }))
-    p.toString
-  }
+  /** Stream scratch output (items, checkpoints, the s10 file sink) —
+    * shutdown-hook-cleaned, shared with the format round-trips
+    * (see [[Scratch]]). */
+  private def tempDir(prefix: String): String = Scratch.dir(prefix)
 
   /** File-stream source for the events table. The source requires a
     * DIRECTORY; the driver testdata ships `events.parquet` as a single

@@ -296,6 +296,18 @@ object TextAnalytics {
     * and broadcast back onto the exact top-10 — at 100 TB the sketch rows
     * crossing the final shuffle number 512 regardless of corpus size. */
   def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val (out, exact) = cmsHeavyHittersPlan(s, d)
+    // eager 10-row materialization so the vocab-sized aggregate releases
+    // NOW rather than at ContextCleaner GC (ADVICE r8, the p19 lesson)
+    val pinned = out.localCheckpoint(true)
+    exact.unpersist(false)
+    pinned
+  }
+
+  /** t10's LAZY plan + the persisted multi-consumer aggregate, exposed so
+    * PlanSpec can gate the broadcast shape (the registered query's eager
+    * checkpoint truncates the inspectable plan to an RDD scan). */
+  private[graft] def cmsHeavyHittersPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     def bucket(hexStart: Int): Column =
       conv(substring(md5(col("token").cast("binary")), hexStart, 3), 16, 10)
@@ -313,13 +325,14 @@ object TextAnalytics {
     val c0 = exact.groupBy(col("b0")).agg(sum(col("n_exact")).as("c0"))
     val c1 = exact.groupBy(col("b1")).agg(sum(col("n_exact")).as("c1"))
     val w = Window.orderBy(col("n_exact").desc, col("token"))
-    exact.orderBy(col("n_exact").desc, col("token")).limit(10)
+    val out = exact.orderBy(col("n_exact").desc, col("token")).limit(10)
       .withColumn("rk", row_number().over(w))
       .join(broadcast(c0), "b0")
       .join(broadcast(c1), "b1")
       .select(col("rk").cast("long").as("rk"), col("token"), col("n_exact"),
         least(col("c0"), col("c1")).as("cms_est"))
       .orderBy(col("rk"))
+    (out, exact)
   }
 
   val cmsHeavyHittersOracle: String =

@@ -244,7 +244,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("t10 CMS counter tables broadcast onto the top-k; sketch rows never shuffle the corpus") {
-    val plan = planOf("t10_cms_heavy_hitters")
+    // the registered query eagerly checkpoints its 10-row result (so the
+    // vocab-sized persist releases promptly) — gate the LAZY builder
+    val (lazyT10, exact) = TextAnalytics.cmsHeavyHittersPlan(spark, sfDir)
+    val plan = lazyT10.queryExecution.executedPlan.toString
+    exact.unpersist(false)
     withClue(s"t10 plan:\n$plan\n") {
       // both depth-row counter tables (≤256 rows each) join via broadcast
       "BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
