@@ -319,8 +319,80 @@ object Dedup {
     * only; the trigram arrays join back per matched doc id. The ranked
     * posting table feeds both the probe prefixes and the index side, so
     * it is cached. Measured at sf10 (SCALE.md r8): the adversarial
-    * fixed-vocabulary case was 374.9 s on the prefix filter alone. */
-  def containmentDedup(s: SparkSession, d: String): DataFrame =
+    * fixed-vocabulary case was 374.9 s on the prefix filter alone.
+    *
+    * ROUND 9: the operator now DISPATCHES between two strategies on the
+    * corpus's measured df profile (see [[containmentDirectEligible]]) —
+    * profiling showed the "adversarial" rehearsal corpus has max trigram
+    * df 25 at sf0.1 (nothing is frequent; the 31-token vocabulary still
+    * yields 27k distinct trigrams), so the prefix machinery's ranked
+    * window + candidate distinct + per-pair array join-back was pure
+    * overhead there. In that benign regime [[containmentDedupDirect]]
+    * computes every |a∩b| exactly from one incidence self-join; the
+    * PPJoin prefix path remains the high-df strategy. Both produce the
+    * identical verified output (spec-pinned), so the oracle is shared. */
+  def containmentDedup(s: SparkSession, d: String): DataFrame = {
+    // DF-PROFILE DISPATCH (VERDICT r8 item 3): the two strategies below
+    // have opposite worst cases, and one tiny partial+final aggregate over
+    // the posting lengths decides which regime the corpus is in —
+    //   Σdf  = total trigram incidences (the corpus size in shingles),
+    //   Σdf² = exact row count of an incidence self-join on the trigram —
+    // the same shape as e7/e9's count-driven self-scaling.
+    val e = containmentIncidences(s, d)
+    val st = e.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df")).as("s1"), sum(col("df") * col("df")).as("s2")).head()
+    val (sumDf, sumDf2) = (st.getLong(0), st.getLong(1))
+    if (containmentDirectEligible(sumDf, sumDf2)) containmentDedupDirect(s, d)
+    else containmentDedupPrefix(s, d)
+  }
+
+  /** Direct path eligibility: Σdf²/Σdf is the df-WEIGHTED mean posting
+    * length — the expected index-list length a random incidence equi-joins.
+    * At ≤ 64× the corpus incidence count, the direct self-join shuffles a
+    * bounded-constant multiple of the corpus in 24-byte rows and is
+    * strictly cheaper than the prefix machinery (ranked window + candidate
+    * distinct + per-pair array join-back); beyond it the df² blow-up
+    * dominates (stopword-trigram regime) and prefix filtering's
+    * selectivity pays for itself. Measured on the rehearsal corpus
+    * (SCALE.md r9): Σdf²/Σdf ≈ 11, so the gate and rehearsal take the
+    * direct path; a synthetic stopword corpus trips the prefix path. */
+  private[graft] def containmentDirectEligible(sumDf: Long, sumDf2: Long): Boolean =
+    sumDf2 <= 64L * sumDf
+
+  /** One row per (doc, distinct trigram hash), with the doc's set size —
+    * the posting/incidence table both containment strategies read. */
+  private def containmentIncidences(s: SparkSession, d: String): DataFrame =
+    containmentShingles(s, d)
+      .select(col("doc_id"), size(col("sgs")).cast("long").as("sz"),
+        explode(col("sgs")).as("h"))
+
+  /** DIRECT strategy: |a∩b| is computed EXACTLY by the incidence
+    * equi-join itself — join the posting table with itself on the trigram
+    * hash, group by the ordered pair, count. No candidate set, no ranked
+    * window, no per-pair array join-back: every shuffled row is 24 bytes
+    * of (id, id, size), and row volume is exactly Σdf² (bounded by the
+    * eligibility rule). PPJoin's length filter (2·|b| ≥ |a|) still prunes
+    * before the pair aggregation; a pair sharing zero trigrams can never
+    * qualify (threshold ≥ 1), so completeness is structural. The
+    * per-pair count is a partial+final aggregation — map-side combine
+    * collapses same-pair rows before the shuffle. */
+  private[graft] def containmentDedupDirect(s: SparkSession, d: String): DataFrame = {
+    val e = containmentIncidences(s, d)
+    val probe = e.select(col("doc_id").as("a_id"), col("sz").as("sa"), col("h"))
+    val index = e.select(col("doc_id").as("b_id"), col("sz").as("sb"), col("h"))
+    probe.join(index, "h")
+      .filter(col("a_id") =!= col("b_id") && lit(2L) * col("sb") >= col("sa"))
+      .groupBy(col("a_id"), col("b_id"), col("sa"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(lit(2L) * col("n_shared") >= col("sa"))
+      .select(col("a_id"), col("b_id"), col("sa").as("size_a"), col("n_shared"),
+        (col("n_shared").cast("double") / col("sa")).as("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** PREFIX strategy (the high-df regime): PPJoin candidates + native
+    * merge-walk verification — see [[containmentCandidates]]. */
+  private[graft] def containmentDedupPrefix(s: SparkSession, d: String): DataFrame =
     containmentCandidates(s, d).select(col("a_id"), col("b_id"))
       .join(containmentShingles(s, d)
         .select(col("doc_id").as("a_id"), col("sgs").as("a_sgs")), "a_id")

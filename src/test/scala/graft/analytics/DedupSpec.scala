@@ -113,6 +113,18 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the corpus must actually exercise the guarantee
     expected.size should be > 10
 
+    // BOTH strategies must produce the identical verified output — the
+    // r9 dispatch (df-profile) may route either way, so each is pinned
+    // against the brute force independently
+    val gotDirect = Dedup.containmentDedupDirect(spark, tmp)
+      .select("a_id", "b_id", "size_a", "n_shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    gotDirect shouldBe expected
+    val gotPrefix = Dedup.containmentDedupPrefix(spark, tmp)
+      .select("a_id", "b_id", "size_a", "n_shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    gotPrefix shouldBe expected
+
     // the PPJoin length + positional filters (r8) prune the candidate set
     // monotonically and still cover every qualifying pair
     val full = Dedup.containmentCandidates(spark, tmp)
@@ -122,6 +134,28 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     full.subsetOf(prefixOnly) shouldBe true
     expected.map(p => (p._1, p._2)).subsetOf(full) shouldBe true
     full.size should be < prefixOnly.size // fixed vocab: must actually prune
+  }
+
+  test("d7 df-profile dispatch: benign corpora go direct, stopword-trigram corpora go prefix") {
+    // the rule is pure arithmetic on (Σdf, Σdf²) — pin the boundary
+    Dedup.containmentDirectEligible(1000L, 10000L) shouldBe true // mean df 10
+    Dedup.containmentDirectEligible(1000L, 64000L) shouldBe true // exactly 64×
+    Dedup.containmentDirectEligible(1000L, 64001L) shouldBe false
+    // a corpus of 100 IDENTICAL docs: every trigram has df 100 > 64, so the
+    // weighted mean trips the prefix path — and on that degenerate corpus
+    // the two strategies must still agree pair-for-pair
+    val s = spark; import s.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (0L until 100L).map(i => (i, text))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d7b").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "n_shared").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = pairs(Dedup.containmentDedupDirect(spark, tmp))
+    val prefix = pairs(Dedup.containmentDedupPrefix(spark, tmp))
+    direct shouldBe prefix
+    direct.size shouldBe 100 * 99 // every ordered pair, containment 1.0
   }
 
   test("d11 planted-run recall: a 35-char shared run is found at ANY alignment; sub-threshold runs are not") {
