@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[...] specs: the standalone Worker runs in the test JVM and
+// launches executor JVMs through the launcher library, which — unlike the
+// bin/ scripts — does not derive SPARK_SCALA_VERSION itself; without it the
+// classpath builder dies with "Cannot find any build directories."
+Test / envVars ++= Map("SPARK_SCALA_VERSION" -> "2.13")
 // Forked run output normally passes through sbt's logger, which prefixes
 // every line with "[info] " — that breaks any consumer doing a straight
 // json.loads on Bench's one-line contract. Write the child's stdout raw.

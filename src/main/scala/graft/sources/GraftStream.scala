@@ -206,13 +206,27 @@ final class GraftMicroBatchStream(opts: GraftSourceOptions)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].positions
     val e = end.asInstanceOf[GraftOffset].positions
+    // Multi-JVM seam: the registry is JVM-local, so on any non-local master
+    // (local-cluster / standalone / YARN / k8s) an executor-side reader
+    // cannot resolve `clientKey`. For in-memory/mock clients the planned
+    // range's records embed in the partition (bounded by the S4 admission
+    // cap, so task binaries stay small); a production network-backed client
+    // instead constructs per-JVM from serializable config — the client is
+    // `Serializable` by contract, and a registry hit still wins below.
+    val isLocalMaster = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .forall(_.sparkContext.isLocal) // no session visible → assume local
+    val c = client
     e.toSeq.sortBy(_._1).flatMap { case (shardId, endIdx) =>
       val startIdx = s.getOrElse(shardId, 0L)
-      if (endIdx > startIdx)
+      if (endIdx > startIdx) {
+        val embedded =
+          if (isLocalMaster) None
+          else c.embeddableRecords(opts.streamName, shardId, startIdx, endIdx)
         Some(GraftInputPartition(shardId, startIdx, endIdx, opts.clientKey,
           opts.streamName, opts.batchSize, opts.eventSinkId,
-          opts.expiryFallbackLadder, opts.checkpointStoreKey): InputPartition)
-      else None
+          opts.expiryFallbackLadder, opts.checkpointStoreKey, embedded): InputPartition)
+      } else None
     }.toArray
   }
 
@@ -232,7 +246,11 @@ final case class GraftInputPartition(
     batchSize: Int,
     eventSinkId: Option[String],
     expiryFallbackLadder: Boolean = false,
-    checkpointStoreKey: Option[String] = None
+    checkpointStoreKey: Option[String] = None,
+    /** The planned range's records, shipped through task serialization when
+      * the master is non-local and the client is an in-memory mock (the
+      * registry can't cross JVMs). Bounded by the admission cap per task. */
+    embedded: Option[IndexedSeq[KRecord]] = None
 ) extends InputPartition
 
 final class GraftReaderFactory extends PartitionReaderFactory {
@@ -256,7 +274,19 @@ final class GraftReaderFactory extends PartitionReaderFactory {
 final class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[InternalRow] {
 
   private val client: IndexedSourceClient =
-    SourceClientRegistry.get(p.clientKey).asInstanceOf[IndexedSourceClient]
+    // registry first (driver-JVM / local-mode: the richer client with
+    // cross-range ladder state); embedded slice when this executor JVM
+    // has no registry entry (multi-JVM masters — see planInputPartitions)
+    SourceClientRegistry.getOption(p.clientKey) match {
+      case Some(c: IndexedSourceClient) => c
+      case _ => p.embedded match {
+        case Some(recs) => new SliceBackedClient(p.shardId, p.startIdx, recs)
+        case None => throw new IllegalArgumentException(
+          s"no SourceClient registered under '${p.clientKey}' in this JVM and " +
+            "no embedded records — a non-local deployment needs either a " +
+            "per-JVM-constructible client or an embeddable in-memory one")
+      }
+    }
   private val sink: EventSink = p.eventSinkId.map(EventSink.Registered).getOrElse(EventSink.Noop)
 
   /** Absolute index of the next record to fetch; fallback renewal may move

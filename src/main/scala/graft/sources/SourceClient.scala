@@ -87,6 +87,14 @@ trait IndexedSourceClient extends SourceClient {
     * O7 fallback renewal (which may land BEHIND the planned range → bounded
     * at-least-once replay, never loss). */
   def indexOfIterator(streamName: String, shardId: String, iterator: String): Long
+  /** A planned range's records for embedding in the `InputPartition`, or
+    * None when the client is reachable per-JVM (the normal service-backed
+    * case — executors pull their own slices). In-memory/scripted clients
+    * override: they are DRIVER-resident, so on a multi-JVM master the
+    * planner ships each range through task serialization instead (bounded
+    * per task by the S4 admission cap). Decorators must delegate. */
+  def embeddableRecords(streamName: String, shardId: String,
+      start: Long, end: Long): Option[IndexedSeq[KRecord]] = None
 }
 
 /** [[ThrottleRetryingClient]] that preserves the indexed contract (the
@@ -102,6 +110,9 @@ final class IndexedThrottleRetryingClient(
     underlying.iteratorAtIndex(streamName, shardId, index)
   override def indexOfIterator(streamName: String, shardId: String, iterator: String): Long =
     underlying.indexOfIterator(streamName, shardId, iterator)
+  override def embeddableRecords(streamName: String, shardId: String,
+      start: Long, end: Long): Option[IndexedSeq[KRecord]] =
+    underlying.embeddableRecords(streamName, shardId, start, end)
 }
 
 /** Deterministic in-memory sharded stream: `shardId → ordered records`.
@@ -122,6 +133,10 @@ class InMemorySourceClient(
 
   override def indexOfIterator(streamName: String, shardId: String, iterator: String): Long =
     parseCursor(iterator)._2.toLong
+
+  override def embeddableRecords(streamName: String, shardId: String,
+      start: Long, end: Long): Option[IndexedSeq[KRecord]] =
+    Some(shards.getOrElse(shardId, IndexedSeq.empty).slice(start.toInt, end.toInt))
 
   protected def cursor(shardId: String, idx: Int): String = s"$shardId#$idx"
   protected def parseCursor(it: String): (String, Int) = {
@@ -204,5 +219,58 @@ object SourceClientRegistry {
   def get(key: String): SourceClient =
     Option(clients.get(key)).getOrElse(
       throw new IllegalArgumentException(s"no SourceClient registered under '$key'"))
+  def getOption(key: String): Option[SourceClient] = Option(clients.get(key))
   def unregister(key: String): Unit = { clients.remove(key); () }
+}
+
+/** Executor-side view of ONE planned range of ONE shard, backing the
+  * multi-JVM read path (see `GraftInputPartition.embedded`): the driver
+  * plans the range against the registry-resident client and ships the
+  * slice in the partition; a separate-JVM executor reconstructs an
+  * [[IndexedSourceClient]] over it so the reader's paging / renewal /
+  * event logic runs UNCHANGED. Cursors keep the global `shard#index`
+  * form — `base` is the slice's absolute start index, so iterator
+  * arithmetic matches the driver-side client exactly. */
+final class SliceBackedClient(shardId: String, base: Long, recs: IndexedSeq[KRecord])
+    extends IndexedSourceClient {
+
+  private def cursor(idx: Long): String = s"$shardId#$idx"
+  private def idxOf(it: String): Long = it.substring(it.lastIndexOf('#') + 1).toLong
+
+  override def listShards(streamName: String): Seq[ShardInfo] = Seq(ShardInfo(shardId))
+  override def shardLength(streamName: String, shardId: String): Long = base + recs.length
+  override def iteratorAtIndex(streamName: String, shardId: String, index: Long): String = {
+    if (index < base || index > base + recs.length)
+      throw SourceClientError.Other(
+        s"index $index outside embedded range [$base, ${base + recs.length}] of $shardId")
+    cursor(index)
+  }
+  override def indexOfIterator(streamName: String, shardId: String, iterator: String): Long =
+    idxOf(iterator)
+
+  /** O7 ladder rungs resolve within the slice; a sequence before/after the
+    * range anchors at its edges (the reader clamps to its own cursor). */
+  override def getShardIterator(streamName: String, sid: String,
+      iteratorType: ShardIteratorType): String = iteratorType match {
+    case ShardIteratorType.TrimHorizon => cursor(base)
+    case ShardIteratorType.Latest => cursor(base + recs.length)
+    case ShardIteratorType.AtSequenceNumber(seq) =>
+      val i = recs.indexWhere(_.sequenceNumber >= seq)
+      cursor(if (i < 0) base + recs.length else base + i)
+    case ShardIteratorType.AfterSequenceNumber(seq) =>
+      val i = recs.indexWhere(_.sequenceNumber > seq)
+      cursor(if (i < 0) base + recs.length else base + i)
+    case ShardIteratorType.AtTimestamp(ts) =>
+      val millis = ts.toEpochMilli
+      val i = recs.indexWhere(_.approximateArrivalTimestamp.exists(_.getTime >= millis))
+      cursor(if (i < 0) base + recs.length else base + i)
+  }
+
+  override def getRecords(iterator: String, limit: Int): GetRecordsResult = {
+    val local = (idxOf(iterator) - base).toInt
+    val slice = recs.slice(local, local + limit)
+    val nextLocal = local + slice.length
+    val next = if (nextLocal >= recs.length) None else Some(cursor(base + nextLocal))
+    GetRecordsResult(slice, next)
+  }
 }
