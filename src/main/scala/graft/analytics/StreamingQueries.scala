@@ -31,6 +31,20 @@ object StreamingQueries {
     * (see [[Scratch]]). */
   private def tempDir(prefix: String): String = Scratch.dir(prefix)
 
+  /** Flush-token side stream: writes the tiny `rows` batch to scratch
+    * parquet and re-reads it as a file stream, so a handful of +200-year
+    * sentinel rows can union into a real stream and advance its watermark
+    * past every real row's emission condition. Replaces the r8
+    * explode-a-copy-of-every-event pattern (s12/s15), which DOUBLED the
+    * corpus through the stateful operators just to move the watermark —
+    * tokens cost O(users) / O(1) instead of O(stream). */
+  private def tokenStream(spark: SparkSession, rows: DataFrame): DataFrame = {
+    val dir = s"${tempDir("graft-flush-tok")}/t"
+    rows.coalesce(1).write.mode("overwrite").parquet(dir)
+    spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", "1000000").parquet(dir)
+  }
+
   /** File-stream source for the events table. The source requires a
     * DIRECTORY; the driver testdata ships `events.parquet` as a single
     * FILE (→ read the parent dir with a leaf-name glob), while
@@ -156,13 +170,22 @@ object StreamingQueries {
   /** Hard-fails every `error` event — the poison-record shape the
     * reference's hard-failure taxonomy exists for (`src/lib.rs:163-204`):
     * the record is DEAD-LETTERED, the checkpoint advances past it, and the
-    * batch keeps processing. Survivors pass through unchanged. */
-  final class PoisonFilterProcessor extends RecordProcessor[String] {
+    * batch keeps processing. Survivors decode to the TYPED (type, value)
+    * pair in the processor (the reference's own decode-in-user-code shape,
+    * `src/lib.rs:95-113`) — emitting the raw payload and regex-splitting
+    * 10 M strings again downstream cost s3 ~2/3 of its sf10 wall (r9). */
+  final class PoisonFilterProcessor extends RecordProcessor[(String, Double)] {
     override def processRecord(r: KRecord, m: RecordMetadata) = {
       val payload = r.dataUtf8
       if (payload.startsWith("error|"))
         Left(ProcessingError.HardFailure("poison event type"))
-      else Right(Some(payload))
+      else {
+        val a = payload.indexOf('|')
+        val b = payload.indexOf('|', a + 1)
+        val end = if (b < 0) payload.length else b
+        Right(Some((payload.substring(0, a),
+          payload.substring(a + 1, end).toDouble)))
+      }
     }
   }
 
@@ -180,20 +203,18 @@ object StreamingQueries {
     val tmp = tempDir("graft-stream-q3")
     val itemsDir = s"$tmp/items"
     val (client, batch) = sizedClient(spark, sfDir)
-    val gp = new GraftProcessor[String](
+    val gp = new GraftProcessor[(String, Double)](
       ProcessorConfig("events", batchSize = batch),
       new PoisonFilterProcessor,
       client,
       new InMemoryCheckpointStore,
-      onItems = (ds, _) => ds.toDF("payload").write.mode("append").parquet(itemsDir)
+      onItems = (ds, _) => ds.toDF("event_type", "value")
+        .write.mode("append").parquet(itemsDir)
     )
     gp.run(spark, s"$tmp/ckpt") match {
       case Left(e) => throw e
       case Right(()) =>
         spark.read.parquet(itemsDir)
-          .select(split(col("payload"), "\\|").as("p"))
-          .select(col("p").getItem(0).as("event_type"),
-            col("p").getItem(1).cast("double").as("value"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"),
             min(col("value")).as("min_value"),
@@ -382,15 +403,21 @@ object StreamingQueries {
   def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val gapMs = 6L * 3600 * 1000
-    val name = s"graft_s9_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // complete-mode output is the FULL session set (corpus-scaled) — land
+    // it executor-parallel via foreachBatch overwrite instead of a driver
+    // memory sink (the s7 r9 lesson); the last epoch's overwrite IS the
+    // complete result, independent of micro-batch placement.
+    val outDir = s"${tempDir("graft_s9_")}/out"
     val q = Tables.normalizeEventTs(eventsFileStream(spark, sfDir))
       .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("tsx"))
       .groupBy(session_window(col("tsx"), "6 hours"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-      .writeStream.format("memory").queryName(name)
+      .writeStream
+      .foreachBatch((df: DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(outDir))
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(outDir)
       .select(col("user_id"), col("n_events"),
         (unix_millis(col("session_window.end")) -
           unix_millis(col("session_window.start")) - gapMs).as("span_ms"))
@@ -417,15 +444,21 @@ object StreamingQueries {
     * after the drain so the oracle comparison is placement-independent. */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val name = s"graft_s7_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // parquet sink, not a memory sink: the deduped stream is corpus-sized
+    // (every surviving event), and a memory sink materializes it on the
+    // DRIVER — measured 27 s of the 10 M-row sf10 drain (SCALE.md r9).
+    // The executor-parallel file sink is also the honest 100 TB shape;
+    // the re-read respects `_spark_metadata` (s10's contract).
+    val base = tempDir("graft_s7_")
     val q = eventsFileStream(spark, sfDir)
       .withColumn("copy", explode(array(lit(1), lit(2))))
       .select(col("event_id"), col("event_type"))
       .dropDuplicates("event_id")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(s"$base/out")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
@@ -510,12 +543,12 @@ object StreamingQueries {
     * (VERDICT r7 item 4).
     *
     * Two determinism moves make an oracle possible at all:
-    *   - every event is emitted twice, the copy shifted +200 years: the
-    *     copy's arrival CLOSES the user's final real session through the
-    *     ordinary gap-crossing path, so emission never depends on how far
-    *     the final watermark advanced (the s6 complete-mode argument, in
-    *     flush-token form); shifted sessions are dropped by a start-time
-    *     cut afterwards;
+    *   - one +200-year flush token per user (a second tiny file stream,
+    *     [[tokenStream]]) arrives last and CLOSES that user's final real
+    *     session through the ordinary gap-crossing path, so emission
+    *     never depends on how far the final watermark advanced (the s6
+    *     complete-mode argument in flush-token form); token sessions are
+    *     dropped by a start-time cut afterwards;
     *   - the whole table drains in ONE micro-batch (the fold sorts within
     *     a batch; cross-batch arrival order is a physical accident —
     *     bounded-state multi-batch behavior is SessionizeSpec's job);
@@ -530,12 +563,20 @@ object StreamingQueries {
     val shiftMs = FlushShiftMs
     val realBefore = RealBeforeMs
     val name = s"graft_s12_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val events = Tables.normalizeEventTs(
+    val real = Tables.normalizeEventTs(
         tableFileStream(spark, sfDir, "events", singleBatch = true))
-      .select(col("user_id"), expr("ts div 1000000").as("tsms"), col("event_type"))
-      .withColumn("shift", explode(array(lit(0L), lit(shiftMs))))
       .select(col("user_id").as("userId"), col("event_type").as("eventType"),
-        timestamp_millis(col("tsms") + col("shift")).as("ts"))
+        timestamp_millis(expr("ts div 1000000")).as("ts"))
+    // ONE +200y flush token per user (not the r8 copy-of-every-event
+    // explode, which doubled the fold's input): the token's arrival
+    // closes that user's final real session through the ordinary
+    // gap-crossing path; token sessions are dropped by the start-time cut.
+    val staticEv = Tables.events(spark, sfDir)
+    val maxMs = staticEv.agg(max(expr("ts div 1000000"))).head().getLong(0)
+    val tokens = staticEv.select(col("user_id")).distinct()
+      .select(col("user_id").as("userId"), lit("flush").as("eventType"),
+        timestamp_millis(lit(maxMs + shiftMs)).as("ts"))
+    val events = real.unionByName(tokenStream(spark, tokens))
       .as[Sessionize.UserEvent]
     val q = Sessionize.closedSessions(events, gapMs = gapMs - 1)
       .toDF()
@@ -657,12 +698,12 @@ object StreamingQueries {
     * end-of-batch scan.
     *
     * The s12 flush-token move makes that deterministic under
-    * `Trigger.AvailableNow`: every event carries a +200-year copy, so the
-    * final watermark stands far past every real purchase's window and
-    * every pending null row flushes through the ordinary eviction path
-    * (shifted rows are cut afterwards — shifted pairs only ever join each
-    * other, 200 years away from the real window). The drained set must
-    * equal DuckDB's batch LEFT JOIN verbatim.
+    * `Trigger.AvailableNow`: one +200-year token per side (a tiny second
+    * file stream) stands the final watermark far past every real
+    * purchase's window and every pending null row flushes through the
+    * ordinary eviction path (the token pair only ever joins itself, 200
+    * years away from the real window, and is cut afterwards). The
+    * drained set must equal DuckDB's batch LEFT JOIN verbatim.
     *
     * Scale shape: state is the same watermark-bounded two-sided store as
     * s8 (clicks held 1 h + delay, purchases held until their window
@@ -673,13 +714,28 @@ object StreamingQueries {
     val name = s"graft_s15_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val shiftUs = FlushShiftMs * 1000L
     val realBeforeUs = RealBeforeMs * 1000L
+    // ONE +200y token per SIDE (not the r8 copy-of-every-event explode,
+    // which doubled both join inputs and their state): each side's token
+    // advances that side's watermark past every real purchase's window,
+    // so every pending null row flushes through the ordinary eviction
+    // path. The token pair joins only itself (user -1) and is cut below.
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(expr("ts div 1000"))).head().getLong(0)
+    val tokenRows = spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(-1L, -1L, maxUs + shiftUs, "click"),
+        org.apache.spark.sql.Row(-2L, -1L, maxUs + shiftUs, "purchase")),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, us0 BIGINT, event_type STRING"))
+    val tokenDir = s"${tempDir("graft-flush-tok")}/t"
+    tokenRows.coalesce(1).write.mode("overwrite").parquet(tokenDir)
     def src = Tables.normalizeEventTs(
         tableFileStream(spark, sfDir, "events", singleBatch = true))
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us0"),
         col("event_type"))
-      .withColumn("shift", explode(array(lit(0L), lit(shiftUs))))
+      .unionByName(spark.readStream.schema(tokenRows.schema)
+        .option("maxFilesPerTrigger", "1000000").parquet(tokenDir))
       .select(col("event_id"), col("user_id"),
-        timestamp_micros(col("us0") + col("shift")).as("tsx"), col("event_type"))
+        timestamp_micros(col("us0")).as("tsx"), col("event_type"))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("tsx").as("c_ts"))
