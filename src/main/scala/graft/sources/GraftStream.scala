@@ -57,8 +57,23 @@ class GraftTableProvider extends TableProvider with org.apache.spark.sql.sources
 }
 
 final class GraftSourceOptions(options: CaseInsensitiveStringMap) extends Serializable {
-  val clientKey: String = Option(options.get("client")).getOrElse(
-    throw new IllegalArgumentException("option 'client' (SourceClientRegistry key) is required"))
+  /** Per-JVM construction seam (the real-cluster path): a
+    * [[SourceClientFactory]] FQCN plus `clientconf.*` passthrough options
+    * (keys arrive LOWERCASED — DSv2 option maps are case-insensitive).
+    * Driver and executors each build their own memoized instance, like a
+    * real SDK client. Mutually optional with `client` (registry key). */
+  val clientFactoryClass: Option[String] = Option(options.get("clientfactory"))
+  val clientConf: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    options.asCaseSensitiveMap().asScala.toMap
+      .collect { case (k, v) if k.startsWith("clientconf.") =>
+        k.stripPrefix("clientconf.") -> v }
+  }
+  val clientKey: String = Option(options.get("client"))
+    .orElse(clientFactoryClass.map(f => s"factory:$f:" +
+      clientConf.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")))
+    .getOrElse(throw new IllegalArgumentException(
+      "option 'client' (SourceClientRegistry key) or 'clientFactory' (FQCN) is required"))
   val streamName: String = Option(options.get("streamname")).getOrElse("stream")
   val batchSize: Int = Option(options.get("batchsize")).map(_.toInt).getOrElse(100)
   val maxBatchRetrievalLoops: Int =
@@ -83,10 +98,13 @@ final class GraftSourceOptions(options: CaseInsensitiveStringMap) extends Serial
       InitialPosition.AtTimestamp(java.time.Instant.ofEpochMilli(p.stripPrefix("at_timestamp:").toLong))
     case Some(other) => throw new IllegalArgumentException(s"bad initialposition '$other'")
   }
-  def client: IndexedSourceClient = SourceClientRegistry.get(clientKey) match {
-    case c: IndexedSourceClient => c
-    case _ => throw new IllegalArgumentException(
+  def client: IndexedSourceClient = SourceClientRegistry.getOption(clientKey)
+    .orElse(clientFactoryClass.map(f => SourceClientFactory.clientFor(f, clientConf))) match {
+    case Some(c: IndexedSourceClient) => c
+    case Some(_) => throw new IllegalArgumentException(
       s"client '$clientKey' must be an IndexedSourceClient for micro-batch planning")
+    case None => throw new IllegalArgumentException(
+      s"no SourceClient registered under '$clientKey' and no clientFactory configured")
   }
   def sink: EventSink = eventSinkId.map(EventSink.Registered).getOrElse(EventSink.Noop)
 }
@@ -225,7 +243,8 @@ final class GraftMicroBatchStream(opts: GraftSourceOptions)
           else c.embeddableRecords(opts.streamName, shardId, startIdx, endIdx)
         Some(GraftInputPartition(shardId, startIdx, endIdx, opts.clientKey,
           opts.streamName, opts.batchSize, opts.eventSinkId,
-          opts.expiryFallbackLadder, opts.checkpointStoreKey, embedded): InputPartition)
+          opts.expiryFallbackLadder, opts.checkpointStoreKey, embedded,
+          opts.clientFactoryClass, opts.clientConf): InputPartition)
       } else None
     }.toArray
   }
@@ -250,7 +269,12 @@ final case class GraftInputPartition(
     /** The planned range's records, shipped through task serialization when
       * the master is non-local and the client is an in-memory mock (the
       * registry can't cross JVMs). Bounded by the admission cap per task. */
-    embedded: Option[IndexedSeq[KRecord]] = None
+    embedded: Option[IndexedSeq[KRecord]] = None,
+    /** Per-JVM construction seam: executors build their own client from
+      * this factory FQCN + conf when the registry misses (the real-cluster
+      * path — see [[SourceClientFactory]]). */
+    factoryClass: Option[String] = None,
+    factoryConf: Map[String, String] = Map.empty
 ) extends InputPartition
 
 final class GraftReaderFactory extends PartitionReaderFactory {
@@ -274,17 +298,20 @@ final class GraftReaderFactory extends PartitionReaderFactory {
 final class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[InternalRow] {
 
   private val client: IndexedSourceClient =
-    // registry first (driver-JVM / local-mode: the richer client with
-    // cross-range ladder state); embedded slice when this executor JVM
-    // has no registry entry (multi-JVM masters — see planInputPartitions)
-    SourceClientRegistry.getOption(p.clientKey) match {
+    // resolution ladder: registry (driver-JVM / local-mode: the richer
+    // client with cross-range ladder state) → per-JVM factory construction
+    // (the real-cluster path) → embedded slice (driver-resident mocks on
+    // multi-JVM masters — see planInputPartitions)
+    SourceClientRegistry.getOption(p.clientKey)
+      .orElse(p.factoryClass.map(f => SourceClientFactory.clientFor(f, p.factoryConf))) match {
       case Some(c: IndexedSourceClient) => c
       case _ => p.embedded match {
         case Some(recs) => new SliceBackedClient(p.shardId, p.startIdx, recs)
         case None => throw new IllegalArgumentException(
-          s"no SourceClient registered under '${p.clientKey}' in this JVM and " +
-            "no embedded records — a non-local deployment needs either a " +
-            "per-JVM-constructible client or an embeddable in-memory one")
+          s"no SourceClient registered under '${p.clientKey}' in this JVM, " +
+            "no clientFactory, and no embedded records — a non-local " +
+            "deployment needs a per-JVM-constructible client or an " +
+            "embeddable in-memory one")
       }
     }
   private val sink: EventSink = p.eventSinkId.map(EventSink.Registered).getOrElse(EventSink.Noop)

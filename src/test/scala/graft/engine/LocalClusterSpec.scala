@@ -122,6 +122,30 @@ class LocalClusterSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
       .count() should be > 0L
   }
 
+  test("clientFactory: executors construct the client per-JVM from options alone") {
+    // no registry entry in ANY JVM (the driver never registers this key
+    // either), no embedding (the synthetic client computes records on
+    // demand and embeds nothing) — the ONLY way an executor can read is
+    // the SourceClientFactory seam, i.e. the real-cluster deployment path
+    import org.apache.spark.sql.streaming.Trigger
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format("graft-stream")
+      .option("clientFactory", classOf[graft.sources.SyntheticSourceClientFactory].getName)
+      .option("clientconf.shards", "4")
+      .option("clientconf.recordspershard", "100")
+      .option("streamName", "synthetic")
+      .option("batchSize", "25")
+      .load()
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        { total.addAndGet(df.count()); () })
+      .option("checkpointLocation",
+        Files.createTempDirectory("synth-lc").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    total.get() shouldBe 400L
+  }
+
   test("stress scenario: 640 records / 8 shards commit correctly across executor JVMs") {
     val s = spark
     import s.implicits._
