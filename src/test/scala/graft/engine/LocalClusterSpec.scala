@@ -122,6 +122,20 @@ class LocalClusterSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
       .count() should be > 0L
   }
 
+  test("d7 direct containment path runs distributed (graft_intersect_count + incidence join)") {
+    val rows = SparkEntry.queries("d7_containment_dedup")(spark, sfDir).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      // 2·n_shared ≥ size_a is the operator's own threshold — violated
+      // rows would mean the per-pair count degraded across JVMs
+      (2L * r.getLong(3)) should be >= r.getLong(2)
+    }
+  }
+
+  test("e9 two-level kNN graph runs distributed (graft_cosine codegen + broadcast codebooks)") {
+    SparkEntry.queries("e9_knn_graph_2level")(spark, sfDir).count() should be > 0L
+  }
+
   test("clientFactory: executors construct the client per-JVM from options alone") {
     // no registry entry in ANY JVM (the driver never registers this key
     // either), no embedding (the synthetic client computes records on
