@@ -312,6 +312,11 @@ object Similarity {
       .withColumn("crk", row_number().over(assignScore))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("v"), col("cell_id"))
+      // deserialized cache is the measured winner: an r9 experiment with
+      // MEMORY_AND_DISK_SER traded ~12 s of min time for ser/deser CPU on
+      // the self-join's repeated reads (62.6–83.2 s vs 50.1–73.2 s across
+      // three isolated sf10 runs) — the spread is rig GC noise either way,
+      // within the 1.5× bound (SCALE.md r9)
       .cache()
     val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     val topk = assigned.as("a").join(assigned.as("b"),

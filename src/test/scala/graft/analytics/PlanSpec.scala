@@ -243,6 +243,19 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("d7 direct path: pair counts are a partial+final aggregation over equi-joined 24-byte incidences") {
+    val plan = Dedup.containmentDedupDirect(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    withClue(s"d7-direct plan:\n$plan\n") {
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+      // map-side combine on (a_id, b_id) before the pair shuffle
+      "HashAggregate".r.findAllIn(plan).length should be >= 2
+      // the verify stage must NOT join trigram arrays back per pair
+      plan should not include "graft_intersect_count"
+    }
+  }
+
   test("t10 CMS counter tables broadcast onto the top-k; sketch rows never shuffle the corpus") {
     // the registered query eagerly checkpoints its 10-row result (so the
     // vocab-sized persist releases promptly) — gate the LAZY builder
