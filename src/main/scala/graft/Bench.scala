@@ -63,6 +63,7 @@ object Bench {
         .foreach { case (_, fn) =>
           try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
         }
+      graft.analytics.Scratch.sweep()
     }
     // A failing query must never read as a (fast) timing: report -1 for it
     // (VERDICT r1 "what's wrong" item 1). Each query is timed over N runs
@@ -82,6 +83,11 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val good = times.filter(_ >= 0)
+      // between-query scratch sweep: a 148-query rehearsal otherwise
+      // accumulates tens of GB of dead stream/table copies whose IO
+      // contention skews later write-heavy timings (f6 measured 35.8 s
+      // in-run vs 9.9 s isolated at sf10 before this — SCALE.md r9)
+      graft.analytics.Scratch.sweep()
       name -> (if (good.isEmpty) (-1.0, -1.0) else (good.min, good.max))
     }
     // 0.1 ms precision: full-resolution doubles balloon the 115-entry line

@@ -50,6 +50,8 @@ object Verify {
         failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the write above materialized the query — its scratch is now dead
+      graft.analytics.Scratch.sweep()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
