@@ -128,6 +128,19 @@ object GraphOps {
     * Power users skew the user_id shuffle → AQE skew-join splits it.
     * Everything is integer counts except one final IEEE division. */
   def typeCooccurrence(s: SparkSession, d: String): DataFrame = {
+    val (out, ut) = typeCooccurrencePlan(s, d)
+    // eager materialization of the |types|²-row result lets the
+    // corpus-sized distinct table release NOW, not at ContextCleaner GC
+    // (ADVICE r8 — the p19 session-lifetime-cache lesson)
+    val pinned = out.localCheckpoint(true)
+    ut.unpersist(false)
+    pinned
+  }
+
+  /** g2's LAZY plan + the persisted user×type distinct table, exposed so
+    * PlanSpec can gate the broadcast/self-join shape (the registered
+    * query's eager checkpoint truncates the inspectable plan). */
+  private[graft] def typeCooccurrencePlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // THREE consumers (totals + both self-join sides) — persist pins one
     // execution of the corpus scan+distinct (the t10 lesson: exchange
     // reuse is an optimization, not a contract)
@@ -150,12 +163,7 @@ object GraphOps {
         (col("co_users").cast("double") /
           (col("na") + col("nb") - col("co_users"))).as("jaccard"))
       .orderBy(col("type_a"), col("type_b"))
-      // eager materialization of the |types|²-row result lets the
-      // corpus-sized distinct table release NOW, not at ContextCleaner GC
-      // (ADVICE r8 — the p19 session-lifetime-cache lesson)
-      .localCheckpoint(true)
-    ut.unpersist(false)
-    out
+    (out, ut)
   }
 
   val typeCooccurrenceOracle: String =

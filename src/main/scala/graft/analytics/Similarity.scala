@@ -299,8 +299,23 @@ object Similarity {
     knnGraphTwoLevel(s, d, k, side, side)
   }
 
-  /** Single-level e7 core (K explicit). */
+  /** Single-level e7 core (K explicit). The mutual-pair result (≤ n·k
+    * rows of two longs) is eagerly checkpointed so the corpus-sized
+    * assignment cache releases NOW instead of at ContextCleaner GC — the
+    * ADVICE r8 session-lifetime-cache rule, applied to the two biggest
+    * remaining holders (e7/e9) after g2/t10. */
   def knnGraphSingleLevel(s: SparkSession, d: String, k: Int, nCells: Int): DataFrame = {
+    val (out, assigned) = knnGraphSingleLevelPlan(s, d, k, nCells)
+    val pinned = out.localCheckpoint(true)
+    assigned.unpersist(false)
+    pinned
+  }
+
+  /** e7's LAZY plan + the persisted assignment table — exposed so PlanSpec
+    * can gate the join/limit shapes (the registered query's eager
+    * checkpoint truncates the inspectable plan to an RDD scan). */
+  private[graft] def knnGraphSingleLevelPlan(s: SparkSession, d: String, k: Int,
+      nCells: Int): (DataFrame, DataFrame) = {
     val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
     val centroids = emb
       .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * nCells)
@@ -327,11 +342,12 @@ object Similarity {
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= k)
       .select(col("src"), col("dst"))
-    topk.as("x").join(topk.as("y"),
+    val out = topk.as("x").join(topk.as("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
           col("x.src") < col("x.dst"))
       .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
+    (out, assigned)
   }
 
   /** e9 — TWO-LEVEL (coarse-then-fine) codebook kNN graph: the IVF/IMI
@@ -354,6 +370,18 @@ object Similarity {
     * rule, so the gate covers the production configuration at any SF. */
   def knnGraphTwoLevel(s: SparkSession, d: String, k: Int = 3,
       k1: Int = 4, k2: Int = 4): DataFrame = {
+    val (out, caches) = knnGraphTwoLevelPlan(s, d, k, k1, k2)
+    // eager small-result checkpoint → both corpus-sized assignment caches
+    // release NOW (the e7/g2/t10 rule)
+    val pinned = out.localCheckpoint(true)
+    caches.foreach(_.unpersist(false))
+    pinned
+  }
+
+  /** e9's LAZY plan + its two persisted assignment tables (see
+    * [[knnGraphSingleLevelPlan]] for why PlanSpec needs the lazy form). */
+  private[graft] def knnGraphTwoLevelPlan(s: SparkSession, d: String, k: Int,
+      k1: Int, k2: Int): (DataFrame, Seq[DataFrame]) = {
     val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
     val coarse = emb
       .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * k1)
@@ -391,11 +419,12 @@ object Similarity {
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= k)
       .select(col("src"), col("dst"))
-    topk.as("x").join(topk.as("y"),
+    val out = topk.as("x").join(topk.as("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
           col("x.src") < col("x.dst"))
       .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
+    (out, Seq(coarseAssigned, assigned))
   }
 
   /** e9 oracle — both codebook levels re-derived independently: the side

@@ -48,8 +48,31 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     val codebookJoins = Set("e4_ann_ivf_topk", "e5_ann_recall", "c1_kmeans",
       "c2_semantic_dedup", "e7_knn_graph", "e9_knn_graph_2level",
       "e10_sq8_ann")
+    // queries that eagerly checkpoint their (small) result so their
+    // corpus-sized caches release promptly (r9): the registered plan is an
+    // RDD scan — gate the LAZY builder instead, releasing its cache after
+    def released(df: org.apache.spark.sql.DataFrame,
+        caches: Seq[org.apache.spark.sql.DataFrame]): String = {
+      val p = df.queryExecution.executedPlan.toString
+      caches.foreach(_.unpersist(false))
+      p
+    }
+    val lazyOverrides: Map[String, () => String] = Map(
+      "e7_knn_graph" -> (() => {
+        val (df, c) = Similarity.knnGraphSingleLevelPlan(spark, sfDir, 3, 16)
+        released(df, Seq(c)) }),
+      "e9_knn_graph_2level" -> (() => {
+        val (df, cs) = Similarity.knnGraphTwoLevelPlan(spark, sfDir, 3, 4, 4)
+        released(df, cs) }),
+      "t10_cms_heavy_hitters" -> (() => {
+        val (df, c) = TextAnalytics.cmsHeavyHittersPlan(spark, sfDir)
+        released(df, Seq(c)) }),
+      "g2_type_cooccurrence" -> (() => {
+        val (df, c) = GraphOps.typeCooccurrencePlan(spark, sfDir)
+        released(df, Seq(c)) }),
+    )
     planBased.foreach { name =>
-      val plan = planOf(name)
+      val plan = lazyOverrides.get(name).map(_()).getOrElse(planOf(name))
       withClue(s"$name plan:\n$plan\n") {
         plan should not include "CartesianProduct"
         if (plan.contains("BroadcastNestedLoopJoin") && !codebookJoins.contains(name))
@@ -124,7 +147,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("e7 kNN-graph edges come from the cell-key equi-join; mutual filter is a pair-key equi-join") {
-    val plan = planOf("e7_knn_graph")
+    // the registered query eagerly checkpoints its pair result (releasing
+    // the corpus-sized assignment cache) — gate the LAZY builder
+    val (lazyE7, e7cache) = Similarity.knnGraphSingleLevelPlan(spark, sfDir, 3, 16)
+    val plan = lazyE7.queryExecution.executedPlan.toString
+    e7cache.unpersist(false)
     // in-cell candidate generation must be an equi-join on cell_id (never
     // an all-pairs cross), and the reciprocal filter an equi-join on the
     // (src, dst) pair key
@@ -139,7 +166,9 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("e9 two-level kNN: fine assignment and candidates are equi-joins; only the coarse codebook is a nested loop") {
-    val plan = planOf("e9_knn_graph_2level")
+    val (lazyE9, e9caches) = Similarity.knnGraphTwoLevelPlan(spark, sfDir, 3, 4, 4)
+    val plan = lazyE9.queryExecution.executedPlan.toString
+    e9caches.foreach(_.unpersist(false))
     withClue(s"e9 plan:\n$plan\n") {
       // the fine assignment must be an equi-join on coarse_id — that is
       // the whole point (n·k2 comparisons instead of n·K); the only
