@@ -31,6 +31,31 @@ object StreamingQueries {
     * (see [[Scratch]]). */
   private def tempDir(prefix: String): String = Scratch.dir(prefix)
 
+  /** Streaming state-partition sizing. A stateful query's shuffle
+    * partition count is FROZEN into the state-store layout at the first
+    * checkpoint — Spark cannot AQE-coalesce it afterwards — so it is the
+    * one parallelism knob that must be sized to the data up front. Sized
+    * from the source table's on-disk bytes (≈16 MB of input per state
+    * partition, clamped to [4, session default]): at the gate SF this
+    * collapses 32 near-empty state-store instances per stateful operator
+    * (a stream-stream join keeps FOUR stores per partition — key-to-count
+    * and key-with-index per side — each writing delta files every
+    * micro-batch) down to 4; at 100 TB `bytes/16MB` dwarfs the core count
+    * and the clamp returns full session parallelism. Restored after the
+    * drain, so batch post-processing of the sink runs at session default. */
+  private def withStatePartitions[T](spark: SparkSession, sfDir: String,
+      table: String = "events")(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def bytes(p: java.io.File): Long =
+      if (p.isDirectory) p.listFiles().map(bytes).sum else p.length()
+    val sized = math.max(4L, math.min(prev.toLong,
+      (bytes(new java.io.File(s"$sfDir/$table.parquet")) >> 24) + 1))
+    spark.conf.set(key, sized.toString)
+    try f
+    finally spark.conf.set(key, prev)
+  }
+
   /** Flush-token side stream: writes the tiny `rows` batch to scratch
     * parquet and re-reads it as a file stream, so a handful of +200-year
     * sentinel rows can union into a real stream and advance its watermark
@@ -324,7 +349,8 @@ object StreamingQueries {
     * Scale shape: per-batch partial aggregation into the state store
     * keyed by (window, type) — state is O(windows · types), not O(rows);
     * the memory sink is the test harness, a real run writes to a table. */
-  def streamWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamWindowCounts(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark, sfDir) {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_s6_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = Tables.normalizeEventTs(eventsFileStream(spark, sfDir))
@@ -362,7 +388,8 @@ object StreamingQueries {
     * (p8) bins instead of relying on eviction — the right shape when
     * the data is at rest; this one is the right shape when it never
     * stops arriving. */
-  def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark, sfDir) {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_s8_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     def src = Tables.normalizeEventTs(eventsFileStream(spark, sfDir))
@@ -400,7 +427,8 @@ object StreamingQueries {
     *
     * Scale shape: session-window state is O(open sessions) per user in
     * the state store; merges happen store-side per micro-batch. */
-  def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamSessions(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark, sfDir) {
     import org.apache.spark.sql.streaming.Trigger
     val gapMs = 6L * 3600 * 1000
     // complete-mode output is the FULL session set (corpus-scaled) — land
@@ -442,7 +470,8 @@ object StreamingQueries {
     * Scale shape: dedup state is keyed by event_id in the state store;
     * the memory sink receives deduped rows (append), aggregated in batch
     * after the drain so the oracle comparison is placement-independent. */
-  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark, sfDir) {
     import org.apache.spark.sql.streaming.Trigger
     // parquet sink, not a memory sink: the deduped stream is corpus-sized
     // (every surviving event), and a memory sink materializes it on the
@@ -513,7 +542,8 @@ object StreamingQueries {
     * evicts mid-drain, so the output is micro-batch-placement-independent
     * (the s6/s9 oracle-gating discipline; eviction under lateness is
     * spec-gated in StreamingNearDupSpec). */
-  def streamNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark, sfDir, table = "documents") {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_s11_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val nBench = 64L
@@ -555,7 +585,8 @@ object StreamingQueries {
     *   - gapMs = gap − 1 ms: closedSessions merges at diff ≤ gapMs while
     *     `session_window`/the oracle break at diff ≥ gap; on integer
     *     milliseconds the two coincide exactly. */
-  def streamStatefulSessions(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamStatefulSessions(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark, sfDir) {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.Sessionize
     import spark.implicits._
@@ -601,7 +632,8 @@ object StreamingQueries {
     * the LAST emission per user must equal the batch per-user count —
     * correct across ANY micro-batch placement (each batch re-emits the
     * updated total), so the oracle needs no single-batch pin. */
-  def streamRunningCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamRunningCounts(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark, sfDir) {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.Sessionize
     import spark.implicits._
@@ -642,7 +674,8 @@ object StreamingQueries {
     * are monotone, so `max` over emissions = each user's final count
     * regardless of micro-batch placement, and the drained top-5 per type
     * (count desc, user_id tie-break) equals the batch leaderboard. */
-  def streamTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamTopK(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark, sfDir) {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.{HeavyHitters, Sessionize}
@@ -709,7 +742,8 @@ object StreamingQueries {
     * s8 (clicks held 1 h + delay, purchases held until their window
     * closes); the null-row scan rides the eviction pass, so an
     * always-on deployment holds O(window) state per user, never O(stream). */
-  def streamLeftOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamLeftOuterJoin(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark, sfDir) {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_s15_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val shiftUs = FlushShiftMs * 1000L
