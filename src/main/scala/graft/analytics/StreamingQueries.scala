@@ -42,15 +42,25 @@ object StreamingQueries {
     * and key-with-index per side — each writing delta files every
     * micro-batch) down to 4; at 100 TB `bytes/16MB` dwarfs the core count
     * and the clamp returns full session parallelism. Restored after the
-    * drain, so batch post-processing of the sink runs at session default. */
+    * drain, so batch post-processing of the sink runs at session default.
+    *
+    * `mbPerPartition` is the operator-shape dial: the default 16 MB suits
+    * state-machinery-dominated queries (stream-stream joins, dedup,
+    * windowed aggs — fewer stores beat idle cores; s8 measured 8.8→5.8 s
+    * at sf10 with 11 partitions). Queries whose per-ROW compute dominates
+    * the store overhead (MinHash signatures, per-user event folds) pass 4:
+    * they regain full session cores at rehearsal SFs — sized-down runs
+    * measured s11 8→16 s, s12 13→17 s at sf10 — while the gate SF still
+    * collapses to the floor. */
   private def withStatePartitions[T](spark: SparkSession, sfDir: String,
-      table: String = "events")(f: => T): T = {
+      table: String = "events", mbPerPartition: Int = 16)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     def bytes(p: java.io.File): Long =
       if (p.isDirectory) p.listFiles().map(bytes).sum else p.length()
     val sized = math.max(4L, math.min(prev.toLong,
-      (bytes(new java.io.File(s"$sfDir/$table.parquet")) >> 24) + 1))
+      bytes(new java.io.File(s"$sfDir/$table.parquet")) /
+        (mbPerPartition.toLong << 20) + 1))
     spark.conf.set(key, sized.toString)
     try f
     finally spark.conf.set(key, prev)
@@ -543,7 +553,7 @@ object StreamingQueries {
     * (the s6/s9 oracle-gating discipline; eviction under lateness is
     * spec-gated in StreamingNearDupSpec). */
   def streamNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    withStatePartitions(spark, sfDir, table = "documents") {
+    withStatePartitions(spark, sfDir, table = "documents", mbPerPartition = 4) {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_s11_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val nBench = 64L
@@ -586,7 +596,7 @@ object StreamingQueries {
     *     `session_window`/the oracle break at diff ≥ gap; on integer
     *     milliseconds the two coincide exactly. */
   def streamStatefulSessions(spark: SparkSession, sfDir: String): DataFrame =
-    withStatePartitions(spark, sfDir) {
+    withStatePartitions(spark, sfDir, mbPerPartition = 4) {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.Sessionize
     import spark.implicits._
@@ -675,7 +685,7 @@ object StreamingQueries {
     * regardless of micro-batch placement, and the drained top-5 per type
     * (count desc, user_id tie-break) equals the batch leaderboard. */
   def streamTopK(spark: SparkSession, sfDir: String): DataFrame =
-    withStatePartitions(spark, sfDir) {
+    withStatePartitions(spark, sfDir, mbPerPartition = 4) {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.{HeavyHitters, Sessionize}
