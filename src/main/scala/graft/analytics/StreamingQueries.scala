@@ -52,15 +52,23 @@ object StreamingQueries {
     * they regain full session cores at rehearsal SFs — sized-down runs
     * measured s11 8→16 s, s12 13→17 s at sf10 — while the gate SF still
     * collapses to the floor. */
-  private def withStatePartitions[T](spark: SparkSession, sfDir: String,
-      table: String = "events", mbPerPartition: Int = 16)(f: => T): T = {
+  /** The pure sizing rule (spec-pinned in StatePartitionsSpec): one
+    * partition per `mbPerPartition` of source bytes, floor 4, never above
+    * the session default. */
+  private[analytics] def statePartitionsFor(sessionDefault: Long,
+      tableBytes: Long, mbPerPartition: Int): Long =
+    math.max(4L, math.min(sessionDefault,
+      tableBytes / (mbPerPartition.toLong << 20) + 1))
+
+  private[analytics] def withStatePartitions[T](spark: SparkSession,
+      sfDir: String, table: String = "events", mbPerPartition: Int = 16)(
+      f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     def bytes(p: java.io.File): Long =
       if (p.isDirectory) p.listFiles().map(bytes).sum else p.length()
-    val sized = math.max(4L, math.min(prev.toLong,
-      bytes(new java.io.File(s"$sfDir/$table.parquet")) /
-        (mbPerPartition.toLong << 20) + 1))
+    val sized = statePartitionsFor(prev.toLong,
+      bytes(new java.io.File(s"$sfDir/$table.parquet")), mbPerPartition)
     spark.conf.set(key, sized.toString)
     try f
     finally spark.conf.set(key, prev)
