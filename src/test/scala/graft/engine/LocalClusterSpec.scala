@@ -160,6 +160,20 @@ class LocalClusterSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     total.get() shouldBe 400L
   }
 
+  test("s8 stream-stream interval join: executor-JVM state stores reproduce the batch join") {
+    // the one stateful-streaming path nothing else runs multi-JVM: four
+    // HDFSBackedStateStore instances per partition (two per join side)
+    // live in EXECUTOR JVMs and checkpoint via the driver-chosen temp dir;
+    // the drained pair set must equal the batch interval join (p8, the
+    // query the s8 oracle is shared with) computed in the same session
+    val stream = SparkEntry.queries("s8_stream_interval_join")(spark, sfDir)
+      .collect().toSeq
+    val batch = SparkEntry.queries("p8_interval_join")(spark, sfDir)
+      .collect().toSeq
+    stream.size should be > 0
+    stream.toSet shouldBe batch.toSet
+  }
+
   test("stress scenario: 640 records / 8 shards commit correctly across executor JVMs") {
     val s = spark
     import s.implicits._
