@@ -320,13 +320,20 @@ object Similarity {
     val centroids = emb
       .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
-    val assignScore = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cell_id"))
+    // argmax as a partial+final struct-max (the n7 idiom), NOT a window:
+    // the broadcast join's n·K candidate rows are consecutive per vec_id,
+    // so the map-side partial_max collapses them to ONE row per vec_id
+    // before any exchange — the window formulation shuffled and sorted all
+    // n·K rows (the dominant term of e7's 50–84 s at sf10). Tie order is
+    // the window's (cscore desc, cell_id asc): max of (cscore, -cell_id).
     // cached: feeds both sides of the in-cell self-join
     val assigned = emb.join(broadcast(centroids))
-      .withColumn("cscore", cosine("v", "cv"))
-      .withColumn("crk", row_number().over(assignScore))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("cell_id"))
+      .select(col("vec_id"), col("v"),
+        struct(cosine("v", "cv").as("cscore"), (-col("cell_id")).as("nid"),
+          col("cell_id").as("cid")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), max(col("cand")).as("best"))
+      .select(col("vec_id"), col("v"), col("best.cid").as("cell_id"))
       // deserialized cache is the measured winner: an r9 experiment with
       // MEMORY_AND_DISK_SER traded ~12 s of min time for ser/deser CPU on
       // the self-join's repeated reads (62.6–83.2 s vs 50.1–73.2 s across
