@@ -27,7 +27,7 @@ object SparkEntry {
     * entries without any failure record) and only a human diffing entry
     * counts caught it. Verify hard-fails when `queries` falls below this;
     * bump it in the same commit that registers a new query. */
-  val expectedQueryCount: Int = 148
+  val expectedQueryCount: Int = 149
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

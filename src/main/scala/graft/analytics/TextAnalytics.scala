@@ -594,7 +594,69 @@ object TextAnalytics {
       |  CAST(sum(tf * lf) AS DOUBLE) / sum(tf) AS mean_log2f
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t16 — BIGRAM CONDITIONAL SURPRISAL: the context-conditioned
+    * refinement of t15's unigram filter — CCNet (Wenzek et al. 2020)
+    * scores documents with an n-gram LM precisely because boilerplate is
+    * predictable IN CONTEXT, not merely built from common words. Per
+    * adjacent pair (w1, w2), conditional surprisal is
+    * ⌊log₂(c(w1·) / c(w1,w2))⌋ — exact BIGINT floor-division + bit
+    * length, so both engines agree to the bit (transcendental log-probs
+    * would ULP-drift, the t15 lesson). A high-mean document keeps making
+    * transitions the corpus finds rare (novel or garbled); `max_bits`
+    * flags the single most surprising transition; templates score near
+    * zero everywhere. Only observed bigrams are scored (corpus-self-
+    * trained, no smoothing constant to tune); single-token docs have no
+    * transitions and drop out in BOTH engines.
+    *
+    * Scale shape (t13's discipline): bigrams come from a per-row
+    * `explode(sequence)` — narrow, no window, no self-join; `bf` is a
+    * (doc, pair) partial+final aggregation that bounds every later join
+    * input at distinct-pairs-per-doc; `cb` re-aggregates `bf` (identical
+    * exchange → ReuseExchange) and `cs` re-aggregates `cb` (|vocab|²-
+    * bounded, broadcastable at any corpus size). Joins are plain equi-
+    * joins on the pair/source keys — AQE-skew-splittable for stop-word
+    * sources. */
+  def bigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).createOrReplaceTempView("graft_docs_bs_v")
+    s.sql(
+      """WITH w AS (SELECT doc_id, ws FROM
+        |    (SELECT doc_id, split(lower(text), ' ') AS ws FROM graft_docs_bs_v)
+        |  WHERE size(ws) >= 2),
+        |b AS (SELECT doc_id, element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2
+        |  FROM w LATERAL VIEW explode(sequence(1, size(ws) - 1)) seq AS i),
+        |bf AS (SELECT doc_id, w1, w2, count(1) AS bf FROM b GROUP BY doc_id, w1, w2),
+        |cb AS (SELECT w1, w2, sum(bf) AS cb FROM bf GROUP BY w1, w2),
+        |cs AS (SELECT w1, sum(cb) AS cs FROM cb GROUP BY w1),
+        |j AS (SELECT bf.doc_id, bf.bf,
+        |    CAST(length(bin(cs.cs div cb.cb)) - 1 AS BIGINT) AS bits
+        |  FROM bf JOIN cb ON bf.w1 = cb.w1 AND bf.w2 = cb.w2
+        |          JOIN cs ON bf.w1 = cs.w1)
+        |SELECT doc_id, sum(bf) AS n_bigrams, sum(bf * bits) AS sum_bits,
+        |  max(bits) AS max_bits,
+        |  CAST(sum(bf * bits) AS DOUBLE) / sum(bf) AS mean_bits
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  val bigramSurprisalOracle: String =
+    """WITH w AS (SELECT doc_id, ws FROM
+      |    (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents) t
+      |  WHERE len(ws) >= 2),
+      |b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM w, unnest(range(1, len(ws))) AS seq(i)),
+      |bf AS (SELECT doc_id, w1, w2, count(*) AS bf FROM b GROUP BY 1, 2, 3),
+      |cb AS (SELECT w1, w2, CAST(sum(bf) AS BIGINT) AS cb FROM bf GROUP BY 1, 2),
+      |cs AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cs FROM cb GROUP BY 1),
+      |j AS (SELECT bf.doc_id, bf.bf, length(bin(cs.cs // cb.cb)) - 1 AS bits
+      |  FROM bf JOIN cb ON bf.w1 = cb.w1 AND bf.w2 = cb.w2
+      |          JOIN cs ON bf.w1 = cs.w1)
+      |SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(bf * bits) AS BIGINT) AS sum_bits,
+      |  CAST(max(bits) AS BIGINT) AS max_bits,
+      |  CAST(sum(bf * bits) AS DOUBLE) / sum(bf) AS mean_bits
+      |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_bigram_surprisal" -> ((s: SparkSession, d: String) => bigramSurprisal(s, d)),
     "t15_unigram_surprisal" -> ((s: SparkSession, d: String) => unigramSurprisal(s, d)),
     "t14_vocab_growth" -> ((s: SparkSession, d: String) => vocabGrowth(s, d)),
     "t13_rare_bigrams" -> (rareBigrams _),
@@ -613,6 +675,7 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "t16_bigram_surprisal" -> bigramSurprisalOracle,
     "t15_unigram_surprisal" -> unigramSurprisalOracle,
     "t14_vocab_growth" -> vocabGrowthOracle,
     "t13_rare_bigrams" -> rareBigramsOracle,
