@@ -35,6 +35,7 @@ class StatePartitionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     dir.deleteOnExit()
     // a "table" of ~2 MB -> floor 4 inside the block
     val f = new java.io.File(dir, "events.parquet")
+    f.deleteOnExit() // the dir hook can't delete a non-empty dir
     val out = new java.io.FileOutputStream(f)
     out.write(new Array[Byte](2 << 20)); out.close()
     var inside = ""
