@@ -57,7 +57,7 @@ object StreamingQueries {
     * the session default. */
   private[analytics] def statePartitionsFor(sessionDefault: Long,
       tableBytes: Long, mbPerPartition: Int): Long =
-    math.max(4L, math.min(sessionDefault,
+    math.min(sessionDefault, math.max(4L,
       tableBytes / (mbPerPartition.toLong << 20) + 1))
 
   private[analytics] def withStatePartitions[T](spark: SparkSession,
@@ -224,10 +224,17 @@ object StreamingQueries {
         Left(ProcessingError.HardFailure("poison event type"))
       else {
         val a = payload.indexOf('|')
-        val b = payload.indexOf('|', a + 1)
-        val end = if (b < 0) payload.length else b
-        Right(Some((payload.substring(0, a),
-          payload.substring(a + 1, end).toDouble)))
+        if (a <= 0) Left(ProcessingError.HardFailure("malformed payload: no type separator"))
+        else {
+          val b = payload.indexOf('|', a + 1)
+          val end = if (b < 0) payload.length else b
+          try Right(Some((payload.substring(0, a),
+            payload.substring(a + 1, end).toDouble)))
+          catch {
+            case _: NumberFormatException =>
+              Left(ProcessingError.HardFailure("malformed payload: non-numeric value"))
+          }
+        }
       }
     }
   }

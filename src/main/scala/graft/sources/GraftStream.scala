@@ -69,9 +69,12 @@ final class GraftSourceOptions(options: CaseInsensitiveStringMap) extends Serial
       .collect { case (k, v) if k.startsWith("clientconf.") =>
         k.stripPrefix("clientconf.") -> v }
   }
+  // factory-derived keys carry a conf DIGEST, not the conf itself — the
+  // key surfaces in partition objects and error messages, and clientconf
+  // may hold credentials (ADVICE r9)
   val clientKey: String = Option(options.get("client"))
-    .orElse(clientFactoryClass.map(f => s"factory:$f:" +
-      clientConf.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")))
+    .orElse(clientFactoryClass.map(f =>
+      s"factory:$f:${SourceClientFactory.confDigest(clientConf)}"))
     .getOrElse(throw new IllegalArgumentException(
       "option 'client' (SourceClientRegistry key) or 'clientFactory' (FQCN) is required"))
   val streamName: String = Option(options.get("streamname")).getOrElse("stream")
@@ -231,9 +234,12 @@ final class GraftMicroBatchStream(opts: GraftSourceOptions)
     // cap, so task binaries stay small); a production network-backed client
     // instead constructs per-JVM from serializable config — the client is
     // `Serializable` by contract, and a registry hit still wins below.
+    // no session visible → assume NON-local (ADVICE r9): embedding when
+    // actually local is only minor overhead, while skipping it for a
+    // registry-only client on a real cluster fails reader-side
     val isLocalMaster = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .forall(_.sparkContext.isLocal) // no session visible → assume local
+      .exists(_.sparkContext.isLocal)
     val c = client
     e.toSeq.sortBy(_._1).flatMap { case (shardId, endIdx) =>
       val startIdx = s.getOrElse(shardId, 0L)

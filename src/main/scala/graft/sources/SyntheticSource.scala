@@ -16,18 +16,41 @@ trait SourceClientFactory {
 }
 
 object SourceClientFactory {
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, SourceClient]()
+  /** Opaque digest of a client config — used for memo keys and the
+    * source's clientKey so conf VALUES (potentially credentials) never
+    * surface in partition objects, exception messages, or logs
+    * (ADVICE r9), and a rotated credential maps to a fresh key. */
+  def confDigest(conf: Map[String, String]): String = {
+    val canonical =
+      conf.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(canonical.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+  }
+
+  // access-order LRU capped at 64: long-lived executors that rotate
+  // credentials (new conf → new key) evict the superseded client instead
+  // of accumulating one per rotation (ADVICE r9)
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, SourceClient](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, SourceClient]): Boolean = size() > 64
+    })
 
   /** Build-or-reuse THIS JVM's client for (factory, conf) — one instance
-    * per JVM like a real SDK client, keyed by the fully-resolved config. */
-  def clientFor(factoryClass: String, conf: Map[String, String]): SourceClient = {
-    val key = factoryClass + "?" +
-      conf.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
-    memo.computeIfAbsent(key, _ =>
-      Class.forName(factoryClass).getDeclaredConstructor()
-        .newInstance().asInstanceOf[SourceClientFactory].build(conf))
-  }
+    * per JVM like a real SDK client, keyed by the config's digest. */
+  def clientFor(factoryClass: String, conf: Map[String, String]): SourceClient =
+    memo.synchronized {
+      val key = factoryClass + "?" + confDigest(conf)
+      val existing = memo.get(key)
+      if (existing != null) existing
+      else {
+        val built = Class.forName(factoryClass).getDeclaredConstructor()
+          .newInstance().asInstanceOf[SourceClientFactory].build(conf)
+        memo.put(key, built)
+        built
+      }
+    }
 }
 
 /** A deterministic, stateless, unbounded-scale mock SERVICE: records are

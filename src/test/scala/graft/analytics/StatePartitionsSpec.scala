@@ -26,6 +26,10 @@ class StatePartitionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     StreamingQueries.statePartitionsFor(1000, 100L * mb * mb, 16) shouldBe 1000
     // never above the session default even between floor and clamp
     StreamingQueries.statePartitionsFor(8, 162 * mb, 16) shouldBe 8
+    // the clamp WINS over the floor (ADVICE r9): a session default below 4
+    // is never exceeded — "never above the session default" is absolute
+    StreamingQueries.statePartitionsFor(2, 2 * mb, 16) shouldBe 2
+    StreamingQueries.statePartitionsFor(2, 162 * mb, 16) shouldBe 2
   }
 
   test("withStatePartitions sets the sized count inside and restores the session default after, including on failure") {
