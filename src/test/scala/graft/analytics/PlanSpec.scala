@@ -20,7 +20,10 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
-  private val planBased = SparkEntry.queries.keys
+  // e7 was demoted from the registered surface in r10 but stays
+  // plan-gated here as the spec-gated single-level contrast (its
+  // lazyOverrides entry below builds the plan directly)
+  private val planBased = (SparkEntry.queries.keys ++ Seq("e7_knn_graph"))
     .filterNot(Set("s1_stream_count_by_type", "s3_stream_dead_letter",
       "s4_stream_resume", "s5_stream_soft_retry",
       // s6/s7/s8 return the drained memory-sink table; inspecting it would
