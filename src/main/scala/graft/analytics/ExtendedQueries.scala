@@ -872,7 +872,8 @@ object ExtendedQueries {
         // index 0 is categorically invalid (raises even under try_); map
         // the 0 residue to 4 — genuinely out of range, which try_element_at
         // converts to NULL
-        expr("try_element_at(array('a', 'b', 'c'), CAST(CASE WHEN pmod(user_id, 4) = 0 THEN 4 ELSE pmod(user_id, 4) END AS INT))").as("el"),
+        expr("try_element_at(array('a', 'b', 'c'), " +
+          "CAST(CASE WHEN pmod(user_id, 4) = 0 THEN 4 ELSE pmod(user_id, 4) END AS INT))").as("el"),
         expr("try_cast(event_type AS BIGINT)").as("bc"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
