@@ -126,17 +126,24 @@ object StreamingQueries {
   }
 
 
-  /** Production sizing for the mock stream (SCALE.md): shard count follows
-    * volume (~12.5k records/shard — the Kinesis reshard model; floor 8
-    * keeps the historical layout for sf <= 0.1, cap 256) and the admission
-    * cap targets ~25 batches/shard (floor 500) so per-batch data work
-    * dominates fixed epoch costs. The count() is a parquet metadata read,
-    * and the mock client materializes the table anyway. */
+  /** Production sizing for the stand-in stream (SCALE.md): shard count
+    * follows volume (~12.5k records/shard — the Kinesis reshard model;
+    * floor 8 keeps the historical layout for sf <= 0.1, cap 256) and the
+    * admission cap targets ~25 batches/shard (floor 500) so per-batch data
+    * work dominates fixed epoch costs. The count() is a parquet metadata
+    * read.
+    *
+    * r10 (VERDICT r9 #5): the client is the DISTRIBUTED
+    * [[graft.sources.ShardedCorpus]] path — executor-parallel sharded
+    * build, per-JVM lazy per-shard loads — replacing
+    * `EventStream.clientFromParquet`'s full-corpus driver sort+collect
+    * (14.7–17.2 s of driver time at sf10). The driver-side mock stays for
+    * the specs that script failures into it. */
   private def sizedClient(spark: SparkSession, sfDir: String): (SourceClient, Int) = {
     val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
     val shards = math.max(8L, math.min(256L, nEvents / 12500L)).toInt
     val batch = math.max(500L, nEvents / (shards * 25L)).toInt
-    (EventStream.clientFromParquet(spark, s"$sfDir/events.parquet", numShards = shards), batch)
+    (graft.sources.ShardedCorpus.clientFor(spark, s"$sfDir/events.parquet", shards), batch)
   }
 
   def streamCountByType(spark: SparkSession, sfDir: String): DataFrame = {

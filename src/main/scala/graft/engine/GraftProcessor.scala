@@ -123,6 +123,19 @@ final class GraftProcessor[T](
         case InitialPosition.AtTimestamp(t) => s"at_timestamp:${t.toEpochMilli}"
       })
     sinkIdOpt.foreach(id => reader.option("eventSink", id))
+    // Multi-JVM seam (r10): a factory-constructible client (e.g. the
+    // ShardedCorpus file-backed stream) advertises its construction spec;
+    // forwarding it lets executor-side readers build their own instance
+    // when the driver-JVM registry is out of reach — no record embedding.
+    // The driver still resolves via the registry (which wins in the
+    // reader's ladder), keeping the R4 throttle-retry wrapper there.
+    client match {
+      case fc: graft.sources.FactoryConstructible =>
+        val (cls, conf) = fc.factorySpec
+        reader.option("clientFactory", cls)
+        conf.foreach { case (k, v) => reader.option(s"clientconf.$k", v) }
+      case _ => ()
+    }
 
     val raw = reader.load().as[KRecord](org.apache.spark.sql.Encoders.product[KRecord])
     // O3 concurrency cap: coalesce merges shard partitions (order within

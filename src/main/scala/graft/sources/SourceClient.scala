@@ -97,6 +97,18 @@ trait IndexedSourceClient extends SourceClient {
       start: Long, end: Long): Option[IndexedSeq[KRecord]] = None
 }
 
+/** A client any JVM can reconstruct from string config — the real-cluster
+  * deployment shape (r10). The engine forwards the spec as
+  * `clientFactory`/`clientconf.*` DSv2 options, so executor-side readers
+  * construct their own instance per JVM (memoized in
+  * [[SourceClientFactory]]) instead of needing the driver-JVM registry or
+  * embedded record slices. */
+trait FactoryConstructible { this: SourceClient =>
+  /** (factory FQCN, conf map) — `new factory().build(conf)` must yield an
+    * equivalent client in any JVM. */
+  def factorySpec: (String, Map[String, String])
+}
+
 /** [[ThrottleRetryingClient]] that preserves the indexed contract (the
   * micro-batch source requires it). */
 final class IndexedThrottleRetryingClient(
