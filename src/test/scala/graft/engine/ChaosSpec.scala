@@ -1,0 +1,285 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+import graft.monitoring.{EventSink, ProcessingEventType}
+import graft.processor.{RecordProcessor => RP}
+import graft.sources.{InMemorySourceClient, ScriptedSourceClient, ShardInfo, SourceClientRegistry}
+
+/** FAULT INJECTION under `local-cluster[2,2,1024]` (VERDICT r9 #1): the
+  * happy path across separate executor JVMs is covered by LocalClusterSpec;
+  * the reference's whole identity is FAILURE semantics, and Spark-level
+  * task failure — retry of a task whose first attempt died mid-batch — was
+  * exercised by zero gates. Every test here kills first task attempts with
+  * a `TaskContext.attemptNumber`-keyed fault and requires the results to
+  * be EXACTLY the no-fault results:
+  *
+  *   - engine slice: a consuming action whose every task dies once →
+  *     exactly-once parquet output (task-commit protocol discards the dead
+  *     attempt's files), checkpoints at the final sequence, and commit
+  *     stats single-counted (accumulator updates from failed attempts are
+  *     dropped by Spark — the property the CommitTask design relies on);
+  *   - chaos × dead-letter: hard-failed poison records re-processed by the
+  *     retried attempt must dead-letter DETERMINISTICALLY (same records
+  *     out, same records dead, checkpoint past them) — the at-least-once
+  *     re-delivery contract (`processor.rs:939-994`'s analog);
+  *   - stateful streaming: a task killed in the STATE-STORE stage of a
+  *     running-count query must abort its uncommitted state delta and
+  *     replay from the last committed version — final counts exact across
+  *     4 micro-batches with an injected failure in each;
+  *   - reshard across JVMs: the shard list growing mid-stream (scripted
+  *     parent-only listings first, children later) with records crossing
+  *     JVMs as embedded slices must drain every shard exactly once.
+  */
+class ChaosSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local-cluster[2,2,1024]")
+      .appName("graft-chaos")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // spark.task.maxFailures stays at the cluster default (4): the whole
+      // point is that ONE free retry absorbs each injected failure
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.isLocal shouldBe false
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getExecutorMemoryStatus.size < 3 &&
+        System.nanoTime() < deadline) Thread.sleep(200)
+    spark.sparkContext.getExecutorMemoryStatus.size should be >= 3
+  }
+
+  override def afterAll(): Unit = {
+    try {
+      if (spark != null) spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    } finally super.afterAll()
+  }
+
+  private def mkShards(n: Int, per: Int, poisonEvery: Int = 0): Map[String, IndexedSeq[KRecord]] =
+    (0 until n).map { s =>
+      s"shard-$s" -> (0 until per).map { i =>
+        val t = if (poisonEvery > 0 && i % poisonEvery == 0) "error" else s"type-${i % 5}"
+        KRecord(f"$i%010d", s"pk-$i", s"$t|$i".getBytes("UTF-8"), None, s"shard-$s")
+      }
+    }.toMap
+
+  test("engine slice under task chaos: every consuming task dies once; output exactly-once, commits single-counted") {
+    val sess = spark
+    import sess.implicits._
+    val firedBefore = ChaosSpec.firedAcrossJvms(spark)
+    val shards = mkShards(8, 80)
+    val store = new InMemoryCheckpointStore
+    val sink = new EventSink.Bounded(10000)
+    val itemsDir = Files.createTempDirectory("chaos-items").toString + "/out"
+    val gp = new GraftProcessor[String](
+      ProcessorConfig("chaos", batchSize = 10),
+      new ChaosSpec.DecodeType,
+      new InMemorySourceClient(shards),
+      store,
+      sink = sink,
+      onItems = (ds, _) => ds.mapPartitions(ChaosSpec.failFirstAttempt[String])
+        .write.mode("append").parquet(itemsDir))
+    gp.run(spark, Files.createTempDirectory("chaos-ckpt").toString) shouldBe Right(())
+
+    val out = spark.read.parquet(itemsDir).collect().map(_.getString(0))
+    out.length shouldBe 640 // exactly-once despite every task dying once
+    out.groupBy(identity).view.mapValues(_.length).toMap shouldBe
+      (0 until 5).map(t => s"type-$t" -> 128).toMap
+    store.all.keySet shouldBe (0 until 8).map(s => s"shard-$s").toSet
+    store.all.values.toSet shouldBe Set("0000000079")
+    // commit stats: accumulator rows from failed attempts are dropped →
+    // BatchComplete totals count each record exactly once
+    val (succ, fail) = sink.drain().collect {
+      case e if e.eventType.isInstanceOf[ProcessingEventType.BatchComplete] =>
+        val b = e.eventType.asInstanceOf[ProcessingEventType.BatchComplete]
+        (b.successfulCount, b.failedCount)
+    }.foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    succ shouldBe 640L
+    fail shouldBe 0L
+    // the chaos must have actually fired — once per planned partition
+    (ChaosSpec.firedAcrossJvms(spark) - firedBefore) should be >= 8L
+  }
+
+  test("chaos x dead-letter: poison records re-processed by retried attempts dead-letter deterministically") {
+    val sess = spark
+    import sess.implicits._
+    val shards = mkShards(4, 60, poisonEvery = 10) // 6 poison per shard
+    val store = new InMemoryCheckpointStore
+    val sink = new EventSink.Bounded(10000)
+    val itemsDir = Files.createTempDirectory("chaos-poison").toString + "/out"
+    val gp = new GraftProcessor[String](
+      ProcessorConfig("chaos-poison", batchSize = 10),
+      new ChaosSpec.PoisonDecode,
+      new InMemorySourceClient(shards),
+      store,
+      sink = sink,
+      onItems = (ds, _) => ds.mapPartitions(ChaosSpec.failFirstAttempt[String])
+        .write.mode("append").parquet(itemsDir))
+    gp.run(spark, Files.createTempDirectory("chaos-poison-ckpt").toString) shouldBe Right(())
+
+    val out = spark.read.parquet(itemsDir).collect().map(_.getString(0))
+    out.length shouldBe 4 * 54 // 60 - 6 poison, per shard, exactly once
+    out.count(_ == "error") shouldBe 0 // no dead letter leaked downstream
+    // checkpoint advanced PAST the dead letters to the final sequence
+    store.all.values.toSet shouldBe Set("0000000059")
+    val (succ, fail) = sink.drain().collect {
+      case e if e.eventType.isInstanceOf[ProcessingEventType.BatchComplete] =>
+        val b = e.eventType.asInstanceOf[ProcessingEventType.BatchComplete]
+        (b.successfulCount, b.failedCount)
+    }.foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    succ shouldBe 4L * 54
+    fail shouldBe 4L * 6 // dead letters counted exactly once too
+  }
+
+  test("stateful streaming under task chaos: state stores replay from the last committed version") {
+    val s = spark
+    import s.implicits._
+    val srcDir = Files.createTempDirectory("chaos-stateful-src").toString
+    // 4 files -> 4 micro-batches; 10 users x 10 rows per file
+    (0 until 4).foreach { f =>
+      (0 until 100).map(i => (i % 10L, f * 100L + i)).toDF("user_id", "event_id")
+        .coalesce(1).write.parquet(s"$srcDir/f$f")
+    }
+    val schema = spark.read.parquet(s"$srcDir/f0").schema
+    val firedBefore = ChaosSpec.firedAcrossJvms(spark)
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/f*")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // the injected failure runs in the SAME stage as the state-store
+        // final aggregation (narrow dependency): its task dies after the
+        // store opened, so the retry must abort the uncommitted delta and
+        // replay on the last committed version
+        df.rdd.mapPartitions(ChaosSpec.failFirstAttemptRows)
+          .map(r => (r.getLong(0), r.getLong(1))).collect()
+          .foreach { case (u, n) => results.put(u, n) }
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("chaos-stateful-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    results.asScala.toMap shouldBe (0 until 10).map(u => u.toLong -> 40L).toMap
+    // one injected death per micro-batch's state-store stage, 4 batches
+    (ChaosSpec.firedAcrossJvms(spark) - firedBefore) should be >= 4L
+  }
+
+  test("reshard while running across JVMs: shards appearing mid-stream drain exactly once") {
+    val scripted = new ScriptedSourceClient(mkShards(3, 40))
+    val parentOnly = Seq(ShardInfo("shard-0"), ShardInfo("shard-1"))
+    // parent-only listings for initialOffset + the first two polls; the
+    // child shard-2 appears in listings after in-flight records exist
+    (1 to 3).foreach(_ => scripted.scriptListShards(parentOnly))
+    SourceClientRegistry.register("chaos-reshard", scripted)
+    try {
+      val q = spark.readStream.format("graft-stream")
+        .option("client", "chaos-reshard").option("batchsize", "10").load()
+        .writeStream.format("memory").queryName("chaos_reshard")
+        .option("checkpointLocation", Files.createTempDirectory("chaos-reshard").toString)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.sql("SELECT shardId, sequenceNumber FROM chaos_reshard").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      rows.length shouldBe 120
+      rows.distinct.length shouldBe 120 // exactly once, no replay, no loss
+      rows.groupBy(_._1).view.mapValues(_.size).toMap shouldBe
+        Map("shard-0" -> 40, "shard-1" -> 40, "shard-2" -> 40)
+      spark.sql("DROP TABLE chaos_reshard")
+    } finally SourceClientRegistry.unregister("chaos-reshard")
+  }
+}
+
+/** Closure-clean helpers: these cross into executor JVMs — they must not
+  * capture the (non-serializable) suite instance. */
+object ChaosSpec {
+
+  /** Per-JVM count of injected failures — proves the chaos actually FIRED
+    * (a fault-injection test whose fault never triggers is vacuous).
+    * Incremented in executor JVMs; read back by [[firedAcrossJvms]]. */
+  val fired = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Sum of [[fired]] over every executor JVM: a wide job reads (jvmId,
+    * count) from each, distinct collapses same-JVM reads. Call only while
+    * no chaos is in flight. */
+  def firedAcrossJvms(spark: SparkSession): Long =
+    spark.sparkContext.parallelize(1 to 256, 256)
+      .map(_ => (java.lang.management.ManagementFactory.getRuntimeMXBean.getName,
+        ChaosSpec.fired.get()))
+      .distinct().collect().map(_._2).sum
+
+  /** Dies on the FIRST attempt of every task that calls it; Spark's retry
+    * (spark.task.maxFailures = 4 on a cluster master) absorbs it. */
+  def failFirstAttempt[T](it: Iterator[T]): Iterator[T] = {
+    val ctx = TaskContext.get()
+    if (ctx != null && ctx.attemptNumber() == 0) {
+      fired.incrementAndGet()
+      throw new RuntimeException(
+        s"chaos: killing first attempt of partition ${ctx.partitionId()}")
+    }
+    it
+  }
+
+  def failFirstAttemptRows(it: Iterator[org.apache.spark.sql.Row]): Iterator[org.apache.spark.sql.Row] =
+    failFirstAttempt(it)
+
+  /** Decodes `type|value` payloads to the type. */
+  final class DecodeType extends RP[String] {
+    override def processRecord(r: KRecord, m: RecordMetadata) = {
+      val p = r.dataUtf8
+      val sep = p.indexOf('|')
+      if (sep <= 0) Left(ProcessingError.HardFailure(s"malformed: $p"))
+      else Right(Some(p.substring(0, sep)))
+    }
+  }
+
+  /** [[DecodeType]] that hard-fails `error|` payloads (dead-letter path). */
+  final class PoisonDecode extends RP[String] {
+    override def processRecord(r: KRecord, m: RecordMetadata) = {
+      val p = r.dataUtf8
+      if (p.startsWith("error|")) Left(ProcessingError.HardFailure("poison"))
+      else {
+        val sep = p.indexOf('|')
+        if (sep <= 0) Left(ProcessingError.HardFailure(s"malformed: $p"))
+        else Right(Some(p.substring(0, sep)))
+      }
+    }
+  }
+}
