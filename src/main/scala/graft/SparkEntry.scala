@@ -28,8 +28,9 @@ object SparkEntry {
     * counts caught it. Verify hard-fails when `queries` falls below this;
     * bump it in the same commit that registers a new query. */
   // r10: 149 → 148 — e7_knn_graph demoted to a spec-gated contrast
-  // (VERDICT r9 #3a); e9 is the production kNN-graph shape the gate measures
-  val expectedQueryCount: Int = 148
+  // (VERDICT r9 #3a); e9 is the production kNN-graph shape the gate
+  // measures. Then 148 → 149: s16_stream_reshard registered.
+  val expectedQueryCount: Int = 149
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -139,7 +139,7 @@ object StreamingQueries {
     * `EventStream.clientFromParquet`'s full-corpus driver sort+collect
     * (14.7–17.2 s of driver time at sf10). The driver-side mock stays for
     * the specs that script failures into it. */
-  private def sizedClient(spark: SparkSession, sfDir: String): (SourceClient, Int) = {
+  private def sizedClient(spark: SparkSession, sfDir: String): (graft.sources.IndexedSourceClient, Int) = {
     val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
     val shards = math.max(8L, math.min(256L, nEvents / 12500L)).toInt
     val batch = math.max(500L, nEvents / (shards * 25L)).toInt
@@ -840,7 +840,52 @@ object StreamingQueries {
       | AND c.us BETWEEN p.us - 3600000000 AND p.us
       |ORDER BY p_id, click_id""".stripMargin
 
+  /** s16 — RESHARD WHILE RUNNING under the oracle gate (VERDICT r9 #6, the
+    * gate-facing mirror of `tests/test_suite2.rs:53-114`): only half the
+    * shards are visible for the first three shard listings — initial
+    * offset resolution plus the first two admission polls — so child
+    * shards open while parent records are mid-flight, long before the
+    * parents drain (~25 admission polls at the sized batch cap). The query
+    * runs on `Trigger.ProcessingTime(0)` + `processAllAvailable` because
+    * `AvailableNow` deliberately freezes its drain target at start and
+    * would never see the reveal. The oracle is s1's full-corpus count:
+    * one record lost from a late shard, or one replayed across the
+    * reveal, breaks the hash. */
+  def streamReshard(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val tmp = tempDir("graft-stream-q16")
+    val itemsDir = s"$tmp/items"
+    val (client, batch) = sizedClient(spark, sfDir)
+    val all = client.listShards("events").size
+    // reveal after 2 listings = initial offset + the FIRST admission poll:
+    // any later quiescence probe is itself a listing and fires the reveal,
+    // so a drain can never conclude before the children are visible —
+    // while at rehearsal SFs the parents still have ~25 polls of in-flight
+    // records when the children open (a tiny SF drains parents in 1 poll;
+    // reveal at 3 lost the race against processAllAvailable there)
+    val revealing = new graft.sources.RevealingClient(client,
+      visibleInitially = math.max(1, all / 2), revealAfterListCalls = 2)
+    val gp = new GraftProcessor[String](
+      ProcessorConfig("events", batchSize = batch),
+      new EventTypeProcessor,
+      revealing,
+      new InMemoryCheckpointStore,
+      onItems = (ds, _) => ds.toDF("event_type").write.mode("append").parquet(itemsDir))
+    val q = gp.start(spark, s"$tmp/ckpt", Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+    } finally gp.cleanup()
+    spark.read.parquet(itemsDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_stream_reshard" -> (streamReshard _),
     "s15_stream_left_outer" -> (streamLeftOuterJoin _),
     "s14_stream_topk" -> (streamTopK _),
     "s11_stream_neardup" -> (streamNearDup _),
@@ -859,6 +904,7 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s16_stream_reshard" -> streamCountOracle,
     "s15_stream_left_outer" -> streamLeftOuterOracle,
     "s11_stream_neardup" -> NearDup.minhashDecontaminateOracle,
     "s12_stateful_sessions" -> sessionStatsOracle,

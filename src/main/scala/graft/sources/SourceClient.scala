@@ -127,6 +127,41 @@ final class IndexedThrottleRetryingClient(
     underlying.embeddableRecords(streamName, shardId, start, end)
 }
 
+/** Reshard-simulation decorator (r10, VERDICT r9 #6 — the gate-facing
+  * analog of `tests/test_suite2.rs:53-114`): only the first
+  * `visibleInitially` shards appear in the first `revealAfterListCalls`
+  * shard listings; afterwards the full list is exposed — a shard split
+  * opening child shards WHILE parent records are in flight. Listing state
+  * is driver-side (listShards is only called at planning); record reads
+  * delegate untouched, so executor-side paging is unaffected. */
+final class RevealingClient(
+    underlying: IndexedSourceClient,
+    visibleInitially: Int,
+    revealAfterListCalls: Int
+) extends IndexedSourceClient {
+  private val listCalls = new AtomicInteger(0)
+
+  override def listShards(streamName: String): Seq[ShardInfo] = {
+    val all = underlying.listShards(streamName)
+    if (listCalls.incrementAndGet() <= revealAfterListCalls) all.take(visibleInitially)
+    else all
+  }
+  override def getShardIterator(streamName: String, shardId: String,
+      it: ShardIteratorType): String =
+    underlying.getShardIterator(streamName, shardId, it)
+  override def getRecords(iterator: String, limit: Int): GetRecordsResult =
+    underlying.getRecords(iterator, limit)
+  override def shardLength(streamName: String, shardId: String): Long =
+    underlying.shardLength(streamName, shardId)
+  override def iteratorAtIndex(streamName: String, shardId: String, index: Long): String =
+    underlying.iteratorAtIndex(streamName, shardId, index)
+  override def indexOfIterator(streamName: String, shardId: String, iterator: String): Long =
+    underlying.indexOfIterator(streamName, shardId, iterator)
+  override def embeddableRecords(streamName: String, shardId: String,
+      start: Long, end: Long): Option[IndexedSeq[KRecord]] =
+    underlying.embeddableRecords(streamName, shardId, start, end)
+}
+
 /** Deterministic in-memory sharded stream: `shardId → ordered records`.
   * Iterators are `"{shardId}#{index}"` cursors. This is the offline stand-in
   * for a real stream service, used by the custom micro-batch source; at

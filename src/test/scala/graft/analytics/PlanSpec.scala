@@ -33,7 +33,8 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       "s8_stream_interval_join", "s9_stream_sessions",
       "s10_file_sink_exactly_once", "s11_stream_neardup",
       "s12_stateful_sessions", "s13_running_counts",
-      "s14_stream_topk", "s15_stream_left_outer")).toSeq.sorted
+      "s14_stream_topk", "s15_stream_left_outer",
+      "s16_stream_reshard")).toSeq.sorted
 
   test("no query plan contains a cartesian product or unconditioned nested loop") {
     // e4 (IVF) legitimately scores every vector against a BOUNDED broadcast
