@@ -90,6 +90,29 @@ object Bench {
       graft.analytics.Scratch.sweep()
       name -> (if (good.isEmpty) (-1.0, -1.0) else (good.min, good.max))
     }
+    // Isolation protocol for write-heavy entries (VERDICT r9 #4): in-run
+    // sf10 timings for entries whose operator IS a large scratch write
+    // carried 2-4x spread from IO contention with the surrounding surface
+    // (f6 21.6-41 s in-run vs 9.9-12.3 s isolated; e9 18.7-50 vs 23.5).
+    // After the main loop — every other query's scratch already swept —
+    // each flagged entry re-runs alone on a quiesced rig and both numbers
+    // land in the artifact ("isolated" map), so per-entry regressions are
+    // judged against a stable signal instead of rig noise. Override the
+    // flagged set with SPARK_GRAFT_BENCH_ISOLATED (comma list, empty to
+    // disable).
+    val isolatedNames: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_ISOLATED")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("f6_clustered_layout", "e9_knn_graph_2level"))
+      .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
+    val isolated: Seq[(String, Double)] = isolatedNames.map { name =>
+      graft.analytics.Scratch.sweep()
+      System.gc()
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      graft.analytics.Scratch.sweep()
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
     // 0.1 ms precision: full-resolution doubles balloon the 115-entry line
     // past harness capture limits, and sub-ms digits are noise on this rig.
     def r4(d: Double): String =
@@ -108,8 +131,10 @@ object Bench {
     val failedNames = results.collect { case (k, (mn, _)) if mn < 0 => k }
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val filteredTag = if (only.isDefined) ""","filtered":true""" else ""
+    val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"isolated":$isoJson,"failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDir"}"""
     // The harness records only a 2000-char stdout TAIL; at 148×2 map entries
     // the full line is ~8 KiB and got truncated at BOTH ends for three
     // rounds running (BENCH_r06..08 all `parsed: null` — VERDICT r8 item 2).
