@@ -144,10 +144,18 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))
-    val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(25)
-    val qsSlow = slowest.map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsSlow,"queries_shown":"slowest ${slowest.size} of ${results.size}","queries_file":"$outFile","failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDir"}""")
+    // ADVICE r9: never reuse the "queries" key for a SUBSET — a parser
+    // written against the full-map contract would silently read 25 entries
+    // as the whole surface. Small runs still print the full line verbatim;
+    // otherwise "queries" is an explicit null (old parsers fail loudly)
+    // and the subset lands under its own "queries_slowest" key.
+    if (fullLine.length <= 1800) println(fullLine)
+    else {
+      val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(25)
+      val qsSlow = slowest.map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":null,"queries_slowest":$qsSlow,"queries_shown":"slowest ${slowest.size} of ${results.size}","queries_file":"$outFile","failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDir"}""")
+    }
     spark.stop()
     if (failedNames.nonEmpty) {
       System.err.println(s"[bench] ${failedNames.size} queries FAILED: " +
