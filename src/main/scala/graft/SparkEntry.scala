@@ -29,8 +29,10 @@ object SparkEntry {
     * bump it in the same commit that registers a new query. */
   // r10: 149 → 148 — e7_knn_graph demoted to a spec-gated contrast
   // (VERDICT r9 #3a); e9 is the production kNN-graph shape the gate
-  // measures. Then 148 → 149: s16_stream_reshard registered.
-  val expectedQueryCount: Int = 149
+  // measures. Then 148 → 149: s16_stream_reshard registered. Then
+  // 149 → 152: t17_dsir_importance, e11_two_stage_rerank,
+  // m7_scene_change registered.
+  val expectedQueryCount: Int = 152
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -426,7 +426,90 @@ object Multimodal {
       |SELECT min(media_id) AS keep_id, count(*) AS n_copies, sig
       |FROM sg GROUP BY sig ORDER BY keep_id""".stripMargin
 
+  /** Per-frame decoded luminance sum (exact integer — nothing to round). */
+  final case class FrameLuma(media_id: Long, frame_idx: Long, luma: Long)
+
+  /** m7 — SCENE-CHANGE DETECTION: the shot-boundary step of a video
+    * training pipeline (sample one clip/caption per scene, not per fixed
+    * interval). Frames are m3's contiguous byte slices; each frame's
+    * "luma" is its exact byte sum (a production decoder substitutes real
+    * per-frame luminance at the same seam), and a cut fires where the
+    * frame-over-frame change exceeds 25% — compared as
+    * 4·|luma_f − luma_{f−1}| > (luma_f + luma_{f−1}), integer
+    * cross-multiplication, no division, no float, so the verdict is
+    * bit-identical in any engine.
+    *
+    * Scale shape: narrow scan → mapPartitions (1→n_frames rows of 3 longs;
+    * payload bytes never shuffle) → ONE lag window partitioned by media_id
+    * (frames-per-video is bounded by maxFrames, so partitions are tiny and
+    * uniform) → partial+final per-video aggregation. */
+  def sceneChange(s: SparkSession, d: String, maxFrames: Int = 8): DataFrame = {
+    import s.implicits._
+    val media: Dataset[Media] =
+      mediaTable(s, d).filter(col("kind") === "video").as[Media]
+    val frames = media.mapPartitions(_.flatMap { m =>
+      val nf = math.min(maxFrames.toLong, math.max(1L, m.duration_ms / 1000L)).toInt
+      val fb = m.payload.length / nf
+      (0 until nf).iterator.map { f =>
+        var sum = 0L
+        var i = f * fb
+        val end = (f + 1) * fb
+        while (i < end) {
+          sum += (m.payload(i) & 0xFF).toLong
+          i += 1
+        }
+        FrameLuma(m.media_id, f.toLong, sum)
+      }
+    }).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames.withColumn("prev", lag(col("luma"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          abs(col("luma") - col("prev")) * 4 > (col("luma") + col("prev")), 1L)
+          .otherwise(0L))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("cut")).as("n_cuts"),
+        coalesce(min(when(col("cut") === 1L, col("frame_idx"))), lit(-1L))
+          .as("first_cut"))
+      .orderBy(col("media_id"))
+  }
+
+  /** m7 oracle — the payload is ASCII text (the m5 contract: byte i = code
+    * point of char i+1), so DuckDB re-derives every frame's byte sum from
+    * character positions, replays the lag + cross-multiplied threshold,
+    * and LEFT-joins the frame skeleton so zero-length frames (fb = 0)
+    * keep their luma-0 rows exactly as the decoder emits them. */
+  val sceneChangeOracle: String =
+    """WITH v AS (SELECT doc_id AS media_id, text,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    least(8, greatest(1, (n_chars * 40) // 1000)) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (SELECT media_id, frame_idx, n_bytes // n_frames AS fb, text
+      |  FROM v, unnest(generate_series(0, n_frames - 1)) t(frame_idx)),
+      |ps AS (SELECT media_id, frame_idx,
+      |    CAST(sum(unicode(substr(text, CAST(frame_idx * fb + i + 1 AS INT), 1)))
+      |      AS BIGINT) AS luma
+      |  FROM fr, unnest(generate_series(0, fb - 1)) u(i)
+      |  GROUP BY media_id, frame_idx),
+      |fl AS (SELECT fr.media_id, fr.frame_idx, coalesce(ps.luma, 0) AS luma
+      |  FROM fr LEFT JOIN ps
+      |    ON fr.media_id = ps.media_id AND fr.frame_idx = ps.frame_idx),
+      |lg AS (SELECT media_id, frame_idx, luma,
+      |    lag(luma) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+      |  FROM fl),
+      |c AS (SELECT media_id, frame_idx,
+      |    CASE WHEN prev IS NOT NULL AND abs(luma - prev) * 4 > (luma + prev)
+      |      THEN 1 ELSE 0 END AS cut
+      |  FROM lg)
+      |SELECT media_id, count(*) AS n_frames, CAST(sum(cut) AS BIGINT) AS n_cuts,
+      |  CAST(coalesce(min(CASE WHEN cut = 1 THEN frame_idx END), -1) AS BIGINT)
+      |    AS first_cut
+      |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_scene_change" -> ((s: SparkSession, d: String) => sceneChange(s, d)),
     "m6_phash_dedup" -> (phashDedup _),
     "m5_audio_energy" -> ((s: SparkSession, d: String) => audioEnergy(s, d)),
     "m1_media_stats" -> (mediaStats _),
@@ -436,6 +519,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "m7_scene_change" -> sceneChangeOracle,
     "m6_phash_dedup" -> phashDedupOracle,
     "m5_audio_energy" -> audioEnergyOracle,
     "m1_media_stats" -> mediaStatsOracle,

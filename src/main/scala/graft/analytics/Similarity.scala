@@ -1109,9 +1109,10 @@ object Similarity {
   /** DuckDB re-derives the grid, the codes, and the exact integer distance;
     * the only IEEE step (the quantization expression) is written with the
     * identical association in both engines, and everything downstream is
-    * integer arithmetic. */
-  val sq8Oracle: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+    * integer arithmetic. Parameterized on k so e11 can reuse the identical
+    * derivation for its coarse stage. */
+  private def sq8OracleAt(k: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
       |  FROM embeddings),
       |st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
       |  FROM e CROSS JOIN generate_series(1, 64) t(i) GROUP BY i),
@@ -1132,6 +1133,63 @@ object Similarity {
       |    row_number() OVER (PARTITION BY probe_id
       |      ORDER BY dist_sq, neighbor_id) AS rank
       |  FROM pairs) t
+      |WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+
+  val sq8Oracle: String = sq8OracleAt(5)
+
+  /** e11 — TWO-STAGE RETRIEVAL (coarse-quantized scan + exact re-rank):
+    * the production serving shape FAISS ships as `IndexRefine` and every
+    * vector database implements — a compressed index (e10's SQ8 codes,
+    * 64 bytes/vector) screens the corpus down to `coarseK` candidates per
+    * probe by exact INTEGER code distance, then ONLY those candidates'
+    * full float vectors are fetched for an exact-cosine re-rank to top-k.
+    * Recall beats e10 alone (quantization error cannot reorder the final
+    * ranking, only the candidate cut) at a fraction of e1's cost.
+    *
+    * Scale shape: stage 1 is e10's resident-index scan — the corpus
+    * never shuffles, candidates leave as (probe, id, coarse_rank)
+    * triples, |probes|·coarseK rows total. Stage 2 broadcasts that tiny
+    * candidate set against the float table twice (probe-side, then
+    * neighbor-side id equi-joins — Bloom/DPP-prunable at 100 TB, where
+    * "fetch the candidate vectors" is the point lookup the refine tier is
+    * built around), so full vectors are read only for candidate ids. The
+    * windowed top-k partitions by probe. */
+  def twoStageRerank(s: SparkSession, d: String, k: Int = 5,
+      coarseK: Int = 32): DataFrame = {
+    val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
+    val cand = sq8TopK(s, d, coarseK)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").as("coarse_rank"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(cand)
+      .join(emb.select(col("vec_id").as("probe_id"), col("v").as("pv")), "probe_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        "neighbor_id")
+      .withColumn("cosine", cosine("pv", "nv"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("coarse_rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** e11 oracle — the e10 coarse derivation verbatim (nested WITH, the e5
+    * composition trick) at coarseK = 32, then e1's exact-cosine evaluation
+    * order for the re-rank; rank-only plus the coarse rank, so the only
+    * float (the cosine) never reaches the hash. */
+  val twoStageRerankOracle: String =
+    s"""WITH coarse AS (${sq8OracleAt(32)}),
+      |e2s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |  FROM embeddings),
+      |n2s AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm
+      |  FROM e2s)
+      |SELECT probe_id, neighbor_id, rank, coarse_rank FROM (
+      |  SELECT c.probe_id, c.neighbor_id, c.rank AS coarse_rank,
+      |    row_number() OVER (PARTITION BY c.probe_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+      |        / (a.vnorm * b.vnorm) DESC,
+      |      c.neighbor_id) AS rank
+      |  FROM coarse c JOIN n2s a ON a.vec_id = c.probe_id
+      |       JOIN n2s b ON b.vec_id = c.neighbor_id) t
       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
   /** d8 — SEMANTIC decontamination: flag every corpus vector whose best
@@ -1205,7 +1263,8 @@ object Similarity {
     // re-derivation) + PlanSpec, with the isolated protocol in SCALE.md.
     "e8_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
     "e9_knn_graph_2level" -> ((s: SparkSession, d: String) => knnGraphTwoLevelSelfScaled(s, d)),
-    "e10_sq8_ann" -> ((s: SparkSession, d: String) => sq8TopK(s, d))
+    "e10_sq8_ann" -> ((s: SparkSession, d: String) => sq8TopK(s, d)),
+    "e11_two_stage_rerank" -> ((s: SparkSession, d: String) => twoStageRerank(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1220,6 +1279,7 @@ object Similarity {
     "e5_ann_recall" -> annRecallOracle,
     "e8_mmr_rerank" -> mmrRerankOracle,
     "e9_knn_graph_2level" -> knnGraphTwoLevelOracle,
-    "e10_sq8_ann" -> sq8Oracle
+    "e10_sq8_ann" -> sq8Oracle,
+    "e11_two_stage_rerank" -> twoStageRerankOracle
   )
 }

@@ -655,7 +655,86 @@ object TextAnalytics {
       |  CAST(sum(bf * bits) AS DOUBLE) / sum(bf) AS mean_bits
       |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** t17 — DSIR IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): score every document by how much its hashed
+    * n-gram feature distribution looks like a TARGET subcorpus (here
+    * `lang = 'en'`, the pretrain-on-English-web recipe) vs the RAW corpus.
+    * DSIR's per-bucket weight is log(p_target/p_raw) of add-one-smoothed
+    * hashed-bigram counts; a transcendental log would ULP-drift across
+    * engines (the t15 lesson), so the weight is computed to 1/2^20
+    * precision in exact BIGINT arithmetic:
+    * λ(b) = ⌊log₂( ((t_b+1)·2²⁰) div (r_b+1) )⌋ − 20 ∈ [−20, 0], via the
+    * bit-length of an exact integer (`length(bin(x)) − 1`, with
+    * bin(0) → 0 bits closing the underflow case). A document's importance
+    * is Σ over its bigram occurrences of λ(bucket) — near 0 for
+    * target-like text, strongly negative for text whose transitions the
+    * target never makes. The downstream resampling step is p7's weighted
+    * sampler; this query is the scorer.
+    *
+    * Scale shape (t16's discipline): bigram hashes come from ONE
+    * codegen'd pass (`graft_md5_prefix_hashes` over a per-row transform —
+    * the n5 hash, engine-neutral: first 15 hex chars of md5 as a 60-bit
+    * BIGINT, mod 1024); `bf` is a (doc, bucket) partial+final aggregation;
+    * the bucket table folds to ≤1024 rows — the broadcast side of the only
+    * join — and docs never meet other docs. Both distributions come from
+    * the SAME aggregate (a conditional sum), so the corpus is hashed
+    * exactly once. */
+  def dsirImportance(s: SparkSession, d: String, nBuckets: Int = 1024): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    documents(s, d).createOrReplaceTempView("graft_docs_dsir_v")
+    s.sql(
+      s"""WITH w AS (SELECT doc_id, lang, split(lower(text), ' ') AS ws
+        |    FROM graft_docs_dsir_v),
+        |h AS (SELECT doc_id, lang, graft_md5_prefix_hashes(
+        |      transform(sequence(1, size(ws) - 1),
+        |        i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) AS th
+        |  FROM w WHERE size(ws) >= 2),
+        |b AS (SELECT doc_id, lang, bucket FROM h
+        |  LATERAL VIEW explode(transform(th, t -> t % $nBuckets)) e AS bucket),
+        |bf AS (SELECT doc_id, bucket, count(1) AS bf,
+        |    max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_t
+        |  FROM b GROUP BY doc_id, bucket),
+        |tab AS (SELECT bucket, sum(bf) AS rawc,
+        |    sum(CASE WHEN is_t = 1 THEN bf ELSE 0 END) AS tc
+        |  FROM bf GROUP BY bucket),
+        |lam AS (SELECT bucket,
+        |    CAST(length(bin(((tc + 1) * 1048576) div (rawc + 1))) - 1 - 20 AS BIGINT)
+        |      AS lam
+        |  FROM tab),
+        |j AS (SELECT bf.doc_id, bf.bf, lam.lam
+        |  FROM bf JOIN lam ON bf.bucket = lam.bucket)
+        |SELECT doc_id, sum(bf) AS n_feats, sum(bf * lam) AS importance,
+        |  CAST(sum(bf * lam) AS DOUBLE) / sum(bf) AS mean_lambda
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  val dsirImportanceOracle: String =
+    """WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+      |    FROM documents),
+      |w2 AS (SELECT doc_id, lang, ws FROM w WHERE len(ws) >= 2),
+      |b AS (SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 15) AS BIGINT)
+      |      % 1024 AS bucket
+      |  FROM w2, unnest(range(1, len(ws))) AS seq(i)),
+      |bf AS (SELECT doc_id, bucket, count(*) AS bf,
+      |    max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_t
+      |  FROM b GROUP BY doc_id, bucket),
+      |tab AS (SELECT bucket, CAST(sum(bf) AS BIGINT) AS rawc,
+      |    CAST(sum(CASE WHEN is_t = 1 THEN bf ELSE 0 END) AS BIGINT) AS tc
+      |  FROM bf GROUP BY bucket),
+      |lam AS (SELECT bucket,
+      |    CAST(length(bin(((tc + 1) * 1048576) // (rawc + 1))) - 1 - 20 AS BIGINT)
+      |      AS lam
+      |  FROM tab),
+      |j AS (SELECT bf.doc_id, bf.bf, lam.lam
+      |  FROM bf JOIN lam ON bf.bucket = lam.bucket)
+      |SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_feats,
+      |  CAST(sum(bf * lam) AS BIGINT) AS importance,
+      |  CAST(sum(bf * lam) AS DOUBLE) / sum(bf) AS mean_lambda
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_dsir_importance" -> ((s: SparkSession, d: String) => dsirImportance(s, d)),
     "t16_bigram_surprisal" -> ((s: SparkSession, d: String) => bigramSurprisal(s, d)),
     "t15_unigram_surprisal" -> ((s: SparkSession, d: String) => unigramSurprisal(s, d)),
     "t14_vocab_growth" -> ((s: SparkSession, d: String) => vocabGrowth(s, d)),
@@ -675,6 +754,7 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "t17_dsir_importance" -> dsirImportanceOracle,
     "t16_bigram_surprisal" -> bigramSurprisalOracle,
     "t15_unigram_surprisal" -> unigramSurprisalOracle,
     "t14_vocab_growth" -> vocabGrowthOracle,
