@@ -31,8 +31,8 @@ object SparkEntry {
   // (VERDICT r9 #3a); e9 is the production kNN-graph shape the gate
   // measures. Then 148 → 149: s16_stream_reshard registered. Then
   // 149 → 152: t17_dsir_importance, e11_two_stage_rerank,
-  // m7_scene_change registered.
-  val expectedQueryCount: Int = 152
+  // m7_scene_change registered. Then 152 → 153: s17_stream_ann_ingest.
+  val expectedQueryCount: Int = 153
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

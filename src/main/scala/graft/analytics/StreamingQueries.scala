@@ -884,7 +884,77 @@ object StreamingQueries {
       .orderBy(col("event_type"))
   }
 
+  /** s17 — STREAMING ANN-INDEX INGEST: the index-maintenance side of the
+    * e-family — new embedding vectors arrive as a stream and are folded
+    * into an IVF index's cell occupancy (e4's deterministic codebook,
+    * reused verbatim) without ever holding per-vector state. Each
+    * streamed vector is assigned to its nearest centroid PER ROW: the
+    * 16-cell codebook folds to ONE static row (the sq8-grid pattern)
+    * that broadcast-crosses into the stream, and the argmax is a
+    * `max(struct(cosine, -cell_id))` over the codebook array inside the
+    * row — e4's (score DESC, cell_id ASC) tie-break, no per-vector
+    * state-store entry, no stream-side shuffle before the 16-key
+    * aggregate. The drained per-cell (count, id-checksum) must equal the
+    * batch assignment exactly.
+    *
+    * Scale shape: state is O(cells), not O(vectors) — the ONLY streaming
+    * state is 16 aggregation rows; assignment work is nCells cosines per
+    * row, map-side. At 100 TB this is the continuous-ingest half of the
+    * e4/e9 index family: codebook broadcast, partial aggregation per
+    * micro-batch, complete-mode overwrite of a 16-row summary. */
+  def streamAnnIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.GraftFunctions.register(spark)
+    val nCells = 16
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val codebook = emb
+      .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+      .agg(array_sort(collect_list(struct(col("cell_id"), col("cv")))).as("cb"))
+    val outDir = s"${tempDir("graft_s17_")}/out"
+    val q = tableFileStream(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(codebook))
+      .select(col("vec_id"), expr(
+        """(array_max(transform(cb, c ->
+          |  struct(graft_cosine(v, c.cv) AS s, -c.cell_id AS n))).n) * -1L"""
+          .stripMargin).as("cell_id"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("vec_id")).as("id_checksum"))
+      .writeStream
+      .foreachBatch((df: DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(outDir))
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select(col("cell_id"), col("n_vectors"), col("id_checksum"))
+      .orderBy(col("cell_id"))
+  }
+
+  /** s17 oracle — e4's codebook + assignment re-derivation (window-rank
+    * argmax with the identical score/tie-break), folded to per-cell
+    * occupancy. */
+  val streamAnnIngestOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm
+      |  FROM e),
+      |cent AS (SELECT vec_id AS cell_id, v AS cv, vnorm AS cnorm FROM n
+      |         WHERE vec_id % 31 = 0 AND vec_id < 496),
+      |assigned AS (SELECT vec_id, cell_id FROM (
+      |    SELECT n.vec_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64),
+      |          i -> n.v[i] * c.cv[i])) / (n.vnorm * c.cnorm) DESC,
+      |        c.cell_id) AS crk
+      |    FROM n, cent c) WHERE crk = 1)
+      |SELECT cell_id, count(*) AS n_vectors,
+      |  CAST(sum(vec_id) AS BIGINT) AS id_checksum
+      |FROM assigned GROUP BY cell_id ORDER BY cell_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_stream_ann_ingest" -> (streamAnnIngest _),
     "s16_stream_reshard" -> (streamReshard _),
     "s15_stream_left_outer" -> (streamLeftOuterJoin _),
     "s14_stream_topk" -> (streamTopK _),
@@ -904,6 +974,7 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s17_stream_ann_ingest" -> streamAnnIngestOracle,
     "s16_stream_reshard" -> streamCountOracle,
     "s15_stream_left_outer" -> streamLeftOuterOracle,
     "s11_stream_neardup" -> NearDup.minhashDecontaminateOracle,
