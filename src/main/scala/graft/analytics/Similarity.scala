@@ -1161,8 +1161,12 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("rank").as("coarse_rank"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    broadcast(cand)
-      .join(emb.select(col("vec_id").as("probe_id"), col("v").as("pv")), "probe_id")
+    // the candidate side is the build side of BOTH id joins (the hint does
+    // not propagate through a join, so re-hint the stage-1 result — without
+    // it the planner is free to broadcast the CORPUS side at small stats)
+    broadcast(broadcast(cand)
+        .join(emb.select(col("vec_id").as("probe_id"), col("v").as("pv")),
+          "probe_id"))
       .join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
         "neighbor_id")
       .withColumn("cosine", cosine("pv", "nv"))
