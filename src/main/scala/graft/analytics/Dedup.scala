@@ -601,7 +601,95 @@ object Dedup {
       |FROM sel JOIN f USING (fp)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d12 — CONTENT-DEFINED CHUNK DEDUP (the FastCDC/rsync model applied
+    * to tokens): cut every document into variable-length chunks at
+    * content-defined boundaries (after token i iff hash(token_i) ≡ 0
+    * mod 16 — expected chunk ≈ 16 tokens), fingerprint each chunk, and
+    * account the TOKEN SAVINGS of chunk-level dedup under
+    * first-occurrence-keeps semantics (d1's rule lifted to chunks: the
+    * globally first occurrence — smallest doc_id — is kept; every other
+    * occurrence, including repeats inside the keeper, is dedupable).
+    * This is the storage/token-budget accounting step between d1 (whole
+    * docs) and d11 (fingerprint profile): d11 reports WHERE text repeats,
+    * d12 reports HOW MANY TOKENS chunk dedup would save. Content-defined
+    * boundaries make the chunking alignment-robust: an insertion early
+    * in a copy shifts positions but not the downstream cut points.
+    *
+    * Scale shape: chunking is ALL per-row higher-order expressions (one
+    * native hash pass + span algebra — no explode until chunks exist, no
+    * window); the shuffle keys are 8-byte chunk fingerprints (d1's
+    * discipline: 15-hex md5 prefix as BIGINT); `oc` is a (doc, sig)
+    * partial+final aggregation and `fd` re-aggregates it (identical
+    * exchange → ReuseExchange), joined back on the fingerprint —
+    * AQE-skew-splittable for pathological chunks. */
+  def cdcChunkDedup(s: SparkSession, d: String, mask: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    documents(s, d).createOrReplaceTempView("graft_docs_cdc_v")
+    s.sql(
+      s"""WITH w AS (SELECT doc_id, split(lower(text), ' ') AS ws
+        |    FROM graft_docs_cdc_v),
+        |h AS (SELECT doc_id, ws,
+        |    filter(transform(graft_md5_prefix_hashes(ws),
+        |        (t, i) -> CASE WHEN t % $mask = 0 THEN i + 1 ELSE -1 END),
+        |      p -> p > 0) AS cuts
+        |  FROM w WHERE size(ws) > 0),
+        |ck AS (SELECT doc_id, ws,
+        |    filter(zip_with(concat(array(0), cuts), concat(cuts, array(size(ws))),
+        |      (st, en) -> struct(st AS st, en AS en)), c -> c.en > c.st) AS spans
+        |  FROM h),
+        |ch AS (SELECT doc_id,
+        |    CAST(conv(substring(md5(array_join(
+        |      slice(ws, sp.st + 1, sp.en - sp.st), ' ')), 1, 15), 16, 10) AS BIGINT)
+        |      AS sig,
+        |    CAST(sp.en - sp.st AS BIGINT) AS ntok
+        |  FROM ck LATERAL VIEW explode(spans) t AS sp),
+        |oc AS (SELECT doc_id, sig, ntok, count(1) AS o
+        |  FROM ch GROUP BY doc_id, sig, ntok),
+        |fd AS (SELECT sig, min(doc_id) AS first_doc FROM oc GROUP BY sig),
+        |j AS (SELECT oc.doc_id, oc.ntok, oc.o,
+        |    oc.o - CASE WHEN oc.doc_id = fd.first_doc THEN 1 ELSE 0 END AS dup_o
+        |  FROM oc JOIN fd ON oc.sig = fd.sig)
+        |SELECT doc_id, sum(o) AS n_chunks, sum(dup_o) AS n_dup_chunks,
+        |  sum(o * ntok) AS n_tokens, sum(dup_o * ntok) AS dup_tokens,
+        |  CAST(sum(dup_o * ntok) AS DOUBLE) / sum(o * ntok) AS dup_token_ratio
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  /** d12 oracle — DuckDB re-derives cut points (same 15-hex md5-prefix
+    * token hashes), spans, chunk fingerprints, and the first-occurrence
+    * accounting from scratch. */
+  val cdcChunkDedupOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+      |    FROM documents),
+      |h AS (SELECT doc_id, ws,
+      |    list_filter(generate_series(1, len(ws)),
+      |      i -> CAST('0x' || substr(md5(ws[i]), 1, 15) AS BIGINT) % 16 = 0)
+      |      AS cuts
+      |  FROM w WHERE len(ws) > 0),
+      |sp AS (SELECT doc_id, ws, list_prepend(0, cuts) AS sts,
+      |    list_append(cuts, len(ws)) AS ens FROM h),
+      |ch AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(array_to_string(
+      |      list_slice(ws, CAST(sts[k] + 1 AS INT), CAST(ens[k] AS INT)), ' ')),
+      |      1, 15) AS BIGINT) AS sig,
+      |    CAST(ens[k] - sts[k] AS BIGINT) AS ntok
+      |  FROM sp, unnest(generate_series(1, len(sts))) AS t(k)
+      |  WHERE ens[k] > sts[k]),
+      |oc AS (SELECT doc_id, sig, ntok, count(*) AS o
+      |  FROM ch GROUP BY doc_id, sig, ntok),
+      |fd AS (SELECT sig, min(doc_id) AS first_doc FROM oc GROUP BY sig),
+      |j AS (SELECT oc.doc_id, oc.ntok, oc.o,
+      |    oc.o - CASE WHEN oc.doc_id = fd.first_doc THEN 1 ELSE 0 END AS dup_o
+      |  FROM oc JOIN fd ON oc.sig = fd.sig)
+      |SELECT doc_id, CAST(sum(o) AS BIGINT) AS n_chunks,
+      |  CAST(sum(dup_o) AS BIGINT) AS n_dup_chunks,
+      |  CAST(sum(o * ntok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(dup_o * ntok) AS BIGINT) AS dup_tokens,
+      |  CAST(sum(dup_o * ntok) AS DOUBLE) / sum(o * ntok) AS dup_token_ratio
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_cdc_chunk_dedup" -> ((s: SparkSession, d: String) => cdcChunkDedup(s, d)),
     "d11_substring_dedup" -> (substringDedup _),
     "d10_incremental_dedup" -> (incrementalDedup _),
     "d7_containment_dedup" -> (containmentDedup _),
@@ -614,6 +702,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "d12_cdc_chunk_dedup" -> cdcChunkDedupOracle,
     "d11_substring_dedup" -> substringDedupOracle,
     "d10_incremental_dedup" -> incrementalDedupOracle,
     "d7_containment_dedup" -> containmentDedupOracle,

@@ -176,7 +176,49 @@ object FormatQueries {
       |  AND l_shipdate < TIMESTAMP '1996-04-01'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** f7 — SMALL-FILE COMPACTION: the lake-maintenance op every 100 TB
+    * deployment runs continuously — streaming ingest and over-parallel
+    * writes leave directories of kilobyte files whose per-file open/
+    * footer/metadata cost dominates scans and floods the driver's file
+    * index. The op: measure the directory's actual bytes, size the
+    * output at ⌈bytes / target⌉ files
+    * (`spark.graft.compaction.targetBytes`, default 128 MB — the
+    * maxPartitionBytes-aligned sweet spot), and rewrite through
+    * `coalesce` — NO shuffle: compaction merges input splits; a shuffle
+    * would pay the full network cost of the data for a layout-only fix
+    * (contrast f6, where the range exchange buys ordering; here nothing
+    * needs reordering). FormatCompactionSpec pins the file count and the
+    * no-exchange plan; the oracle pins that the rewrite lost/duplicated
+    * nothing.
+    *
+    * Fragmentation source here: a 64-way over-parallel write of the
+    * documents corpus (the ingest-tail shape). */
+  def f7Compaction(s: SparkSession, d: String): DataFrame = {
+    val tmp = Scratch.dir("graft-compact")
+    val small = s"$tmp/small"
+    val out = s"$tmp/compacted"
+    documents(s, d).repartition(64).write.mode("overwrite").parquet(small)
+    roundtripAgg(s.read.parquet(compactParquet(s, small, out)))
+  }
+
+  /** The reusable compaction kernel: returns `out` after rewriting `dir`
+    * into ⌈bytes/target⌉ files without a shuffle. */
+  private[analytics] def compactParquet(s: SparkSession, dir: String,
+      out: String): String = {
+    val target = s.conf.getOption("spark.graft.compaction.targetBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val srcBytes = fs.listStatus(p)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val nOut = math.max(1L, (srcBytes + target - 1) / target).toInt
+    s.read.parquet(dir).coalesce(nOut).write.mode("overwrite").parquet(out)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f7_compaction" -> (f7Compaction _),
     "f6_clustered_layout" -> (f6ClusteredLayout _),
     "f5_schema_evolution" -> (f5SchemaEvolution _),
     "f4_partitioned_source" -> (f4PartitionedSource _),
@@ -186,6 +228,7 @@ object FormatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "f7_compaction" -> roundtripOracle,
     "f6_clustered_layout" -> f6Oracle,
     "f5_schema_evolution" -> f5Oracle,
     "f4_partitioned_source" -> f4Oracle,

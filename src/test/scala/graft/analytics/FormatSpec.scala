@@ -63,4 +63,36 @@ class FormatSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should include regex
       "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate:timestamp"
   }
+
+  test("f7 compaction sizes output at ceil(bytes/target), shuffle-free, lossless") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = Files.createTempDirectory("graft-compact-spec").toString
+    val small = s"$tmp/small"
+    val out = s"$tmp/out"
+    docs.repartition(16).write.mode("overwrite").parquet(small)
+    // force a multi-file result so the sizing rule is actually exercised
+    spark.conf.set("spark.graft.compaction.targetBytes", "65536")
+    try FormatQueries.compactParquet(spark, small, out)
+    finally spark.conf.unset("spark.graft.compaction.targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(small)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: String) = fs
+      .listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    val srcBytes = dataFiles(small).map(_.getLen).sum
+    val expectedFiles = math.max(1L, (srcBytes + 65535) / 65536).toInt
+    dataFiles(out).length shouldBe expectedFiles
+    expectedFiles should be < 16 // it actually compacted
+    // lossless: every row survives exactly once
+    val a = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val b = spark.read.parquet(out)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    b shouldBe a
+    // the rewrite plan merges splits without an exchange
+    val plan = spark.read.parquet(small).coalesce(expectedFiles)
+      .queryExecution.executedPlan.toString
+    plan should include("Coalesce")
+    (plan should not).include("Exchange")
+  }
 }

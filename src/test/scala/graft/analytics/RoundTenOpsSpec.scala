@@ -80,6 +80,49 @@ class RoundTenOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     actual shouldBe expected
   }
 
+  test("d12 equals a from-scratch CDC chunking + first-occurrence replay") {
+    val md = MessageDigest.getInstance("MD5")
+    def h15(sIn: String): Long = {
+      val hex = md.digest(sIn.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // chunk table: (doc_id, sig, ntok) occurrences
+    val occ = docs.flatMap { case (id, text) =>
+      val ws = text.toLowerCase.split(" ", -1)
+      val cuts = ws.indices.filter(i => h15(ws(i)) % 16 == 0).map(_ + 1)
+      val starts = 0 +: cuts
+      val ends = cuts :+ ws.length
+      starts.zip(ends).filter { case (st, en) => en > st }.map { case (st, en) =>
+        val chunk = ws.slice(st, en).mkString(" ")
+        (id, h15(chunk), (en - st).toLong)
+      }
+    }
+    val oc = occ.groupBy(x => (x._1, x._2)).map { case ((id, sig), xs) =>
+      (id, sig, xs.head._3, xs.size.toLong)
+    }
+    val firstDoc = oc.groupBy(_._2).map { case (sig, xs) => sig -> xs.map(_._1).min }
+    val expected = oc.groupBy(_._1).map { case (id, xs) =>
+      val nChunks = xs.map(_._4).sum
+      val dupO = xs.map { case (_, sig, _, o) =>
+        o - (if (firstDoc(sig) == id) 1L else 0L)
+      }.sum
+      val nTok = xs.map(x => x._4 * x._3).sum
+      val dupTok = xs.map { case (_, sig, ntok, o) =>
+        (o - (if (firstDoc(sig) == id) 1L else 0L)) * ntok
+      }.sum
+      (id, nChunks, dupO, nTok, dupTok)
+    }.toSet
+    val actual = Dedup.cdcChunkDedup(spark, sf)
+      .select("doc_id", "n_chunks", "n_dup_chunks", "n_tokens", "dup_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    actual shouldBe expected
+  }
+
   test("t17 equals a from-scratch MD5-bucket replay and obeys the DSIR contract") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text", "lang")
