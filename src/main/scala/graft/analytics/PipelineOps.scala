@@ -866,7 +866,110 @@ object PipelineOps {
       |FROM q JOIN events e ON e.event_type = q.event_type
       |GROUP BY 1, 3, 4 ORDER BY q.event_type""".stripMargin
 
+  /** p20 — THE END-TO-END PRETRAIN PIPELINE as ONE declarative plan: the
+    * flagship composition proving the stage operators chain the way a
+    * real corpus build runs them —
+    *
+    *   quality filter (t12's Gopher rules minus the 50-word floor, which
+    *   would empty this corpus) → exact dedup, first-occurrence keeps
+    *   (d1's rule) → benchmark decontamination (d3's word-5-gram overlap
+    *   against the doc_id < 20 benchmark set) → deterministic hash split
+    *   (p10's md5-bucket rule) → per-split doc/token accounting.
+    *
+    * Every stage reuses the exact rule its standalone operator gates, so
+    * the single chained oracle pins the COMPOSITION: a doc dropped at the
+    * wrong stage, deduped against a filtered-out twin, or split before
+    * decontamination breaks the hash. Catalyst sees the whole chain as
+    * one plan — filters fuse into the scan, the dedup and shingle joins
+    * order freely, and nothing materializes between stages.
+    *
+    * Scale shape: stage 1 is a fused scan-filter (no shuffle); stage 2
+    * is d1's 16-byte-hash groupBy + keep-id equi-join; stage 3 streams
+    * survivors through one shingle pass against a BROADCAST benchmark
+    * set and drops via anti-join; stages 4–5 are one partial+final
+    * aggregation on the 3-value split key. The corpus text never
+    * shuffles — only (hash, id) pairs and shingle longs do. */
+  def p20PretrainPipeline(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    documents(s, d).createOrReplaceTempView("graft_docs_p20_v")
+    s.sql(
+      """WITH src AS (SELECT doc_id, text, split(text, ' ') AS ws,
+        |    split(regexp_replace(lower(text), '\\s+', ' '), ' ') AS nws
+        |  FROM graft_docs_p20_v),
+        |q AS (SELECT doc_id, text, ws FROM src
+        |  WHERE doc_id >= 20
+        |    AND 3 * size(ws) <= length(replace(text, ' ', ''))
+        |    AND length(replace(text, ' ', '')) <= 10 * size(ws)
+        |    AND 5 * size(filter(ws, w -> w RLIKE '[a-zA-Z]')) >= 4 * size(ws)
+        |    AND size(filter(ws,
+        |      w -> w IN ('the','a','of','and','to','in','is','it'))) >= 2),
+        |k AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+        |  FROM q GROUP BY md5(text)),
+        |dd AS (SELECT q.doc_id, q.ws FROM q
+        |  JOIN k ON md5(q.text) = k.h AND q.doc_id = k.keep_id),
+        |bench AS (SELECT DISTINCT h FROM (
+        |  SELECT explode(graft_shingle_hashes(nws, 5)) AS h
+        |  FROM src WHERE doc_id < 20)),
+        |con AS (SELECT DISTINCT c.doc_id FROM (
+        |    SELECT doc_id, explode(graft_shingle_hashes(nws, 5)) AS h
+        |    FROM src WHERE doc_id >= 20) c
+        |  JOIN bench ON c.h = bench.h),
+        |clean AS (SELECT dd.doc_id, dd.ws FROM dd
+        |  LEFT ANTI JOIN con ON dd.doc_id = con.doc_id),
+        |sp AS (SELECT doc_id, CAST(size(ws) AS BIGINT) AS ntok,
+        |    CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, ws,
+        |      CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)),
+        |        1, 8), 16, 10) AS BIGINT) % 1000 AS b
+        |    FROM clean))
+        |SELECT split, count(1) AS n_docs, sum(ntok) AS n_tokens,
+        |  sum(doc_id) AS id_sum
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin)
+  }
+
+  /** p20 oracle — the whole chain re-derived: Gopher-lite predicates,
+    * min-id-per-md5 keeps, STRING 5-gram benchmark overlap (the d3
+    * equivalence: hash vs string shingles agree modulo collisions,
+    * absent at gate SF), p10's bucket rule, and the split accounting. */
+  val p20Oracle: String =
+    """WITH src AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+      |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nws
+      |  FROM documents),
+      |q AS (SELECT doc_id, text, ws FROM src
+      |  WHERE doc_id >= 20
+      |    AND 3 * len(ws) <= length(replace(text, ' ', ''))
+      |    AND length(replace(text, ' ', '')) <= 10 * len(ws)
+      |    AND 5 * len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+      |      >= 4 * len(ws)
+      |    AND len(list_filter(ws,
+      |      x -> x IN ('the','a','of','and','to','in','is','it'))) >= 2),
+      |k AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM q GROUP BY 1),
+      |dd AS (SELECT q.doc_id, q.ws FROM q
+      |  JOIN k ON md5(q.text) = k.h AND q.doc_id = k.keep_id),
+      |sh AS (SELECT doc_id, CASE WHEN len(nws) >= 5 THEN
+      |    list_distinct(list_transform(generate_series(1, len(nws) - 4),
+      |      i -> nws[i]||' '||nws[i+1]||' '||nws[i+2]||' '||nws[i+3]||' '||nws[i+4]))
+      |  ELSE [] END AS s5 FROM src),
+      |bench AS (SELECT DISTINCT g FROM (
+      |  SELECT unnest(s5) AS g FROM sh WHERE doc_id < 20) t),
+      |con AS (SELECT DISTINCT c.doc_id FROM (
+      |    SELECT doc_id, unnest(s5) AS g FROM sh WHERE doc_id >= 20) c
+      |  JOIN bench USING (g)),
+      |clean AS (SELECT dd.doc_id, dd.ws FROM dd ANTI JOIN con USING (doc_id)),
+      |sp AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS ntok,
+      |    CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, ws,
+      |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |        % 1000 AS b
+      |    FROM clean) t)
+      |SELECT split, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p20_pretrain_pipeline" -> (p20PretrainPipeline _),
     "p19_winsorize" -> (p19Winsorize _),
     "p16_epoch_order" -> (p16EpochOrder _),
     "p15_temperature_mix" -> (p15TemperatureMix _),
@@ -889,6 +992,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p20_pretrain_pipeline" -> p20Oracle,
     "p19_winsorize" -> p19Oracle,
     "p16_epoch_order" -> p16Oracle,
     "p15_temperature_mix" -> p15Oracle,
