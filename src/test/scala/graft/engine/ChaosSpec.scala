@@ -225,6 +225,40 @@ class ChaosSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       spark.sql("DROP TABLE chaos_reshard")
     } finally SourceClientRegistry.unregister("chaos-reshard")
   }
+
+  test("executor-JVM crash (halt, not exception): lost executor's work recomputed exactly-once") {
+    // The strongest failure the cluster can see below machine loss: a task
+    // HALTS its executor JVM (Runtime.halt — no exception, no shutdown
+    // hooks, concurrent tasks on that executor die with it, its shuffle
+    // and cached state are gone). The engine's exactly-once contract must
+    // survive: Spark retries the dead tasks elsewhere, the standalone
+    // worker relaunches the executor, and the drained output equals the
+    // no-chaos result bit-for-bit.
+    val sess = spark
+    import sess.implicits._
+    val markerDir = Files.createTempDirectory("chaos-halt").toString
+    val shards = mkShards(8, 80)
+    val store = new InMemoryCheckpointStore
+    val itemsDir = Files.createTempDirectory("chaos-halt-items").toString + "/out"
+    val gp = new GraftProcessor[String](
+      ProcessorConfig("chaos-halt", batchSize = 10),
+      new ChaosSpec.DecodeType,
+      new InMemorySourceClient(shards),
+      store,
+      onItems = (ds, _) => ds.mapPartitions(ChaosSpec.haltJvmOnce[String](markerDir))
+        .write.mode("append").parquet(itemsDir))
+    gp.run(spark, Files.createTempDirectory("chaos-halt-ckpt").toString) shouldBe Right(())
+
+    val out = spark.read.parquet(itemsDir).collect().map(_.getString(0))
+    out.length shouldBe 640 // exactly-once despite a whole JVM vanishing
+    out.groupBy(identity).view.mapValues(_.length).toMap shouldBe
+      (0 until 5).map(t => s"type-$t" -> 128).toMap
+    store.all.values.toSet shouldBe Set("0000000079")
+    // the halt actually fired, exactly once across the cluster
+    new java.io.File(markerDir).list().count(_ == "halt-once") shouldBe 1
+    // the cluster is still functional for wide work after the loss
+    spark.sparkContext.parallelize(1 to 64, 16).map(_ * 2L).sum() shouldBe 4160.0
+  }
 }
 
 /** Closure-clean helpers: these cross into executor JVMs — they must not
@@ -259,6 +293,22 @@ object ChaosSpec {
 
   def failFirstAttemptRows(it: Iterator[org.apache.spark.sql.Row]): Iterator[org.apache.spark.sql.Row] =
     failFirstAttempt(it)
+
+  /** HALTS the executor JVM (exit 137, no exception, no shutdown hooks) in
+    * the FIRST task to atomically claim the marker file — all later tasks,
+    * including the retries on surviving/replacement executors, pass
+    * through. The marker lives on the shared filesystem because an
+    * in-memory counter dies with the JVM it counts in. */
+  def haltJvmOnce[T](markerDir: String)(it: Iterator[T]): Iterator[T] = {
+    if (TaskContext.get() != null) {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(markerDir, "halt-once"))
+        Runtime.getRuntime.halt(137)
+      } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    it
+  }
 
   /** Decodes `type|value` payloads to the type. */
   final class DecodeType extends RP[String] {
