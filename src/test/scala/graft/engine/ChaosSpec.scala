@@ -259,6 +259,48 @@ class ChaosSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // the cluster is still functional for wide work after the loss
     spark.sparkContext.parallelize(1 to 64, 16).map(_ * 2L).sum() shouldBe 4160.0
   }
+
+  test("stateful streaming across an executor-JVM crash: state reloads on the replacement") {
+    // Scenario 3's stronger sibling: the task that dies mid-micro-batch
+    // takes its WHOLE executor with it — the in-memory state-store maps
+    // for every partition that executor hosted are gone, not just one
+    // task's uncommitted delta. The replacement executor must reload each
+    // partition's state from the last committed checkpoint version and
+    // the final per-user counts must be exact.
+    val s = spark
+    import s.implicits._
+    val srcDir = Files.createTempDirectory("chaos-halt-stream-src").toString
+    (0 until 4).foreach { f =>
+      (0 until 100).map(i => (i % 10L, f * 100L + i)).toDF("user_id", "event_id")
+        .coalesce(1).write.parquet(s"$srcDir/f$f")
+    }
+    val schema = spark.read.parquet(s"$srcDir/f0").schema
+    val markerDir = Files.createTempDirectory("chaos-halt-stream").toString
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/f*")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (df: DataFrame, b: Long) =>
+        val rows = df.rdd.mapPartitions { it =>
+          // halt only from the SECOND micro-batch on, so at least one
+          // committed state version exists to reload
+          if (b >= 1) ChaosSpec.haltJvmOnce[org.apache.spark.sql.Row](markerDir)(it)
+          else it
+        }.map(r => (r.getLong(0), r.getLong(1))).collect()
+        rows.foreach { case (u, n) => results.put(u, n) }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("chaos-halt-stream-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    results.asScala.toMap shouldBe (0 until 10).map(u => u.toLong -> 40L).toMap
+    new java.io.File(markerDir).list().count(_ == "halt-once") shouldBe 1
+  }
 }
 
 /** Closure-clean helpers: these cross into executor JVMs — they must not
