@@ -756,6 +756,41 @@ object Similarity {
       |LEFT JOIN ivf i ON i.probe_id = b.probe_id AND i.neighbor_id = b.neighbor_id
       |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
 
+  /** e12 — REFINE-RECALL AUDIT: recall@5 against e1's brute-force truth
+    * for the SQ8 index used RAW (e10) vs through e11's exact re-rank of
+    * its top-32 candidates — the measurement that justifies shipping the
+    * two-stage shape: quantization error that reorders the top-5 cannot
+    * survive the refine unless the true neighbor fell outside the coarse
+    * cut entirely. e5's composition pattern: the top-k sets are tiny, so
+    * every join is broadcast-sized no matter the corpus. */
+  def refineRecall(s: SparkSession, d: String): DataFrame = {
+    val brute = bruteCosineTopK(s, d).select(col("probe_id"), col("neighbor_id"))
+    val raw = sq8TopK(s, d).select(col("probe_id"), col("neighbor_id"),
+      lit(1).as("qhit"))
+    val refined = twoStageRerank(s, d).select(col("probe_id"), col("neighbor_id"),
+      lit(1).as("rhit"))
+    brute
+      .join(raw, Seq("probe_id", "neighbor_id"), "left")
+      .join(refined, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("qhit")).as("sq8_hits"), count(col("rhit")).as("refined_hits"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** e12 oracle — the e1/e10/e11 oracles verbatim as CTEs (e5's nested-WITH
+    * trick), so the audit inherits their independent re-derivations. */
+  def refineRecallOracle: String =
+    s"""WITH brute AS ($bruteCosineOracle),
+      |sq8r AS ($sq8Oracle),
+      |ref AS ($twoStageRerankOracle)
+      |SELECT b.probe_id,
+      |  count(q.probe_id) AS sq8_hits,
+      |  count(r.probe_id) AS refined_hits
+      |FROM brute b
+      |LEFT JOIN sq8r q ON q.probe_id = b.probe_id AND q.neighbor_id = b.neighbor_id
+      |LEFT JOIN ref r ON r.probe_id = b.probe_id AND r.neighbor_id = b.neighbor_id
+      |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
+
   /** c1 — K-MEANS CLUSTERING (Lloyd's) over the embedding corpus: K=4,
     * two full assignment iterations, init centroids = the first K vectors.
     * This is the semantic-clustering primitive behind embedding-based corpus
@@ -1268,7 +1303,8 @@ object Similarity {
     "e8_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
     "e9_knn_graph_2level" -> ((s: SparkSession, d: String) => knnGraphTwoLevelSelfScaled(s, d)),
     "e10_sq8_ann" -> ((s: SparkSession, d: String) => sq8TopK(s, d)),
-    "e11_two_stage_rerank" -> ((s: SparkSession, d: String) => twoStageRerank(s, d))
+    "e11_two_stage_rerank" -> ((s: SparkSession, d: String) => twoStageRerank(s, d)),
+    "e12_refine_recall" -> (refineRecall _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1284,6 +1320,7 @@ object Similarity {
     "e8_mmr_rerank" -> mmrRerankOracle,
     "e9_knn_graph_2level" -> knnGraphTwoLevelOracle,
     "e10_sq8_ann" -> sq8Oracle,
-    "e11_two_stage_rerank" -> twoStageRerankOracle
+    "e11_two_stage_rerank" -> twoStageRerankOracle,
+    "e12_refine_recall" -> refineRecallOracle
   )
 }
