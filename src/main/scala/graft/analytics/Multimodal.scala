@@ -508,7 +508,68 @@ object Multimodal {
       |    AS first_cut
       |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** m8 — VOICED-SEGMENT EXTRACTION (the VAD / silence-trimming step of
+    * an audio training pipeline): m5's tumbling energy windows, a window
+    * is "voiced" iff its energy is STRICTLY above its clip's mean —
+    * compared as energy · n_windows > Σ energy, integer
+    * cross-multiplication, no division — and consecutive voiced windows
+    * fold into segments via gaps-and-islands (s2's discipline:
+    * window_idx − row_number is constant within a run). Per clip:
+    * segment count, longest segment, voiced-window total — what a real
+    * pipeline uses to trim silence and reject dead audio. Clips with no
+    * above-mean window (constant-energy) drop out in both engines.
+    *
+    * Scale shape: the energy table is m5's executor-side decode (payload
+    * bytes never shuffle); the mean is a per-clip partial+final
+    * aggregation joined back on media_id; the islands window partitions
+    * by media_id with O(len/16) rows per clip — tiny and uniform. */
+  def voicedSegments(s: SparkSession, d: String, win: Int = 16): DataFrame = {
+    val aw = audioEnergy(s, d, win)
+    val tot = aw.groupBy(col("media_id"))
+      .agg(sum(col("energy")).as("tote"), count(lit(1)).as("nw"))
+    val voiced = aw.join(tot, "media_id")
+      .filter(col("energy") * col("nw") > col("tote"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("window_idx"))
+    voiced
+      .withColumn("grp", col("window_idx") - row_number().over(w))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(count(lit(1)).as("seg_len"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        max(col("seg_len")).as("max_seg"),
+        sum(col("seg_len")).as("n_voiced"))
+      .orderBy(col("media_id"))
+  }
+
+  /** m8 oracle — the m5 byte-window derivation as a CTE, then the same
+    * cross-multiplied threshold and islands fold in SQL. */
+  val voicedSegmentsOracle: String =
+    """WITH a AS (SELECT doc_id AS media_id, text FROM documents
+      |  WHERE doc_id % 3 = 1),
+      |px AS (SELECT media_id, CAST(i AS BIGINT) AS i,
+      |    CAST(unicode(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) AS b
+      |  FROM a, unnest(generate_series(0, length(text) - 1)) AS t(i)),
+      |aw AS (SELECT media_id, i // 16 AS window_idx,
+      |    CAST(sum(b * b) AS BIGINT) AS energy
+      |  FROM px GROUP BY media_id, i // 16),
+      |tot AS (SELECT media_id, CAST(sum(energy) AS BIGINT) AS tote,
+      |    count(*) AS nw FROM aw GROUP BY media_id),
+      |v AS (SELECT aw.media_id, aw.window_idx FROM aw JOIN tot USING (media_id)
+      |  WHERE aw.energy * tot.nw > tot.tote),
+      |g AS (SELECT media_id, window_idx,
+      |    window_idx - row_number() OVER (PARTITION BY media_id
+      |      ORDER BY window_idx) AS grp
+      |  FROM v),
+      |seg AS (SELECT media_id, grp, count(*) AS seg_len
+      |  FROM g GROUP BY media_id, grp)
+      |SELECT media_id, count(*) AS n_segments,
+      |  CAST(max(seg_len) AS BIGINT) AS max_seg,
+      |  CAST(sum(seg_len) AS BIGINT) AS n_voiced
+      |FROM seg GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_voiced_segments" -> ((s: SparkSession, d: String) => voicedSegments(s, d)),
     "m7_scene_change" -> ((s: SparkSession, d: String) => sceneChange(s, d)),
     "m6_phash_dedup" -> (phashDedup _),
     "m5_audio_energy" -> ((s: SparkSession, d: String) => audioEnergy(s, d)),
@@ -519,6 +580,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "m8_voiced_segments" -> voicedSegmentsOracle,
     "m7_scene_change" -> sceneChangeOracle,
     "m6_phash_dedup" -> phashDedupOracle,
     "m5_audio_energy" -> audioEnergyOracle,

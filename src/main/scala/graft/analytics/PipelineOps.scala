@@ -968,7 +968,59 @@ object PipelineOps {
       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** p21 — TOKEN-BUDGET APPORTIONMENT (largest-remainder / Hamilton
+    * rounding): given a global token budget, allocate per-source quotas
+    * proportional to each source's token mass such that the allocations
+    * sum EXACTLY to the budget — the step between deciding mixture
+    * weights (p6/p15) and actually drawing documents (p7/p9): a sampler
+    * fed naive `round(w·B)` quotas over- or under-shoots the budget by
+    * up to |sources|/2 and the training run silently drifts from its
+    * token target. Floor allocations + distribute the remainder by
+    * largest fractional part (exact integer remainders, ties to the
+    * smaller source name) is the classical apportionment fix, and it is
+    * all BIGINT arithmetic — the oracle replays it bit-for-bit.
+    *
+    * Scale shape: one (source) partial+final aggregation folds the
+    * corpus to |sources| rows; everything after runs on that tiny table
+    * (the unpartitioned rank window is over ≤|sources| rows — the p14
+    * bucket-histogram discipline). */
+  def p21TokenBudgetAlloc(s: SparkSession, d: String,
+      budget: Long = 10000L): DataFrame = {
+    documents(s, d).createOrReplaceTempView("graft_docs_p21_v")
+    s.sql(
+      s"""WITH m AS (SELECT source, sum(size(split(text, ' '))) AS mass
+        |    FROM graft_docs_p21_v GROUP BY source),
+        |t AS (SELECT sum(mass) AS tm FROM m),
+        |a AS (SELECT source, mass, ($budget * mass) div tm AS fl,
+        |    ($budget * mass) % tm AS rem
+        |  FROM m CROSS JOIN t),
+        |r AS (SELECT source, mass, fl, rem,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM a),
+        |need AS (SELECT $budget - sum(fl) AS extra FROM a)
+        |SELECT source, mass,
+        |  fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS alloc
+        |FROM r CROSS JOIN need ORDER BY source""".stripMargin)
+  }
+
+  val p21Oracle: String =
+    """WITH m AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |      AS mass
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(mass) AS BIGINT) AS tm FROM m),
+      |a AS (SELECT source, mass, (10000 * mass) // tm AS fl,
+      |    (10000 * mass) % tm AS rem
+      |  FROM m CROSS JOIN t),
+      |r AS (SELECT source, mass, fl, rem,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+      |  FROM a),
+      |need AS (SELECT 10000 - CAST(sum(fl) AS BIGINT) AS extra FROM a)
+      |SELECT source, mass,
+      |  CAST(fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM r CROSS JOIN need ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_token_budget_alloc" -> ((s: SparkSession, d: String) => p21TokenBudgetAlloc(s, d)),
     "p20_pretrain_pipeline" -> (p20PretrainPipeline _),
     "p19_winsorize" -> (p19Winsorize _),
     "p16_epoch_order" -> (p16EpochOrder _),
@@ -992,6 +1044,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p21_token_budget_alloc" -> p21Oracle,
     "p20_pretrain_pipeline" -> p20Oracle,
     "p19_winsorize" -> p19Oracle,
     "p16_epoch_order" -> p16Oracle,

@@ -953,7 +953,68 @@ object StreamingQueries {
       |  CAST(sum(vec_id) AS BIGINT) AS id_checksum
       |FROM assigned GROUP BY cell_id ORDER BY cell_id""".stripMargin
 
+  /** s18 — STREAMING DSIR SCORING: t17's importance filter applied the
+    * way a production pipeline applies it — the λ bucket table is TRAINED
+    * ONCE on the static corpus (t17's exact integer derivation, folded to
+    * one 1024-entry map row), frozen, and broadcast into the document
+    * stream; each arriving document is scored per row by a map lookup
+    * over its hashed-bigram features. COMPLETELY STATELESS: no streaming
+    * aggregation, no state store, append mode — the "apply the trained
+    * artifact online" pattern (the model-inference half of every
+    * train-then-serve filter: quality classifiers, language ID,
+    * importance weights). The drained per-doc scores must equal t17's
+    * batch output exactly (same oracle).
+    *
+    * Scale shape: the broadcast is ≤1024 map entries regardless of
+    * corpus size; scoring is one codegen'd hash pass + a per-row HOF
+    * fold; the sink is executor-parallel parquet append. */
+  def streamDsirScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .createOrReplaceTempView("graft_s18_static_v")
+    val lam = spark.sql(
+      """WITH w AS (SELECT doc_id, lang, split(lower(text), ' ') AS ws
+        |    FROM graft_s18_static_v),
+        |h AS (SELECT lang, graft_md5_prefix_hashes(
+        |      transform(sequence(1, size(ws) - 1),
+        |        i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) AS th
+        |  FROM w WHERE size(ws) >= 2),
+        |b AS (SELECT lang, bucket FROM h
+        |  LATERAL VIEW explode(transform(th, t -> t % 1024)) e AS bucket),
+        |tab AS (SELECT bucket, count(1) AS rawc,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+        |  FROM b GROUP BY bucket)
+        |SELECT map_from_entries(collect_list(struct(bucket,
+        |    CAST(length(bin(((tc + 1) * 1048576) div (rawc + 1))) - 1 - 20
+        |      AS BIGINT)))) AS lmap
+        |FROM tab""".stripMargin)
+    val outDir = s"${tempDir("graft_s18_")}/out"
+    val q = tableFileStream(spark, sfDir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .crossJoin(broadcast(lam))
+      .select(col("doc_id"), expr(
+        """transform(graft_md5_prefix_hashes(transform(sequence(1, size(ws) - 1),
+          |    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))),
+          |  t -> element_at(lmap, t % 1024))""".stripMargin).as("lams"))
+      .select(col("doc_id"), size(col("lams")).cast("long").as("n_feats"),
+        expr("aggregate(lams, 0L, (a, x) -> a + x)").as("importance"))
+      .withColumn("mean_lambda",
+        col("importance").cast("double") / col("n_feats"))
+      .writeStream
+      .foreachBatch((df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir))
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("n_feats"), col("importance"),
+        col("mean_lambda"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_stream_dsir_score" -> (streamDsirScore _),
     "s17_stream_ann_ingest" -> (streamAnnIngest _),
     "s16_stream_reshard" -> (streamReshard _),
     "s15_stream_left_outer" -> (streamLeftOuterJoin _),
@@ -974,6 +1035,7 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s18_stream_dsir_score" -> TextAnalytics.dsirImportanceOracle,
     "s17_stream_ann_ingest" -> streamAnnIngestOracle,
     "s16_stream_reshard" -> streamCountOracle,
     "s15_stream_left_outer" -> streamLeftOuterOracle,
