@@ -35,8 +35,9 @@ object SparkEntry {
   // Then 153 → 155: d12_cdc_chunk_dedup, f7_compaction. Then 155 → 156:
   // p20_pretrain_pipeline (the e2e composition flagship). Then 156 → 157:
   // e12_refine_recall. Then 157 → 160: m8_voiced_segments,
-  // p21_token_budget_alloc, s18_stream_dsir_score.
-  val expectedQueryCount: Int = 160
+  // p21_token_budget_alloc, s18_stream_dsir_score. Then 160 → 162:
+  // t19_source_kl_audit, e13_filtered_ann.
+  val expectedQueryCount: Int = 162
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -791,6 +791,57 @@ object Similarity {
       |LEFT JOIN ref r ON r.probe_id = b.probe_id AND r.neighbor_id = b.neighbor_id
       |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
 
+  /** e13 — METADATA-FILTERED ANN (the "filtered vector search" every
+    * vector store ships): each probe retrieves its top-k ONLY among
+    * corpus vectors sharing its `label` — the per-tenant / per-language /
+    * per-license search shape. The filter is a plain equi-condition on
+    * the typed metadata column, so it joins the index scan as a
+    * PRE-filter: candidates are cut to the label partition BEFORE any
+    * distance work (post-filtering top-k then discarding mismatches
+    * under-fills k — the classic filtered-ANN bug this query's oracle
+    * would catch, since it computes true in-label top-k).
+    *
+    * Scale shape: e1's sanctioned broadcast-probe pass with the label
+    * equi-condition fused into the join — at 100 TB the label column is
+    * the partition/bucket key of the vector table (f4's layout), so the
+    * same predicate prunes directories before the scan. */
+  def filteredAnn(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val emb = withVec(embeddings(s, d), "embedding")
+      .select(col("vec_id"), col("label"), col("v"))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+        col("v").as("pv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(probes)
+      .join(emb, col("vec_id") =!= col("probe_id") &&
+        col("label") === col("plabel"))
+      .withColumn("cosine", cosine("pv", "v"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("label"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** e13 oracle — e1's rank-only derivation with the label condition in
+    * the join. */
+  val filteredAnnOracle: String =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) vnorm FROM e)
+      |SELECT probe_id, neighbor_id, label, rank FROM (
+      |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+      |    CAST(b.label AS BIGINT) AS label,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_sum(list_transform(generate_series(1, 64),
+      |        i -> a.v[i] * b.v[i])) / (a.vnorm * b.vnorm) DESC, b.vec_id) AS rank
+      |  FROM n a JOIN n b
+      |    ON b.vec_id != a.vec_id AND b.label = a.label
+      |  WHERE a.vec_id < 8)
+      |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   /** c1 — K-MEANS CLUSTERING (Lloyd's) over the embedding corpus: K=4,
     * two full assignment iterations, init centroids = the first K vectors.
     * This is the semantic-clustering primitive behind embedding-based corpus
@@ -1304,7 +1355,8 @@ object Similarity {
     "e9_knn_graph_2level" -> ((s: SparkSession, d: String) => knnGraphTwoLevelSelfScaled(s, d)),
     "e10_sq8_ann" -> ((s: SparkSession, d: String) => sq8TopK(s, d)),
     "e11_two_stage_rerank" -> ((s: SparkSession, d: String) => twoStageRerank(s, d)),
-    "e12_refine_recall" -> (refineRecall _)
+    "e12_refine_recall" -> (refineRecall _),
+    "e13_filtered_ann" -> ((s: SparkSession, d: String) => filteredAnn(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1321,6 +1373,7 @@ object Similarity {
     "e9_knn_graph_2level" -> knnGraphTwoLevelOracle,
     "e10_sq8_ann" -> sq8Oracle,
     "e11_two_stage_rerank" -> twoStageRerankOracle,
-    "e12_refine_recall" -> refineRecallOracle
+    "e12_refine_recall" -> refineRecallOracle,
+    "e13_filtered_ann" -> filteredAnnOracle
   )
 }

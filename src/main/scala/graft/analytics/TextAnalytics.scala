@@ -733,7 +733,65 @@ object TextAnalytics {
       |  CAST(sum(bf * lam) AS DOUBLE) / sum(bf) AS mean_lambda
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t19 — PER-SOURCE KL-DIVERGENCE DRIFT AUDIT: how far each source's
+    * token distribution sits from the corpus mixture — the monitoring
+    * signal behind mixture rebalancing (p6/p15/p21 decide weights; this
+    * detects when a source's content shifts and the weights go stale).
+    * KL(p_s‖p) = Σ_w p_s(w)·log₂(p_s(w)/p(w)) is transcendental, so the
+    * per-token log-ratio is staged in exact BIGINT (the t17 discipline),
+    * overflow-safely: ratio₁ = (cnt_s(w)·2²⁰) div cnt(w) ≤ 2²⁰ (a source
+    * count never exceeds the corpus count), then
+    * λ(w) = ⌊log₂((ratio₁ · T_total) div T_s)⌋ − 20 via bit length; the
+    * reported divergence is Σ_w cnt_s(w)·λ(w) (the n_tokens-scaled KL in
+    * bits) plus its single-IEEE-division mean.
+    *
+    * Scale shape: two token-keyed partial+final aggregations — (source,
+    * token) counts, re-aggregated to corpus counts (identical exchange →
+    * ReuseExchange) — one token equi-join, and the scalar totals cross in
+    * as a 1-row broadcast. Output is |sources| rows. */
+  def sourceKlAudit(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).createOrReplaceTempView("graft_docs_t19_v")
+    s.sql(
+      """WITH st AS (SELECT source, token, count(1) AS cs
+        |  FROM (SELECT source, explode(split(lower(text), ' ')) AS token
+        |        FROM graft_docs_t19_v)
+        |  GROUP BY source, token),
+        |c AS (SELECT token, sum(cs) AS c FROM st GROUP BY token),
+        |tots AS (SELECT sum(cs) AS t_total FROM st),
+        |j AS (SELECT st.source, st.cs,
+        |    CAST(length(bin((((st.cs * 1048576) div c.c) * tots.t_total)
+        |      div ts.t_s)) - 1 - 20 AS BIGINT) AS lam
+        |  FROM st JOIN c ON st.token = c.token
+        |  CROSS JOIN tots
+        |  JOIN (SELECT source, sum(cs) AS t_s FROM st GROUP BY source) ts
+        |    ON st.source = ts.source)
+        |SELECT source, sum(cs) AS n_tokens, sum(cs * lam) AS kl_bits_sum,
+        |  CAST(sum(cs * lam) AS DOUBLE) / sum(cs) AS mean_kl_bits
+        |FROM j GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val sourceKlAuditOracle: String =
+    """WITH st AS (SELECT source, token, count(*) AS cs
+      |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      |        FROM documents) t
+      |  GROUP BY source, token),
+      |c AS (SELECT token, CAST(sum(cs) AS BIGINT) AS c FROM st GROUP BY token),
+      |tots AS (SELECT CAST(sum(cs) AS BIGINT) AS t_total FROM st),
+      |ts AS (SELECT source, CAST(sum(cs) AS BIGINT) AS t_s
+      |  FROM st GROUP BY source),
+      |j AS (SELECT st.source, st.cs,
+      |    CAST(length(bin((((st.cs * 1048576) // c.c) * tots.t_total)
+      |      // ts.t_s)) - 1 - 20 AS BIGINT) AS lam
+      |  FROM st JOIN c ON st.token = c.token
+      |  CROSS JOIN tots
+      |  JOIN ts ON st.source = ts.source)
+      |SELECT source, CAST(sum(cs) AS BIGINT) AS n_tokens,
+      |  CAST(sum(cs * lam) AS BIGINT) AS kl_bits_sum,
+      |  CAST(sum(cs * lam) AS DOUBLE) / sum(cs) AS mean_kl_bits
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_source_kl_audit" -> (sourceKlAudit _),
     "t17_dsir_importance" -> ((s: SparkSession, d: String) => dsirImportance(s, d)),
     "t16_bigram_surprisal" -> ((s: SparkSession, d: String) => bigramSurprisal(s, d)),
     "t15_unigram_surprisal" -> ((s: SparkSession, d: String) => unigramSurprisal(s, d)),
@@ -754,6 +812,7 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "t19_source_kl_audit" -> sourceKlAuditOracle,
     "t17_dsir_importance" -> dsirImportanceOracle,
     "t16_bigram_surprisal" -> bigramSurprisalOracle,
     "t15_unigram_surprisal" -> unigramSurprisalOracle,
