@@ -34,7 +34,8 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       "s10_file_sink_exactly_once", "s11_stream_neardup",
       "s12_stateful_sessions", "s13_running_counts",
       "s14_stream_topk", "s15_stream_left_outer",
-      "s16_stream_reshard")).toSeq.sorted
+      "s16_stream_reshard", "s17_stream_ann_ingest",
+      "s18_stream_dsir_score")).toSeq.sorted
 
   test("no query plan contains a cartesian product or unconditioned nested loop") {
     // e4 (IVF) legitimately scores every vector against a BOUNDED broadcast
@@ -49,9 +50,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // its fine assignment is already an equi-join on coarse_id.
     // e10 (SQ8) joins the corpus against its ONE-row broadcast quantization
     // grid (the SQ codebook) before the sanctioned conditioned probe pass.
+    // e11/e12 compose e10's one-row-grid join; p21 crosses in its two
+    // 1-row scalar totals (Σmass, the remainder budget) — bounded by
+    // construction, and the assertion still requires them broadcast.
     val codebookJoins = Set("e4_ann_ivf_topk", "e5_ann_recall", "c1_kmeans",
       "c2_semantic_dedup", "e7_knn_graph", "e9_knn_graph_2level",
-      "e10_sq8_ann")
+      "e10_sq8_ann", "e11_two_stage_rerank", "e12_refine_recall",
+      "p21_token_budget_alloc", "t19_source_kl_audit")
     // queries that eagerly checkpoint their (small) result so their
     // corpus-sized caches release promptly (r9): the registered plan is an
     // RDD scan — gate the LAZY builder instead, releasing its cache after
