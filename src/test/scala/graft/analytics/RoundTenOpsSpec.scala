@@ -123,6 +123,51 @@ class RoundTenOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     actual shouldBe expected
   }
 
+  test("p21 allocations sum EXACTLY to the budget and respect proportionality") {
+    val rows = PipelineOps.p21TokenBudgetAlloc(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.map(_._3).sum shouldBe 10000L // the apportionment invariant
+    val totalMass = rows.map(_._2).sum
+    rows.foreach { case (src, mass, alloc) =>
+      // Hamilton rounding never strays more than 1 from the exact quota
+      val exactFloor = 10000L * mass / totalMass
+      withClue(s"$src: mass=$mass alloc=$alloc floor=$exactFloor") {
+        alloc should (be(exactFloor) or be(exactFloor + 1))
+      }
+    }
+  }
+
+  test("e13 neighbors all share their probe's label and equal per-label brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val byId = emb.map(e => e._1 -> e).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = emb.filter(_._1 < 8).flatMap { case (pid, plabel, pv) =>
+      emb.filter(e => e._1 != pid && e._2 == plabel)
+        .map(e => (e._1, cos(pv, e._3)))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).zipWithIndex
+        .map { case ((nid, _), i) => (pid, nid, plabel.toLong, (i + 1).toLong) }
+    }.toSet
+    val actual = Similarity.filteredAnn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    actual.foreach { case (pid, nid, lbl, _) =>
+      byId(nid)._2.toLong shouldBe lbl
+      byId(pid)._2.toLong shouldBe lbl
+    }
+    actual shouldBe expected
+  }
+
   test("t17 equals a from-scratch MD5-bucket replay and obeys the DSIR contract") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text", "lang")
