@@ -109,7 +109,13 @@ object Bench {
       System.gc()
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+        catch { case t: Throwable =>
+          // the -1.0 sentinel alone forces a full re-run to diagnose
+          // (ADVICE r10) — mirror the main loop's stderr reporting
+          System.err.println(
+            s"[bench] isolated re-run FAILED: $name — ${t.getClass.getName}: ${t.getMessage}")
+          false
+        }
       graft.analytics.Scratch.sweep()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }

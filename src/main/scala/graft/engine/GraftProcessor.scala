@@ -129,6 +129,13 @@ final class GraftProcessor[T](
     // when the driver-JVM registry is out of reach — no record embedding.
     // The driver still resolves via the registry (which wins in the
     // reader's ladder), keeping the R4 throttle-retry wrapper there.
+    // SECURITY CONTRACT (ADVICE r10): factorySpec conf values are placed
+    // on the DSv2 options map, which can surface in source descriptions,
+    // StreamingQueryProgress and logs — unlike clientKey, which is only
+    // ever exposed as a SHA-256 confDigest. A FactoryConstructible MUST
+    // therefore put only non-sensitive values (paths, handles, registry
+    // keys) in factorySpec; credentials belong behind an opaque handle
+    // the factory resolves executor-side (env, instance profile, vault).
     client match {
       case fc: graft.sources.FactoryConstructible =>
         val (cls, conf) = fc.factorySpec

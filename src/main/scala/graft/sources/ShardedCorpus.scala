@@ -69,13 +69,31 @@ object ShardedCorpus {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("ord"), col("seq"))
     rows.foreachPartition { (it: Iterator[Row]) =>
+      // Task-commit protocol (ADVICE r10): every attempt writes to
+      // attempt-unique temp files and atomically renames into place on
+      // success, so a speculative/zombie attempt racing its retry can
+      // never interleave bytes into a half-written shard file. Both
+      // attempts produce identical content (the partition is fully
+      // sorted), so rename-replace is idempotent; .bin lands before
+      // .cnt so a visible sidecar always implies a complete shard.
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(tc => s"${tc.stageId}-${tc.taskAttemptId}")
+        .getOrElse(java.util.UUID.randomUUID().toString)
       var shard = -1
       var os: DataOutputStream = null
       var n = 0L
       def close(): Unit = if (os != null) {
         os.close()
-        val cnt = new java.io.PrintWriter(new File(out, f"shard-$shard%d.cnt"))
+        val tmpCnt = new File(out, f"shard-$shard%d.cnt.$attempt%s.tmp")
+        val cnt = new java.io.PrintWriter(tmpCnt)
         cnt.print(n.toString); cnt.close()
+        java.nio.file.Files.move(
+          new File(out, f"shard-$shard%d.bin.$attempt%s.tmp").toPath,
+          new File(out, f"shard-$shard%d.bin").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.move(tmpCnt.toPath,
+          new File(out, f"shard-$shard%d.cnt").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       it.foreach { r =>
         val s = r.getInt(4)
@@ -83,7 +101,8 @@ object ShardedCorpus {
           close()
           shard = s; n = 0L
           os = new DataOutputStream(new BufferedOutputStream(
-            new FileOutputStream(new File(out, f"shard-$shard%d.bin")), 1 << 16))
+            new FileOutputStream(
+              new File(out, f"shard-$shard%d.bin.$attempt%s.tmp")), 1 << 16))
         }
         os.writeUTF(r.getString(0))
         os.writeUTF(r.getString(1))
@@ -205,7 +224,11 @@ final class FileShardClient(val dir: String)
   override def getRecords(iterator: String, limit: Int): GetRecordsResult = {
     val (shardId, idx) = parse(iterator)
     val rs = recs(shardId)
-    val slice = rs.slice(idx.toInt, (idx + limit).toInt)
+    // loud failure instead of a silently wrapped slice past Int.MaxValue
+    // (in-memory IndexedSeq shards can't exceed Int range anyway)
+    val from = math.toIntExact(idx)
+    val until = math.toIntExact(math.min(idx + limit, rs.length.toLong))
+    val slice = rs.slice(from, until)
     val nextIdx = idx + slice.length
     val next = if (nextIdx >= rs.length) None else Some(cursor(shardId, nextIdx))
     GetRecordsResult(slice, next)
