@@ -624,8 +624,7 @@ object Dedup {
     * AQE-skew-splittable for pathological chunks. */
   def cdcChunkDedup(s: SparkSession, d: String, mask: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    documents(s, d).createOrReplaceTempView("graft_docs_cdc_v")
-    s.sql(
+    Views.sql(s, documents(s, d), "graft_docs_cdc_v",
       s"""WITH w AS (SELECT doc_id, split(lower(text), ' ') AS ws
         |    FROM graft_docs_cdc_v),
         |h AS (SELECT doc_id, ws,

@@ -67,11 +67,10 @@ object ExtendedQueries {
     * the exchange carries one partial row per (set, group), never raw
     * rows per set. */
   def q28GroupingSets(s: SparkSession, d: String): DataFrame = {
-    orders(s, d)
+    Views.sql(s, orders(s, d)
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .createOrReplaceTempView("graft_ord_nat_v")
-    s.sql(
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey")),
+      "graft_ord_nat_v",
       """SELECT coalesce(n_name, 'ALL') AS nation,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  count(*) AS n_orders,
@@ -485,8 +484,7 @@ object ExtendedQueries {
     * comparison is exact on both engines (avg-of-decimal rounds
     * differently in Spark vs DuckDB). */
   def q20AboveAvgOrders(s: SparkSession, d: String): DataFrame = {
-    orders(s, d).createOrReplaceTempView("graft_orders_v")
-    s.sql(
+    Views.sql(s, orders(s, d), "graft_orders_v",
       """SELECT o_orderpriority, count(*) AS n_above
         |FROM graft_orders_v
         |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
@@ -650,10 +648,9 @@ object ExtendedQueries {
     * aggregation, so the ordered form is the only one a hash gate can
     * admit. DISTINCT dedup rides along via the supplier join fanout. */
   def q54Listagg(s: SparkSession, d: String): DataFrame = {
-    nation(s, d).createOrReplaceTempView("graft_q54_nation_v")
-    region(s, d).createOrReplaceTempView("graft_q54_region_v")
-    supplier(s, d).createOrReplaceTempView("graft_q54_supplier_v")
-    s.sql(
+    Views.sqlN(s, Seq(nation(s, d) -> "graft_q54_nation_v",
+      region(s, d) -> "graft_q54_region_v",
+      supplier(s, d) -> "graft_q54_supplier_v"),
       """WITH rn AS (SELECT DISTINCT r.r_name, n.n_name
         |  FROM graft_q54_region_v r
         |  JOIN graft_q54_nation_v n ON n.n_regionkey = r.r_regionkey
@@ -688,8 +685,7 @@ object ExtendedQueries {
     * at rehearsal scale. The oracle is plain count(DISTINCT) — equality
     * proves the bitmap path loses nothing. */
   def q55Bitmap(s: SparkSession, d: String): DataFrame = {
-    events(s, d).createOrReplaceTempView("graft_q55_events_v")
-    s.sql(
+    Views.sql(s, events(s, d), "graft_q55_events_v",
       """WITH b AS (SELECT event_type, bitmap_bucket_number(user_id * 1024 + 1) AS bkt,
         |    bitmap_construct_agg(bitmap_bit_position(user_id * 1024 + 1)) AS bm
         |  FROM graft_q55_events_v
@@ -915,9 +911,8 @@ object ExtendedQueries {
     * semi join by Catalyst; q8 is the DataFrame-API twin): customers with
     * at least one urgent open order. */
   def q23ExistsCorrelated(s: SparkSession, d: String): DataFrame = {
-    orders(s, d).createOrReplaceTempView("graft_orders_v")
-    customer(s, d).createOrReplaceTempView("graft_customer_v")
-    s.sql(
+    Views.sqlN(s, Seq(orders(s, d) -> "graft_orders_v",
+      customer(s, d) -> "graft_customer_v"),
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM graft_customer_v c
         |WHERE EXISTS (
@@ -1137,9 +1132,8 @@ object ExtendedQueries {
     * why the production rewrite is NOT EXISTS when keys are provably
     * non-null — this query documents the semantic boundary. */
   def q40NullAwareAnti(s: SparkSession, d: String): DataFrame = {
-    customer(s, d).createOrReplaceTempView("graft_customer_v")
-    nation(s, d).createOrReplaceTempView("graft_nation_v")
-    s.sql(
+    Views.sqlN(s, Seq(customer(s, d) -> "graft_customer_v",
+      nation(s, d) -> "graft_nation_v"),
       """SELECT c_nationkey, count(1) AS n_customers,
         |  sum(c_custkey) AS id_sum
         |FROM graft_customer_v
@@ -1211,9 +1205,8 @@ object ExtendedQueries {
     * the physical plan is the same shuffle-once window shape — the test
     * pins that the LATERAL surface is wired, not a new execution path. */
   def q43LateralTopk(s: SparkSession, d: String): DataFrame = {
-    nation(s, d).createOrReplaceTempView("graft_q43_nation_v")
-    customer(s, d).createOrReplaceTempView("graft_q43_customer_v")
-    s.sql(
+    Views.sqlN(s, Seq(nation(s, d) -> "graft_q43_nation_v",
+      customer(s, d) -> "graft_q43_customer_v"),
       """SELECT n_name, t.c_name, t.c_acctbal
         |FROM graft_q43_nation_v, LATERAL (
         |  SELECT c_name, c_acctbal FROM graft_q43_customer_v
@@ -1361,8 +1354,7 @@ object ExtendedQueries {
     * frontier never exceeds the node count. This is the same shape as
     * n4's hand-rolled label propagation, but planner-managed. */
   def q48RecursiveChain(s: SparkSession, d: String): DataFrame = {
-    events(s, d).createOrReplaceTempView("graft_ev_v")
-    s.sql(
+    Views.sql(s, events(s, d), "graft_ev_v",
       """WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM graft_ev_v),
         |walk(node, depth) AS (
         |  SELECT user_id, CAST(0 AS BIGINT) FROM users WHERE user_id <= 1

@@ -74,25 +74,26 @@ object GraphOps {
 
   /** g1 on an explicit events frame — spec seam for hand-built chains with
     * known stationary distributions. */
-  private[graft] def eventPagerankDf(s: SparkSession, ev: DataFrame): DataFrame = {
-    ev.createOrReplaceTempView("graft_pr_events_v")
-    val p = s.sql(
-      """WITH trans AS (SELECT
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
-        |    event_type AS dst
-        |  FROM graft_pr_events_v),
-        |e AS (SELECT src, dst, count(1) AS w FROM trans
-        |      WHERE src IS NOT NULL GROUP BY src, dst),
-        |o AS (SELECT src, sum(w) AS outw FROM e GROUP BY src)
-        |SELECT e.src, e.dst, (e.w * 1000000) div o.outw AS pnum
-        |FROM e JOIN o ON e.src = o.src""".stripMargin)
-      .persist()
-    p.createOrReplaceTempView("graft_pr_p_v")
-    val nodes = s.sql(
-      "SELECT DISTINCT event_type AS etype FROM graft_pr_events_v").persist()
-    nodes.createOrReplaceTempView("graft_pr_nodes_v")
-    s.sql(rankSql("div", "graft_pr_nodes_v", "graft_pr_p_v", iters = 10))
-  }
+  private[graft] def eventPagerankDf(s: SparkSession, ev: DataFrame): DataFrame =
+    Views.withView(ev, "graft_pr_events_v") { evv =>
+      val p = s.sql(
+        """WITH trans AS (SELECT
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+          |    event_type AS dst
+          |  FROM graft_pr_events_v),
+          |e AS (SELECT src, dst, count(1) AS w FROM trans
+          |      WHERE src IS NOT NULL GROUP BY src, dst),
+          |o AS (SELECT src, sum(w) AS outw FROM e GROUP BY src)
+          |SELECT e.src, e.dst, (e.w * 1000000) div o.outw AS pnum
+          |FROM e JOIN o ON e.src = o.src""".stripMargin
+          .replace("graft_pr_events_v", evv))
+        .persist()
+      val nodes = s.sql(
+        s"SELECT DISTINCT event_type AS etype FROM $evv").persist()
+      Views.withViews(Seq(p -> "graft_pr_p_v", nodes -> "graft_pr_nodes_v")) { names =>
+        s.sql(rankSql("div", names(1), names(0), iters = 10))
+      }
+    }
 
   /** g1 oracle — the identical exact-integer chain in DuckDB (`//` floor
     * division); edge table and node set derived inline. */

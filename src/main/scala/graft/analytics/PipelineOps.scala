@@ -891,8 +891,7 @@ object PipelineOps {
     * shuffles — only (hash, id) pairs and shingle longs do. */
   def p20PretrainPipeline(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    documents(s, d).createOrReplaceTempView("graft_docs_p20_v")
-    s.sql(
+    Views.sql(s, documents(s, d), "graft_docs_p20_v",
       """WITH src AS (SELECT doc_id, text, split(text, ' ') AS ws,
         |    split(regexp_replace(lower(text), '\\s+', ' '), ' ') AS nws
         |  FROM graft_docs_p20_v),
@@ -986,8 +985,7 @@ object PipelineOps {
     * bucket-histogram discipline). */
   def p21TokenBudgetAlloc(s: SparkSession, d: String,
       budget: Long = 10000L): DataFrame = {
-    documents(s, d).createOrReplaceTempView("graft_docs_p21_v")
-    s.sql(
+    Views.sql(s, documents(s, d), "graft_docs_p21_v",
       s"""WITH m AS (SELECT source, sum(size(split(text, ' '))) AS mass
         |    FROM graft_docs_p21_v GROUP BY source),
         |t AS (SELECT sum(mass) AS tm FROM m),

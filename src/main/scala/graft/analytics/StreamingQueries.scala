@@ -971,9 +971,8 @@ object StreamingQueries {
   def streamDsirScore(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     graft.functions.GraftFunctions.register(spark)
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .createOrReplaceTempView("graft_s18_static_v")
-    val lam = spark.sql(
+    val lam = Views.sql(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet"), "graft_s18_static_v",
       """WITH w AS (SELECT doc_id, lang, split(lower(text), ' ') AS ws
         |    FROM graft_s18_static_v),
         |h AS (SELECT lang, graft_md5_prefix_hashes(

@@ -245,13 +245,12 @@ object TextAnalytics {
     * join) — whereas the aggregation+join pair is map-side combined and
     * AQE-skew-splittable. */
   def tfidf(s: SparkSession, d: String): DataFrame = {
-    documents(s, d).createOrReplaceTempView("graft_docs_v")
     // N arrives as an uncorrelated SCALAR SUBQUERY (the q20 planner path):
     // Catalyst evaluates the one-row count once and embeds it as a literal —
     // no join node. (A crossJoin(broadcast(n)) formulation constant-folds
     // its join key and degenerates to a BroadcastNestedLoopJoin — the shape
     // the global no-cartesian gate exists to forbid.)
-    s.sql(
+    Views.sql(s, documents(s, d), "graft_docs_v",
       """WITH tf AS (SELECT doc_id, token, count(1) AS tf
         |  FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS token
         |        FROM graft_docs_v)
@@ -518,8 +517,7 @@ object TextAnalytics {
     * VERDICT r4 n1 lesson). Corpus-sized work is ONE pass regardless of
     * checkpoint count. */
   def vocabGrowth(s: SparkSession, d: String): DataFrame = {
-    documents(s, d).createOrReplaceTempView("graft_docs_vg_v")
-    s.sql(
+    Views.sql(s, documents(s, d), "graft_docs_vg_v",
       """WITH fs AS (SELECT token, min(doc_id) AS first_id
         |  FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS token
         |        FROM graft_docs_vg_v)
@@ -564,8 +562,7 @@ object TextAnalytics {
     * 100 TB the count table is the natural broadcast/top-K-cap candidate;
     * the equi-join shape is AQE-skew-splittable either way. */
   def unigramSurprisal(s: SparkSession, d: String): DataFrame = {
-    documents(s, d).createOrReplaceTempView("graft_docs_us_v")
-    s.sql(
+    Views.sql(s, documents(s, d), "graft_docs_us_v",
       """WITH tf AS (SELECT doc_id, token, count(1) AS tf
         |  FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS token
         |        FROM graft_docs_us_v)
@@ -617,8 +614,7 @@ object TextAnalytics {
     * joins on the pair/source keys — AQE-skew-splittable for stop-word
     * sources. */
   def bigramSurprisal(s: SparkSession, d: String): DataFrame = {
-    documents(s, d).createOrReplaceTempView("graft_docs_bs_v")
-    s.sql(
+    Views.sql(s, documents(s, d), "graft_docs_bs_v",
       """WITH w AS (SELECT doc_id, ws FROM
         |    (SELECT doc_id, split(lower(text), ' ') AS ws FROM graft_docs_bs_v)
         |  WHERE size(ws) >= 2),
@@ -681,8 +677,7 @@ object TextAnalytics {
     * exactly once. */
   def dsirImportance(s: SparkSession, d: String, nBuckets: Int = 1024): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    documents(s, d).createOrReplaceTempView("graft_docs_dsir_v")
-    s.sql(
+    Views.sql(s, documents(s, d), "graft_docs_dsir_v",
       s"""WITH w AS (SELECT doc_id, lang, split(lower(text), ' ') AS ws
         |    FROM graft_docs_dsir_v),
         |h AS (SELECT doc_id, lang, graft_md5_prefix_hashes(
@@ -750,8 +745,7 @@ object TextAnalytics {
     * ReuseExchange) — one token equi-join, and the scalar totals cross in
     * as a 1-row broadcast. Output is |sources| rows. */
   def sourceKlAudit(s: SparkSession, d: String): DataFrame = {
-    documents(s, d).createOrReplaceTempView("graft_docs_t19_v")
-    s.sql(
+    Views.sql(s, documents(s, d), "graft_docs_t19_v",
       """WITH st AS (SELECT source, token, count(1) AS cs
         |  FROM (SELECT source, explode(split(lower(text), ' ')) AS token
         |        FROM graft_docs_t19_v)
