@@ -217,7 +217,58 @@ object FormatQueries {
     out
   }
 
+  /** f8 — KEYED MERGE (apply-changes / SCD1) under the oracle gate: the
+    * events table is treated as a CDC stream over per-user state — every
+    * event upserts the user's current (last_type, last_value); an 'error'
+    * event is a tombstone deleting the account. The stream is applied as
+    * 6 event-time-ordered change batches through [[KeyedMerge]] (bucketed
+    * base, touched-bucket-only rewrite, struct-argmax last-writer-wins),
+    * and the FINAL TABLE STATE is the query output. The DuckDB oracle
+    * replays the same last-writer-wins rule in one window — equality
+    * proves the incremental merge path converges to the batch answer:
+    * one resurrected delete, one lost upsert, or one stale bucket breaks
+    * the hash.
+    *
+    * Scale shape: each apply reads only the buckets its batch touches
+    * (partition-pruned), aggregates per key (map-side partials), and
+    * dynamically overwrites exactly those buckets; bucket count
+    * self-scales from the corpus row count. */
+  def f8KeyedMerge(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${Scratch.dir("graft-merge")}/table"
+    val ev = events(s, d) // ts pinned to epoch-nanos BIGINT by Tables
+    val ch = ev.select(col("user_id"),
+      expr("ts div 1000").as("tsu"), col("event_id"),
+      when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+        .as(KeyedMerge.OpCol),
+      col("event_type").as("last_type"), col("value").as("last_value"))
+    val mm = ch.agg(min(col("tsu")), max(col("tsu"))).head()
+    val lo = mm.getLong(0); val hi = mm.getLong(1) + 1
+    val nBatches = 6
+    val span = math.max(1L, (hi - lo + nBatches - 1) / nBatches)
+    val numBuckets =
+      math.max(8L, math.min(4096L, ev.count() / 50000L)).toInt
+    (0 until nBatches).foreach { i =>
+      val b = ch.filter(col("tsu") >= lo + i * span &&
+        col("tsu") < (if (i == nBatches - 1) hi else lo + (i + 1) * span))
+      KeyedMerge.applyChanges(s, dir, b,
+        keyCols = Seq("user_id"), seqCols = Seq("tsu", "event_id"), numBuckets)
+    }
+    KeyedMerge.read(s, dir)
+      .select(col("user_id"), col("last_type"), col("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val f8Oracle: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+      |    event_type, value FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY tsu DESC, event_id DESC) AS rn FROM c)
+      |SELECT user_id, event_type AS last_type, value AS last_value
+      |FROM r WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f8_keyed_merge" -> (f8KeyedMerge _),
     "f7_compaction" -> (f7Compaction _),
     "f6_clustered_layout" -> (f6ClusteredLayout _),
     "f5_schema_evolution" -> (f5SchemaEvolution _),
@@ -228,6 +279,7 @@ object FormatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "f8_keyed_merge" -> f8Oracle,
     "f7_compaction" -> roundtripOracle,
     "f6_clustered_layout" -> f6Oracle,
     "f5_schema_evolution" -> f5Oracle,
