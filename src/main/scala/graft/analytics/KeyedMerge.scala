@@ -67,8 +67,16 @@ object KeyedMerge {
     * @param seqCols  version columns, compared lexicographically; the
     *                 greatest wins (ties only on byte-identical replays).
     */
-  def applyChanges(s: SparkSession, dir: String, changes: DataFrame,
+  def applyChanges(outer: SparkSession, dir: String, changes: DataFrame,
       keyCols: Seq[String], seqCols: Seq[String], numBuckets: Int): Unit = {
+    // CRITICAL: operate on the session that OWNS the change frame, not the
+    // caller's handle. Inside foreachBatch the micro-batch Dataset belongs
+    // to a CLONED session with an isolated SQLConf — setting
+    // partitionOverwriteMode on the outer session would leave the clone's
+    // write in STATIC mode, which deletes every untouched bucket of the
+    // table (found by DriverCrashSpec: the first batch that didn't touch
+    // all buckets silently dropped one).
+    val s = changes.sparkSession
     val dataCols = changes.columns.toSeq.filterNot(_ == BucketCol)
     require(keyCols.forall(dataCols.contains), s"missing key cols in $dataCols")
     require(dataCols.contains(OpCol), s"changes must carry $OpCol ('u'|'d')")
@@ -91,8 +99,11 @@ object KeyedMerge {
         .select(ch.columns.map(col): _*))
 
     // last-writer-wins per key: struct-argmax over (seq..., op, payload...)
+    // — key columns excluded (they already lead the select; a seq column
+    // that IS a key contributes no ordering information within a group)
     val nonKey = dataCols.filterNot(keyCols.contains)
-    val ordered = seqCols ++ nonKey.filterNot(seqCols.contains)
+    val ordered = (seqCols.filterNot(keyCols.contains) ++
+      nonKey.filterNot(seqCols.contains)).distinct
     val winners = all
       .groupBy((keyCols :+ BucketCol).map(col): _*)
       .agg(max(struct(ordered.map(col): _*)).as("__w"))
