@@ -37,8 +37,9 @@ object SparkEntry {
   // e12_refine_recall. Then 157 → 160: m8_voiced_segments,
   // p21_token_budget_alloc, s18_stream_dsir_score. Then 160 → 162:
   // t19_source_kl_audit, e13_filtered_ann. r11: 162 → 163:
-  // f8_keyed_merge (apply-changes/SCD1 MERGE sink).
-  val expectedQueryCount: Int = 163
+  // f8_keyed_merge (apply-changes/SCD1 MERGE sink). Then 163 → 164:
+  // s19_monitoring_metrics (M4 windowed fold under the hash gate).
+  val expectedQueryCount: Int = 164
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1012,7 +1012,100 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Decode used by s19: 'error' payloads hard-fail (dead-letter),
+    * sequences ending in '7' soft-fail their first three attempts (soft
+    * events + a >1-attempt retry for the retry_attempts counter), the
+    * rest decode clean — a deterministic mix hitting every M4 counter
+    * family the engine emits. */
+  final class MonitoredDecodeProcessor extends RecordProcessor[String] {
+    override def processRecord(r: KRecord, m: RecordMetadata) = {
+      val payload = r.dataUtf8
+      val sep = payload.indexOf('|')
+      val t = if (sep <= 0) "" else payload.substring(0, sep)
+      if (t == "error") Left(ProcessingError.HardFailure(s"poison: ${r.sequenceNumber}"))
+      else if (r.sequenceNumber.endsWith("7") && m.attemptNumber < 3)
+        Left(ProcessingError.SoftFailure(s"transient attempt ${m.attemptNumber}"))
+      else Right(Some(t))
+    }
+  }
+
+  /** s19 — MONITORING UNDER THE HASH GATE (VERDICT r10 #5): M1–M4 were
+    * the one §2 family with no CORRECTNESS entry; the reference's suites
+    * assert on event streams (`/root/reference/src/tests/test_suite3.rs:
+    * 67-116`, fold semantics `monitoring/metrics.rs:114-302`). The engine
+    * slice runs over the sharded events corpus with monitoring ON and a
+    * deterministic failure mix (dead-letters + bounded soft retries), the
+    * emitted event stream lands in parquet as the flat [[graft.monitoring
+    * .MetricsAggregator.EventRow]] log, and the per-shard windowed M4
+    * fold runs over it via the Dataset path. The DuckDB oracle re-derives
+    * the SAME aggregation from the SAME landed log — one event lost,
+    * double-counted, or folded into the wrong counter breaks the hash.
+    * MonitoringGateSpec additionally reconciles the folded totals against
+    * the run's commit stats and the corpus itself.
+    *
+    * Scale shape: the event channel is the reference's bounded mpsc
+    * mirror (driver/executor-local queues, `processor.rs:456-465`); the
+    * landed log is corpus-sized and the fold over it is the declarative
+    * partial+final windowed aggregation — the 100 TB metrics path. The
+    * log path is pinned (conf `spark.graft.s19.eventLogDir`) so the
+    * external oracle can read the identical bytes. */
+  def s19MonitoringMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.monitoring.{EventSink, MetricsAggregator}
+    val tmp = tempDir("graft-s19-")
+    val (client, batch) = sizedClient(spark, sfDir)
+    val nEvents = Tables.events(spark, sfDir).count()
+    val bounded = new EventSink.Bounded(capacity = (nEvents * 2).toInt + 65536)
+    val gp = new GraftProcessor[String](
+      ProcessorConfig("events", batchSize = batch),
+      new MonitoredDecodeProcessor,
+      client,
+      new InMemoryCheckpointStore,
+      sink = bounded,
+      onItems = (ds, _) =>
+        ds.toDF("event_type").write.mode("append").parquet(s"$tmp/items"))
+    gp.run(spark, s"$tmp/ckpt") match {
+      case Left(e) => throw e
+      case Right(()) => ()
+    }
+    require(bounded.dropped == 0,
+      s"s19 event channel dropped ${bounded.dropped} events — size the capacity up")
+    val logDir = spark.conf.getOption("spark.graft.s19.eventLogDir")
+      .getOrElse("/tmp/graft_s19_eventlog")
+    spark.createDataset(bounded.drain().map(MetricsAggregator.toRow))
+      .write.mode("overwrite").parquet(logDir)
+    MetricsAggregator.aggregate(
+        spark.read.parquet(logDir).as[MetricsAggregator.EventRow])
+      .select(
+        (col("window.start").cast("long") * 1000).as("window_start_ms"),
+        col("shardId").as("shard_id"),
+        col("records_processed"), col("records_failed"), col("soft_errors"),
+        col("hard_errors"), col("retry_attempts"),
+        col("checkpoints_succeeded"), col("checkpoints_failed"),
+        col("iterator_renewals"), col("processing_time_ms"),
+        col("max_processing_time_ms"))
+      .orderBy(col("window_start_ms"), col("shard_id"))
+  }
+
+  val s19Oracle: String =
+    """WITH ev AS (SELECT * FROM read_parquet('/tmp/graft_s19_eventlog/*.parquet'))
+      |SELECT (timestampMs // 60000) * 60000 AS window_start_ms,
+      |  shardId AS shard_id,
+      |  CAST(sum(CASE WHEN kind = 'record_success' OR (kind = 'record_attempt' AND success) THEN 1 ELSE 0 END) AS BIGINT) AS records_processed,
+      |  CAST(sum(CASE WHEN kind = 'record_failure' OR (kind = 'record_attempt' AND NOT success AND isFinalAttempt) THEN 1 ELSE 0 END) AS BIGINT) AS records_failed,
+      |  CAST(sum(CASE WHEN kind = 'record_attempt' AND NOT success AND NOT isFinalAttempt THEN 1 ELSE 0 END) AS BIGINT) AS soft_errors,
+      |  CAST(sum(CASE WHEN kind = 'record_failure' THEN 1 ELSE 0 END) AS BIGINT) AS hard_errors,
+      |  CAST(sum(CASE WHEN kind = 'record_attempt' AND attemptNumber > 1 THEN 1 ELSE 0 END) AS BIGINT) AS retry_attempts,
+      |  CAST(sum(CASE WHEN kind = 'checkpoint' AND success THEN 1 ELSE 0 END) AS BIGINT) AS checkpoints_succeeded,
+      |  CAST(sum(CASE WHEN kind = 'checkpoint' AND NOT success THEN 1 ELSE 0 END) AS BIGINT) AS checkpoints_failed,
+      |  CAST(sum(CASE WHEN kind = 'iterator_renewed' THEN 1 ELSE 0 END) AS BIGINT) AS iterator_renewals,
+      |  CAST(sum(durationMs) AS BIGINT) AS processing_time_ms,
+      |  CAST(max(durationMs) AS BIGINT) AS max_processing_time_ms
+      |FROM ev GROUP BY 1, 2
+      |ORDER BY window_start_ms, shard_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_monitoring_metrics" -> (s19MonitoringMetrics _),
     "s18_stream_dsir_score" -> (streamDsirScore _),
     "s17_stream_ann_ingest" -> (streamAnnIngest _),
     "s16_stream_reshard" -> (streamReshard _),
@@ -1034,6 +1127,7 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s19_monitoring_metrics" -> s19Oracle,
     "s18_stream_dsir_score" -> TextAnalytics.dsirImportanceOracle,
     "s17_stream_ann_ingest" -> streamAnnIngestOracle,
     "s16_stream_reshard" -> streamCountOracle,

@@ -146,9 +146,15 @@ object MetricsAggregator {
     events
       .groupBy(window(timestamp_millis(col("timestampMs")), windowDuration), col("shardId"))
       .agg(
-        sum(when(col("kind") === "record_attempt" && col("success"), 1L).otherwise(0L))
+        // successes arrive as record_success, NOT record_attempt(success)
+        // — processSingle emits only the former (`processor.rs:1499-1503`)
+        // — so both kinds count, exactly like processEvent's fold; same
+        // for final failures, which arrive as record_failure
+        sum(when(col("kind") === "record_success" ||
+          (col("kind") === "record_attempt" && col("success")), 1L).otherwise(0L))
           .as("records_processed"),
-        sum(when(col("kind") === "record_attempt" && !col("success") && col("isFinalAttempt"), 1L)
+        sum(when(col("kind") === "record_failure" ||
+          (col("kind") === "record_attempt" && !col("success") && col("isFinalAttempt")), 1L)
           .otherwise(0L)).as("records_failed"),
         sum(when(col("kind") === "record_attempt" && !col("success") && !col("isFinalAttempt"), 1L)
           .otherwise(0L)).as("soft_errors"),
