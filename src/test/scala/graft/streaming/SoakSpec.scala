@@ -35,11 +35,26 @@ import org.scalatest.matchers.should.Matchers
 class SoakSpec extends AnyFunSuite with Matchers
     with org.scalatest.BeforeAndAfterAll {
 
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // a live session from a prior suite would make getOrCreate silently
+    // drop every soak-specific config below (numRecentProgressUpdates=400
+    // is load-bearing for the ≥200-progress gate; the retention/maintenance
+    // knobs for the checkpoint-bound gate) — stop and rebuild
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
   override def afterAll(): Unit = {
     // the session carries soak-specific retention/maintenance configs —
     // never leak it to the next suite in the JVM
-    try spark.stop()
-    finally super.afterAll()
+    try {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    } finally super.afterAll()
   }
 
   private val sfDir = "/root/testdata/sf0.001"
