@@ -39,7 +39,9 @@ object SparkEntry {
   // t19_source_kl_audit, e13_filtered_ann. r11: 162 → 163:
   // f8_keyed_merge (apply-changes/SCD1 MERGE sink). Then 163 → 164:
   // s19_monitoring_metrics (M4 windowed fold under the hash gate).
-  val expectedQueryCount: Int = 164
+  // Then 164 → 165: t20_bm25_topk (exact-BIGINT BM25 probe retrieval).
+  // Then 165 → 166: e14_hybrid_rrf (BM25 + cosine reciprocal-rank fusion).
+  val expectedQueryCount: Int = 166
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

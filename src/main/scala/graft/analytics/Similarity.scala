@@ -842,6 +842,126 @@ object Similarity {
       |  WHERE a.vec_id < 8)
       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
+  /** e14 — HYBRID RETRIEVAL WITH RECIPROCAL-RANK FUSION (Cormack et al.
+    * 2009 — the RRF every hybrid search stack ships): fuse a LEXICAL
+    * candidate list (t20's exact-BIGINT BM25, top-50 per probe) with a
+    * VECTOR candidate list (e1's brute cosine top-50, `vec_id` = `doc_id`
+    * by corpus construction) into one ranking,
+    * RRF(d) = Σ_legs 1/(60 + rank_leg(d)) — staged exactly as
+    * 2²⁰ div (60 + rank) per leg (ranks are already deterministic
+    * integers in both engines, so the fused score is exact BIGINT; no
+    * floats anywhere). `n_legs` reports 1- vs 2-leg hits — the classic
+    * RRF diagnostic for how much the modalities agree.
+    *
+    * Scale shape: each leg keeps its own sanctioned shape (BM25's
+    * broadcast-probe posting join; e1's broadcast-probe scan — a
+    * production deployment swaps that leg for e2/e5/e10, the fusion is
+    * leg-agnostic: ranks in, ranks out); fusion itself touches only
+    * |probes|·50·2 id-rank rows — driver-free, corpus-free, and the
+    * per-probe top-10 window pushes its limit map-side. */
+  def hybridRrf(s: SparkSession, d: String, k: Int = 10,
+      legK: Int = 50): DataFrame = {
+    val lex = TextAnalytics.bm25TopK(s, d, k = legK)
+      .select(col("probe_id"), col("doc_id").as("id"), col("rnk").as("r"))
+    val emb = withVec(embeddings(s, d), "embedding")
+      .select(col("vec_id"), col("v"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val vec = broadcast(probes)
+      .join(emb, col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosine("pv", "v"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= legK)
+      .select(col("probe_id"), col("vec_id").as("id"), col("r"))
+    val wf = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf_q").desc, col("id"))
+    lex.unionByName(vec)
+      .withColumn("c", expr("1048576 div (60 + r)"))
+      .groupBy(col("probe_id"), col("id"))
+      .agg(sum(col("c")).as("rrf_q"), count(lit(1)).as("n_legs"))
+      .withColumn("rnk", row_number().over(wf).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("id").as("doc_id"), col("rrf_q"),
+        col("n_legs"), col("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** e14 oracle — t20's BM25 chain at k=50 + e1's rank derivation at
+    * k=50, fused with the identical integer RRF staging. */
+  val hybridRrfOracle: String =
+    """WITH tf AS (SELECT doc_id, token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |        FROM documents) t
+      |  GROUP BY doc_id, token),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS a
+      |  FROM dl),
+      |rq AS (SELECT doc_id, (dl * tot.n * 1024) // tot.a AS rq
+      |  FROM dl CROSS JOIN tot),
+      |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+      |nm AS (SELECT token,
+      |    CAST(length(bin(tot.n // df)) - 1 AS BIGINT) AS ib,
+      |    (tot.n * 1024) //
+      |      (df * (CAST(1 AS BIGINT) << (length(bin(tot.n // df)) - 1))) AS m
+      |  FROM dfx CROSS JOIN tot),
+      |l1 AS (SELECT token, ib, CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN m*m >= 2097152 THEN (m*m) // 2048 ELSE (m*m) // 1024 END AS m
+      |  FROM nm),
+      |l2 AS (SELECT token, ib, 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN m*m >= 2097152 THEN (m*m) // 2048 ELSE (m*m) // 1024 END AS m
+      |  FROM l1),
+      |l3 AS (SELECT token, ib, 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN m*m >= 2097152 THEN (m*m) // 2048 ELSE (m*m) // 1024 END AS m
+      |  FROM l2),
+      |l4 AS (SELECT token, ib, 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN m*m >= 2097152 THEN (m*m) // 2048 ELSE (m*m) // 1024 END AS m
+      |  FROM l3),
+      |l5 AS (SELECT token, ib, 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN m*m >= 2097152 THEN (m*m) // 2048 ELSE (m*m) // 1024 END AS m
+      |  FROM l4),
+      |idf AS (SELECT token,
+      |    64*ib + 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS idf_q64
+      |  FROM l5),
+      |pt AS (SELECT DISTINCT doc_id AS probe_id, token
+      |  FROM tf WHERE doc_id < 5),
+      |sc AS (SELECT pt.probe_id, tf.doc_id,
+      |    CAST(sum(idf.idf_q64 *
+      |        ((22528 * tf.tf * 1024) //
+      |         (10240 * tf.tf + 3072 + 9 * rq.rq))) AS BIGINT) AS score_q
+      |  FROM pt JOIN tf ON pt.token = tf.token AND pt.probe_id <> tf.doc_id
+      |  JOIN idf ON pt.token = idf.token
+      |  JOIN rq ON tf.doc_id = rq.doc_id
+      |  GROUP BY pt.probe_id, tf.doc_id),
+      |lex AS (SELECT probe_id, doc_id AS id, rnk AS r FROM (
+      |  SELECT probe_id, doc_id,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY score_q DESC, doc_id) AS rnk
+      |  FROM sc) x WHERE rnk <= 50),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |  FROM embeddings),
+      |nrm AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) vnorm FROM e),
+      |vec AS (SELECT probe_id, neighbor_id AS id, rank AS r FROM (
+      |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_sum(list_transform(generate_series(1, 64),
+      |        i -> a.v[i] * b.v[i])) / (a.vnorm * b.vnorm) DESC, b.vec_id) AS rank
+      |  FROM nrm a JOIN nrm b ON b.vec_id != a.vec_id
+      |  WHERE a.vec_id < 5) y WHERE rank <= 50),
+      |u AS (SELECT probe_id, id, 1048576 // (60 + r) AS c FROM lex
+      |  UNION ALL SELECT probe_id, id, 1048576 // (60 + r) AS c FROM vec),
+      |f AS (SELECT probe_id, id, CAST(sum(c) AS BIGINT) AS rrf_q,
+      |    CAST(count(*) AS BIGINT) AS n_legs
+      |  FROM u GROUP BY probe_id, id)
+      |SELECT probe_id, doc_id, rrf_q, n_legs, rnk FROM (
+      |  SELECT probe_id, id AS doc_id, rrf_q, n_legs,
+      |    CAST(row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY rrf_q DESC, id) AS BIGINT) AS rnk
+      |  FROM f) z
+      |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+
   /** c1 — K-MEANS CLUSTERING (Lloyd's) over the embedding corpus: K=4,
     * two full assignment iterations, init centroids = the first K vectors.
     * This is the semantic-clustering primitive behind embedding-based corpus
@@ -1356,7 +1476,8 @@ object Similarity {
     "e10_sq8_ann" -> ((s: SparkSession, d: String) => sq8TopK(s, d)),
     "e11_two_stage_rerank" -> ((s: SparkSession, d: String) => twoStageRerank(s, d)),
     "e12_refine_recall" -> (refineRecall _),
-    "e13_filtered_ann" -> ((s: SparkSession, d: String) => filteredAnn(s, d))
+    "e13_filtered_ann" -> ((s: SparkSession, d: String) => filteredAnn(s, d)),
+    "e14_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1374,6 +1495,7 @@ object Similarity {
     "e10_sq8_ann" -> sq8Oracle,
     "e11_two_stage_rerank" -> twoStageRerankOracle,
     "e12_refine_recall" -> refineRecallOracle,
-    "e13_filtered_ann" -> filteredAnnOracle
+    "e13_filtered_ann" -> filteredAnnOracle,
+    "e14_hybrid_rrf" -> hybridRrfOracle
   )
 }

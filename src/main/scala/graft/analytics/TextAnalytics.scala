@@ -784,7 +784,153 @@ object TextAnalytics {
       |  CAST(sum(cs * lam) AS DOUBLE) / sum(cs) AS mean_kl_bits
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  /** t20 — BM25 TOP-K RETRIEVAL (Robertson & Zaragoza 2009, the Okapi
+    * BM25 the reference's users would run through an external search
+    * system): score the corpus against a fixed probe set (docs 0–4 as
+    * "more-like-this" queries — probe ids live in ScaleUp copy 0 only, so
+    * probe count stays constant while the corpus grows, the 100 TB shape)
+    * and emit each probe's top-10 by BM25 with k1=1.2, b=0.75.
+    *
+    * Determinism discipline (t16/t17, extended): BM25's idf·tf-saturation
+    * product is transcendental + float-rational; both factors are staged
+    * in exact BIGINT so engines agree to the bit. The t16 bit-length
+    * trick gives only the INTEGER part of log₂ — useless on this corpus,
+    * where 30 of 31 tokens have df ∈ [0.75N, 0.81N] (every integer log is
+    * 0). So idf is staged at 1/64-bit precision, still transcendental-
+    * free: idf_q64 ≈ ⌊64·log₂(N/df)⌋ (exact up to deterministic 10-bit
+    * mantissa truncation — both engines replay the identical integer
+    * recurrence, which is what the hash gate needs) = 64·ib + 6
+    * fractional bits, where
+    *   ib = ⌊log₂(N div df)⌋           (bit length of an exact integer),
+    *   m  = (N·2¹⁰) div (df·2^ib)      (normalized mantissa ∈ [2¹⁰,2¹¹)),
+    * and each fractional bit is one exact squaring — the classical
+    * shift-and-square algorithm: bit = [m² ≥ 2²¹], m ← m² div 2^(10+bit),
+    * unrolled six times (all intermediates < 2²², BIGINT-safe anywhere).
+    * The tf side:
+    *   rq(d) = (dl·N·1024) div Σdl     (doc length over average, 1/1024),
+    *   q(t,d) = (22528·tf·1024) div (10240·tf + 3072 + 9·rq)  — exactly
+    *     2.2·tf / (tf + 0.3 + 0.9·dl/avgdl) scaled by 2¹⁰·2¹⁰ with
+    *     dl/avgdl pre-quantized to rq/1024,
+    *   score = Σ_t idf_q64·q  over the probe's DISTINCT terms (classic
+    *     query-side tf=1), ties broken by doc_id.
+    * Overflow headroom: per-term product ≤ 64·(log₂N+1)·2252 and the
+    * staged integers ≤ dl·N·2¹⁰ — fine to N = 10¹⁰ docs of 10⁴ tokens.
+    *
+    * Scale shape (t11/t13 discipline): ONE corpus tokenize pass; `tf` is
+    * a (doc, token) partial+final aggregation; `df` re-aggregates `tf`
+    * (identical exchange → ReuseExchange); doc lengths re-aggregate `tf`
+    * per doc; the probe-term table is ≤ |probes|·|vocab-per-doc| rows —
+    * always the broadcast side — so the only corpus-sized operation is
+    * the posting-list equi-join tf⋈probe_terms on token
+    * (AQE-skew-splittable for stop-word tokens); the per-probe top-10 is
+    * a rank window whose limit pushes map-side (WindowGroupLimit). */
+  def bm25TopK(s: SparkSession, d: String, k: Int = 10,
+      probeMax: Int = 5): DataFrame = {
+    Views.sql(s, documents(s, d), "graft_docs_t20_v",
+      s"""WITH tf AS (SELECT doc_id, token, count(1) AS tf
+        |  FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS token
+        |        FROM graft_docs_t20_v)
+        |  GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        |tot AS (SELECT count(1) AS n, sum(dl) AS a FROM dl),
+        |rq AS (SELECT doc_id, (dl * tot.n * 1024) div tot.a AS rq
+        |  FROM dl CROSS JOIN tot),
+        |dfx AS (SELECT token, count(1) AS df FROM tf GROUP BY token),
+        |nm AS (SELECT token,
+        |    CAST(length(bin(tot.n div df)) - 1 AS BIGINT) AS ib,
+        |    (tot.n * 1024) div
+        |      (df * shiftleft(CAST(1 AS BIGINT),
+        |        CAST(length(bin(tot.n div df)) - 1 AS INT))) AS m
+        |  FROM dfx CROSS JOIN tot),
+        |l1 AS (SELECT token, ib, CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN m*m >= 2097152 THEN (m*m) div 2048 ELSE (m*m) div 1024 END AS m
+        |  FROM nm),
+        |l2 AS (SELECT token, ib, 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN m*m >= 2097152 THEN (m*m) div 2048 ELSE (m*m) div 1024 END AS m
+        |  FROM l1),
+        |l3 AS (SELECT token, ib, 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN m*m >= 2097152 THEN (m*m) div 2048 ELSE (m*m) div 1024 END AS m
+        |  FROM l2),
+        |l4 AS (SELECT token, ib, 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN m*m >= 2097152 THEN (m*m) div 2048 ELSE (m*m) div 1024 END AS m
+        |  FROM l3),
+        |l5 AS (SELECT token, ib, 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN m*m >= 2097152 THEN (m*m) div 2048 ELSE (m*m) div 1024 END AS m
+        |  FROM l4),
+        |idf AS (SELECT token,
+        |    64*ib + 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS idf_q64
+        |  FROM l5),
+        |pt AS (SELECT DISTINCT doc_id AS probe_id, token
+        |  FROM tf WHERE doc_id < $probeMax),
+        |sc AS (SELECT pt.probe_id, tf.doc_id,
+        |    sum(idf.idf_q64 *
+        |        ((22528 * tf.tf * 1024) div
+        |         (10240 * tf.tf + 3072 + 9 * rq.rq))) AS score_q
+        |  FROM pt JOIN tf ON pt.token = tf.token AND pt.probe_id <> tf.doc_id
+        |  JOIN idf ON pt.token = idf.token
+        |  JOIN rq ON tf.doc_id = rq.doc_id
+        |  GROUP BY pt.probe_id, tf.doc_id)
+        |SELECT probe_id, doc_id, score_q, rnk FROM (
+        |  SELECT probe_id, doc_id, score_q,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY score_q DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= $k ORDER BY probe_id, rnk""".stripMargin)
+  }
+
+  val bm25TopKOracle: String =
+    """WITH tf AS (SELECT doc_id, token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |        FROM documents) t
+      |  GROUP BY doc_id, token),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS a
+      |  FROM dl),
+      |rq AS (SELECT doc_id, (dl * tot.n * 1024) // tot.a AS rq
+      |  FROM dl CROSS JOIN tot),
+      |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+      |nm AS (SELECT token,
+      |    CAST(length(bin(tot.n // df)) - 1 AS BIGINT) AS ib,
+      |    (tot.n * 1024) //
+      |      (df * (CAST(1 AS BIGINT) << (length(bin(tot.n // df)) - 1))) AS m
+      |  FROM dfx CROSS JOIN tot),
+      |l1 AS (SELECT token, ib, CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN m*m >= 2097152 THEN (m*m) // 2048 ELSE (m*m) // 1024 END AS m
+      |  FROM nm),
+      |l2 AS (SELECT token, ib, 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN m*m >= 2097152 THEN (m*m) // 2048 ELSE (m*m) // 1024 END AS m
+      |  FROM l1),
+      |l3 AS (SELECT token, ib, 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN m*m >= 2097152 THEN (m*m) // 2048 ELSE (m*m) // 1024 END AS m
+      |  FROM l2),
+      |l4 AS (SELECT token, ib, 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN m*m >= 2097152 THEN (m*m) // 2048 ELSE (m*m) // 1024 END AS m
+      |  FROM l3),
+      |l5 AS (SELECT token, ib, 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN m*m >= 2097152 THEN (m*m) // 2048 ELSE (m*m) // 1024 END AS m
+      |  FROM l4),
+      |idf AS (SELECT token,
+      |    64*ib + 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS idf_q64
+      |  FROM l5),
+      |pt AS (SELECT DISTINCT doc_id AS probe_id, token
+      |  FROM tf WHERE doc_id < 5),
+      |sc AS (SELECT pt.probe_id, tf.doc_id,
+      |    CAST(sum(idf.idf_q64 *
+      |        ((22528 * tf.tf * 1024) //
+      |         (10240 * tf.tf + 3072 + 9 * rq.rq))) AS BIGINT) AS score_q
+      |  FROM pt JOIN tf ON pt.token = tf.token AND pt.probe_id <> tf.doc_id
+      |  JOIN idf ON pt.token = idf.token
+      |  JOIN rq ON tf.doc_id = rq.doc_id
+      |  GROUP BY pt.probe_id, tf.doc_id)
+      |SELECT probe_id, doc_id, score_q, rnk FROM (
+      |  SELECT probe_id, doc_id, score_q,
+      |    CAST(row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY score_q DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM sc) r
+      |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "t19_source_kl_audit" -> (sourceKlAudit _),
     "t17_dsir_importance" -> ((s: SparkSession, d: String) => dsirImportance(s, d)),
     "t16_bigram_surprisal" -> ((s: SparkSession, d: String) => bigramSurprisal(s, d)),
@@ -806,6 +952,7 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "t20_bm25_topk" -> bm25TopKOracle,
     "t19_source_kl_audit" -> sourceKlAuditOracle,
     "t17_dsir_importance" -> dsirImportanceOracle,
     "t16_bigram_surprisal" -> bigramSurprisalOracle,

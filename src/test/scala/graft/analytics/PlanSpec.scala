@@ -53,10 +53,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // e11/e12 compose e10's one-row-grid join; p21 crosses in its two
     // 1-row scalar totals (Σmass, the remainder budget) — bounded by
     // construction, and the assertion still requires them broadcast.
+    // t20 (BM25) crosses in its 1-row (N, Σdl) scalar total exactly like
+    // t19; e14 composes t20's chain plus e1's sanctioned conditioned
+    // broadcast-probe pass.
     val codebookJoins = Set("e4_ann_ivf_topk", "e5_ann_recall", "c1_kmeans",
       "c2_semantic_dedup", "e7_knn_graph", "e9_knn_graph_2level",
       "e10_sq8_ann", "e11_two_stage_rerank", "e12_refine_recall",
-      "p21_token_budget_alloc", "t19_source_kl_audit")
+      "p21_token_budget_alloc", "t19_source_kl_audit", "t20_bm25_topk",
+      "e14_hybrid_rrf")
     // queries that eagerly checkpoint their (small) result so their
     // corpus-sized caches release promptly (r9): the registered plan is an
     // RDD scan — gate the LAZY builder instead, releasing its cache after
