@@ -45,13 +45,22 @@ class SoakSpec extends AnyFunSuite with Matchers
       .foreach(_.stop())
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // the state-store maintenance task is a JVM-level singleton whose
+    // interval is captured when it FIRST starts: an earlier streaming
+    // suite leaves it running at the default 60 s, the soak query then
+    // finishes before a single sweep, and gate 3 counts all 200 retained
+    // versions (measured in-suite: 808 files vs <500). Stop it so the
+    // first state access restarts it under this session's 5 s interval.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
   override def afterAll(): Unit = {
     // the session carries soak-specific retention/maintenance configs —
-    // never leak it to the next suite in the JVM
+    // never leak it to the next suite in the JVM (StateStore.stop() also
+    // ends the 5 s maintenance loop this suite started)
     try {
       spark.stop()
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     } finally super.afterAll()
