@@ -41,7 +41,11 @@ object SparkEntry {
   // s19_monitoring_metrics (M4 windowed fold under the hash gate).
   // Then 164 → 165: t20_bm25_topk (exact-BIGINT BM25 probe retrieval).
   // Then 165 → 166: e14_hybrid_rrf (BM25 + cosine reciprocal-rank fusion).
-  val expectedQueryCount: Int = 166
+  // Then 166 → 168: t21_bpe_merges (BPE vocabulary induction — K merge
+  // rounds on the word-frequency table, run-parity greedy-left rewrite)
+  // and t22_kn_surprisal (interpolated Kneser-Ney bigram scoring, q64
+  // log staging on the |vocab|² table only).
+  val expectedQueryCount: Int = 168
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

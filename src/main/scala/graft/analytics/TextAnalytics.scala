@@ -929,7 +929,245 @@ object TextAnalytics {
       |  FROM sc) r
       |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
 
+  /** t21 — BPE MERGE TRAINING (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): learn the first K
+    * byte-pair-encoding merges from the corpus — the vocabulary-induction
+    * step every tokenizer build runs before training. Each round counts
+    * adjacent symbol pairs over the word-frequency table (weighted by
+    * corpus word count, overlapping occurrences included — the reference
+    * `get_stats` semantics), merges the most frequent pair greedily
+    * left-to-right (ties → lexicographic min (a, b)), and repeats on the
+    * rewritten sequences. Output: one row per merge (iter, pair, merged
+    * symbol, weighted pair count).
+    *
+    * Determinism discipline: counts are exact BIGINTs; the argmax is a
+    * total order (cnt DESC, a, b — (a, b) is the group key, so strict);
+    * greedy-left non-overlap is expressed POSITIONALLY so both engines run
+    * the same recurrence: within each maximal run of consecutive matching
+    * positions, every odd-indexed match is taken (run id = pos − rank,
+    * parity via row_number) — provably identical to the sequential fold.
+    *
+    * Scale shape: the ONLY corpus-sized operation is the word-frequency
+    * aggregation (token-keyed partial+final — the t8 discipline); all K
+    * merge rounds run on the |vocab|·avg-word-length positional table,
+    * which is corpus-size-independent. Each round is MATERIALIZED eagerly
+    * (`localCheckpoint` on a vocab-sized table): a lazy 6-deep chain
+    * whose every level re-references the previous one would explode under
+    * Catalyst's CTE inlining (3-plus references per level → 3⁶ subtree
+    * copies at plan time AND 3⁶ re-executions of the corpus pass at run
+    * time) — at 100 TB you materialize the few-million-row vocab table
+    * per round, exactly as here. No driver-side collect anywhere: the
+    * 1-row argmax stays a DataFrame and joins back in. */
+  private def bpeTokSql(docsRel: String, duck: Boolean): String = {
+    val tok =
+      if (duck) s"SELECT unnest(string_split(lower(text), ' ')) AS token FROM $docsRel"
+      else s"SELECT explode(split(lower(text), ' ')) AS token FROM $docsRel"
+    // length >= 2: single-char words can never host a pair, and a
+    // zero-length token would DIVERGE between engines (Spark's
+    // sequence(1, 0) is the DESCENDING [1, 0]; DuckDB's range(1, 1) is
+    // empty) — the filter is symmetric and semantics-free.
+    s"SELECT token AS word, count(1) AS wc FROM ($tok) z " +
+      "WHERE length(token) >= 2 GROUP BY token"
+  }
+
+  /** One BPE round's argmax over the current positional table: weighted
+    * adjacent-pair counts, best by (cnt DESC, a, b) — a strict total
+    * order, since (a, b) is the group key. */
+  private val bpeBestSql: String =
+    """SELECT a, b, cnt FROM (
+      |  SELECT a, b, sum(wc) AS cnt FROM (
+      |    SELECT wc, sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b
+      |    FROM GRAFT_BPE_S) z
+      |  WHERE b IS NOT NULL GROUP BY a, b) p
+      |ORDER BY cnt DESC, a, b LIMIT 1""".stripMargin
+
+  /** One BPE round's greedy-left rewrite, WINDOW-ONLY (no self-joins, so
+    * the previous round is referenced exactly once): within each maximal
+    * run of consecutive matching positions (run id = pos − cumulative
+    * match count, constant inside a run, strictly increasing across
+    * runs), every odd-ranked match is taken — provably the sequential
+    * greedy-left fold — and the position after a taken match is dropped. */
+  private val bpeStepSql: String =
+    """WITH m AS (SELECT s.word, s.wc, s.pos, s.sym, B.a AS ma, B.b AS mb,
+      |    CASE WHEN s.sym = B.a
+      |          AND lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = B.b
+      |      THEN 1 ELSE 0 END AS mt
+      |  FROM GRAFT_BPE_S s CROSS JOIN GRAFT_BPE_B B),
+      |g AS (SELECT word, wc, pos, sym, ma, mb, mt,
+      |    pos - sum(mt) OVER (PARTITION BY word ORDER BY pos
+      |                        ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM m),
+      |k AS (SELECT word, wc, pos, sym, ma, mb, mt,
+      |    CASE WHEN mt = 1 AND row_number() OVER (
+      |        PARTITION BY word, mt, run ORDER BY pos) % 2 = 1
+      |      THEN 1 ELSE 0 END AS tk
+      |  FROM g),
+      |f AS (SELECT word, wc, pos,
+      |    CASE WHEN tk = 1 THEN concat(ma, mb) ELSE sym END AS sym,
+      |    lag(tk) OVER (PARTITION BY word ORDER BY pos) AS dp
+      |  FROM k)
+      |SELECT word, wc, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+      |FROM f WHERE dp IS NULL OR dp = 0""".stripMargin
+
+  def bpeMerges(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    val wf = Views.sql(s, documents(s, d), "graft_docs_t21_v",
+      bpeTokSql("graft_docs_t21_v", duck = false))
+    var cur = Views.sql(s, wf, "GRAFT_BPE_WF",
+      """SELECT word, wc, i AS pos, substring(word, i, 1) AS sym
+        |FROM GRAFT_BPE_WF LATERAL VIEW explode(sequence(1, length(word))) q AS i"""
+        .stripMargin).localCheckpoint()
+    val merges = (1 to iters).map { k =>
+      val best = Views.sql(s, cur, "GRAFT_BPE_S", bpeBestSql).localCheckpoint()
+      cur = Views.sqlN(s, Seq(cur -> "GRAFT_BPE_S", best -> "GRAFT_BPE_B"),
+        bpeStepSql).localCheckpoint()
+      best.select(lit(k.toLong).as("iter"), col("a").as("pair_a"),
+        col("b").as("pair_b"), concat(col("a"), col("b")).as("merged"),
+        col("cnt"))
+    }
+    merges.reduce(_ unionByName _).orderBy("iter")
+  }
+
+  /** The oracle replays the identical recurrence as ONE DuckDB query: the
+    * run-parity rewrite is expressed with per-round CTEs (DuckDB does not
+    * inline CTE references, so the 6-deep chain is linear there). */
+  private def bpeOracleSql(iters: Int): String = {
+    val ctes = Seq(
+      s"wf AS (${bpeTokSql("documents", duck = true)})",
+      "s0 AS (SELECT word, wc, i AS pos, substring(word, i, 1) AS sym " +
+        "FROM wf, unnest(range(1, length(word) + 1)) AS q(i))"
+    ) ++ (1 to iters).flatMap { k =>
+      val p = k - 1
+      Seq(
+        s"""p$k AS (SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+           |    SELECT wc, sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b
+           |    FROM s$p) z
+           |  WHERE b IS NOT NULL GROUP BY a, b)""".stripMargin,
+        s"b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1)",
+        s"""m$k AS (SELECT s.word, s.wc, s.pos, s.sym, b$k.a AS ma, b$k.b AS mb,
+           |    CASE WHEN s.sym = b$k.a
+           |          AND lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b$k.b
+           |      THEN 1 ELSE 0 END AS mt
+           |  FROM s$p s CROSS JOIN b$k)""".stripMargin,
+        s"""g$k AS (SELECT word, wc, pos, sym, ma, mb, mt,
+           |    pos - sum(mt) OVER (PARTITION BY word ORDER BY pos
+           |                        ROWS UNBOUNDED PRECEDING) AS run
+           |  FROM m$k)""".stripMargin,
+        s"""k$k AS (SELECT word, wc, pos, sym, ma, mb, mt,
+           |    CASE WHEN mt = 1 AND row_number() OVER (
+           |        PARTITION BY word, mt, run ORDER BY pos) % 2 = 1
+           |      THEN 1 ELSE 0 END AS tk
+           |  FROM g$k)""".stripMargin,
+        s"""f$k AS (SELECT word, wc, pos,
+           |    CASE WHEN tk = 1 THEN concat(ma, mb) ELSE sym END AS sym,
+           |    lag(tk) OVER (PARTITION BY word ORDER BY pos) AS dp
+           |  FROM k$k)""".stripMargin,
+        s"""s$k AS (SELECT word, wc,
+           |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+           |  FROM f$k WHERE dp IS NULL OR dp = 0)""".stripMargin
+      )
+    }
+    val branches = (1 to iters).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS iter, a AS pair_a, b AS pair_b, " +
+        s"concat(a, b) AS merged, cnt FROM b$k"
+    }.mkString("\n  UNION ALL ")
+    s"WITH ${ctes.mkString(",\n")}\n" +
+      s"SELECT iter, pair_a, pair_b, merged, cnt FROM (\n  $branches) z ORDER BY iter"
+  }
+
+  val bpeMergesOracle: String = bpeOracleSql(6)
+
+  /** t22 — INTERPOLATED KNESER-NEY DOCUMENT SCORING (Kneser & Ney 1995;
+    * Chen & Goodman 1999): the canonical n-gram LM smoother, refining
+    * t16's raw conditional surprisal with absolute discounting plus a
+    * continuation-count backoff — the CCNet-style quality filter scores
+    * documents with exactly this family of LM. With discount D = 3/4
+    * (exact rational, so everything stays in BIGINT ×4):
+    *
+    *   P(w2|w1) = (c(w1,w2) − D)/c(w1·) + D·N1+(w1,·)/c(w1·) · N1+(·,w2)/T
+    *            = [ (4·c12 − 3)·T + 3·N1r(w1)·N1l(w2) ] / [ 4·c1·T ]
+    *
+    * where N1r/N1l are distinct right/left continuation type counts and T
+    * the distinct bigram type count. Per-bigram surprisal −log₂P is the
+    * difference of two staged logs, each computed by the t20 q64 rule
+    * (integer part from bit length, six fractional bits from six exact
+    * squarings) — num ≤ den and the staging is monotone, so bits ≥ 0.
+    *
+    * Scale shape (t16's discipline plus one refinement): bigrams come from
+    * a per-row explode — narrow, no self-join; `bf` is the (doc, pair)
+    * partial+final agg; cb/cs/n1r/n1l/tt all RE-aggregate `bf`/`cb`
+    * (identical exchanges → ReuseExchange), all |vocab|²-bounded and
+    * broadcastable at any corpus size. The q64 squaring chain runs ONLY on
+    * the |vocab|² `cb` table — never on the corpus-sized bigram stream —
+    * and the corpus-sized side touches just one equi-join against that
+    * broadcast-able smoothed table. */
+  private def knSql(docsRel: String, duck: Boolean): String = {
+    val (splitF, sizeF, dv) =
+      if (duck) ("string_split", "len", "//") else ("split", "size", "div")
+    val elem = if (duck) "ws[i]" else "element_at(ws, i)"
+    val elem1 = if (duck) "ws[i + 1]" else "element_at(ws, i + 1)"
+    val lat =
+      if (duck) "FROM w, unnest(range(1, len(ws))) AS seq(i)"
+      else "FROM w LATERAL VIEW explode(sequence(1, size(ws) - 1)) seq AS i"
+    def shl(x: String) =
+      if (duck) s"(CAST(1 AS BIGINT) << (length(bin($x)) - 1))"
+      else s"shiftleft(CAST(1 AS BIGINT), CAST(length(bin($x)) - 1 AS INT))"
+    def big(x: String) = if (duck) s"CAST($x AS BIGINT)" else x
+    val sq = (1 to 5).map { j =>
+      s"""l${j + 1} AS (SELECT w1, w2, ibn,
+         |  CASE WHEN mn*mn >= 2097152 THEN (mn*mn) $dv 2048 ELSE (mn*mn) $dv 1024 END AS mn,
+         |  2*an + CASE WHEN mn*mn >= 2097152 THEN 1 ELSE 0 END AS an,
+         |  ibd,
+         |  CASE WHEN md*md >= 2097152 THEN (md*md) $dv 2048 ELSE (md*md) $dv 1024 END AS md,
+         |  2*ad + CASE WHEN md*md >= 2097152 THEN 1 ELSE 0 END AS ad
+         |  FROM l$j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT doc_id, ws FROM
+       |    (SELECT doc_id, $splitF(lower(text), ' ') AS ws FROM $docsRel) z
+       |  WHERE $sizeF(ws) >= 2),
+       |b AS (SELECT doc_id, $elem AS w1, $elem1 AS w2 $lat),
+       |bf AS (SELECT doc_id, w1, w2, count(1) AS bf FROM b GROUP BY doc_id, w1, w2),
+       |cb AS (SELECT w1, w2, ${big("sum(bf)")} AS cb FROM bf GROUP BY w1, w2),
+       |cs AS (SELECT w1, ${big("sum(cb)")} AS cs FROM cb GROUP BY w1),
+       |n1r AS (SELECT w1, ${big("count(1)")} AS n1r FROM cb GROUP BY w1),
+       |n1l AS (SELECT w2, ${big("count(1)")} AS n1l FROM cb GROUP BY w2),
+       |tt AS (SELECT ${big("count(1)")} AS t FROM cb),
+       |kn0 AS (SELECT cb.w1, cb.w2,
+       |    (4 * cb.cb - 3) * tt.t + 3 * n1r.n1r * n1l.n1l AS num,
+       |    4 * cs.cs * tt.t AS den
+       |  FROM cb JOIN cs ON cb.w1 = cs.w1
+       |    JOIN n1r ON cb.w1 = n1r.w1 JOIN n1l ON cb.w2 = n1l.w2
+       |    CROSS JOIN tt),
+       |l1 AS (SELECT w1, w2,
+       |    CAST(length(bin(num)) - 1 AS BIGINT) AS ibn,
+       |    (num * 1024) $dv ${shl("num")} AS mn,
+       |    CAST(0 AS BIGINT) AS an,
+       |    CAST(length(bin(den)) - 1 AS BIGINT) AS ibd,
+       |    (den * 1024) $dv ${shl("den")} AS md,
+       |    CAST(0 AS BIGINT) AS ad
+       |  FROM kn0),
+       |$sq,
+       |knq AS (SELECT w1, w2,
+       |    (64*ibd + 2*ad + CASE WHEN md*md >= 2097152 THEN 1 ELSE 0 END)
+       |  - (64*ibn + 2*an + CASE WHEN mn*mn >= 2097152 THEN 1 ELSE 0 END)
+       |    AS bits
+       |  FROM l6),
+       |j AS (SELECT bf.doc_id, bf.bf, knq.bits
+       |  FROM bf JOIN knq ON bf.w1 = knq.w1 AND bf.w2 = knq.w2)
+       |SELECT doc_id, ${big("sum(bf)")} AS n_bigrams,
+       |  ${big("sum(bf * bits)")} AS kn_bits_q64,
+       |  CAST(sum(bf * bits) AS DOUBLE) / (64 * sum(bf)) AS mean_bits
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  def knSurprisal(s: SparkSession, d: String): DataFrame =
+    Views.sql(s, documents(s, d), "graft_docs_t22_v",
+      knSql("graft_docs_t22_v", duck = false))
+
+  val knSurprisalOracle: String = knSql("documents", duck = true)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_kn_surprisal" -> ((s: SparkSession, d: String) => knSurprisal(s, d)),
+    "t21_bpe_merges" -> ((s: SparkSession, d: String) => bpeMerges(s, d)),
     "t20_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "t19_source_kl_audit" -> (sourceKlAudit _),
     "t17_dsir_importance" -> ((s: SparkSession, d: String) => dsirImportance(s, d)),
@@ -952,6 +1190,8 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "t22_kn_surprisal" -> knSurprisalOracle,
+    "t21_bpe_merges" -> bpeMergesOracle,
     "t20_bm25_topk" -> bm25TopKOracle,
     "t19_source_kl_audit" -> sourceKlAuditOracle,
     "t17_dsir_importance" -> dsirImportanceOracle,

@@ -55,12 +55,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // construction, and the assertion still requires them broadcast.
     // t20 (BM25) crosses in its 1-row (N, Σdl) scalar total exactly like
     // t19; e14 composes t20's chain plus e1's sanctioned conditioned
-    // broadcast-probe pass.
+    // broadcast-probe pass. t22 (Kneser-Ney) crosses in its 1-row
+    // bigram-type total — bounded by construction, and the assertion
+    // still requires the 1-row side broadcast. (t21's per-round 1-row
+    // argmax cross joins live INSIDE its eagerly-materialized rounds —
+    // the registered plan is a union of checkpointed RDD scans, so it
+    // takes the default no-cartesian gate, not this set.)
     val codebookJoins = Set("e4_ann_ivf_topk", "e5_ann_recall", "c1_kmeans",
       "c2_semantic_dedup", "e7_knn_graph", "e9_knn_graph_2level",
       "e10_sq8_ann", "e11_two_stage_rerank", "e12_refine_recall",
       "p21_token_budget_alloc", "t19_source_kl_audit", "t20_bm25_topk",
-      "e14_hybrid_rrf")
+      "e14_hybrid_rrf", "t22_kn_surprisal")
     // queries that eagerly checkpoint their (small) result so their
     // corpus-sized caches release promptly (r9): the registered plan is an
     // RDD scan — gate the LAZY builder instead, releasing its cache after
