@@ -102,7 +102,11 @@ object Bench {
     // disable).
     val isolatedNames: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_ISOLATED")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq("f6_clustered_layout", "e9_knn_graph_2level"))
+      // f8 joined r11: its operator IS a bucketed base-table build plus a
+      // touched-bucket rewrite — the same corpus-sized-scratch-write class
+      // as f6 (61 s in-run vs ~25 s isolated at sf10 when it landed).
+      .getOrElse(Seq("f6_clustered_layout", "e9_knn_graph_2level",
+        "f8_keyed_merge"))
       .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
     val isolated: Seq[(String, Double)] = isolatedNames.map { name =>
       graft.analytics.Scratch.sweep()

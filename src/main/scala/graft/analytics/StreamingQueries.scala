@@ -1048,14 +1048,71 @@ object StreamingQueries {
     * landed log is corpus-sized and the fold over it is the declarative
     * partial+final windowed aggregation — the 100 TB metrics path. The
     * log path is pinned (conf `spark.graft.s19.eventLogDir`) so the
-    * external oracle can read the identical bytes. */
+    * external oracle can read the identical bytes.
+    *
+    * Driver memory is O(backlog bound), NOT O(corpus) (r11): DEDICATED
+    * consumer threads — the reference's spawned mpsc reader,
+    * `processor.rs:456-465` — drain the queue continuously into a local
+    * TSV spill (two buffered writers out-pace the 32-thread emit burst,
+    * so the bounded channel never backs up), and ONE distributed job then
+    * converts the spill into the parquet landed log (the uploader step of
+    * a production metrics pipeline). The original end-of-run
+    * `createDataset(drain())` materialized the corpus-sized event vector
+    * on the driver — the exact anti-pattern the rest of the surface
+    * avoids — and batch-boundary flushing couldn't keep up at sf10
+    * (1.4M events dropped). */
   def s19MonitoringMetrics(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.monitoring.{EventSink, MetricsAggregator}
     val tmp = tempDir("graft-s19-")
     val (client, batch) = sizedClient(spark, sfDir)
-    val nEvents = Tables.events(spark, sfDir).count()
-    val bounded = new EventSink.Bounded(capacity = (nEvents * 2).toInt + 65536)
+    // the bound is a counter, not a preallocation — memory is used only
+    // while a burst is actually backed up (sf1's whole run is ~4M events)
+    val bounded = new EventSink.Bounded(capacity = (1 << 24) + 65536)
+    val logDir = spark.conf.getOption("spark.graft.s19.eventLogDir")
+      .getOrElse("/tmp/graft_s19_eventlog")
+    val spillDir = new java.io.File(tmp, "evspill")
+    spillDir.mkdirs()
+    @volatile var engineDone = false
+    def consumerThread(tid: Int): Thread = new Thread(() => {
+      var idx = 0
+      var lines = 0L
+      var out: java.io.BufferedWriter = null
+      def roll(): Unit = {
+        if (out != null) out.close()
+        out = new java.io.BufferedWriter(new java.io.FileWriter(
+          new java.io.File(spillDir, f"chunk-$tid-$idx%05d.tsv")), 1 << 20)
+        idx += 1; lines = 0L
+      }
+      roll()
+      val sb = new java.lang.StringBuilder(1 << 20)
+      var done = false
+      while (!done) {
+        val evs = bounded.drain()
+        if (evs.isEmpty) {
+          if (engineDone) done = true else Thread.sleep(2)
+        } else {
+          sb.setLength(0)
+          evs.foreach { e =>
+            val r = MetricsAggregator.toRow(e)
+            sb.append(r.timestampMs).append('\t').append(r.shardId).append('\t')
+              .append(r.kind).append('\t').append(r.success).append('\t')
+              .append(r.isFinalAttempt).append('\t').append(r.attemptNumber)
+              .append('\t').append(r.durationMs).append('\t').append(r.hasError)
+              .append('\n')
+            // cap buffer growth: a drain taken under backlog can return
+            // millions of events in one call
+            if (sb.length >= (1 << 20)) { out.write(sb.toString); sb.setLength(0) }
+          }
+          out.write(sb.toString)
+          lines += evs.size
+          if (lines >= 4000000L) roll()
+        }
+      }
+      out.close()
+    }, s"graft-s19-event-consumer-$tid")
+    val consumers = Seq(consumerThread(0), consumerThread(1))
+    consumers.foreach(_.start())
     val gp = new GraftProcessor[String](
       ProcessorConfig("events", batchSize = batch),
       new MonitoredDecodeProcessor,
@@ -1064,15 +1121,21 @@ object StreamingQueries {
       sink = bounded,
       onItems = (ds, _) =>
         ds.toDF("event_type").write.mode("append").parquet(s"$tmp/items"))
-    gp.run(spark, s"$tmp/ckpt") match {
-      case Left(e) => throw e
-      case Right(()) => ()
+    try {
+      gp.run(spark, s"$tmp/ckpt") match {
+        case Left(e) => throw e
+        case Right(()) => ()
+      }
+    } finally {
+      engineDone = true
+      consumers.foreach(_.join())
     }
     require(bounded.dropped == 0,
       s"s19 event channel dropped ${bounded.dropped} events — size the capacity up")
-    val logDir = spark.conf.getOption("spark.graft.s19.eventLogDir")
-      .getOrElse("/tmp/graft_s19_eventlog")
-    spark.createDataset(bounded.drain().map(MetricsAggregator.toRow))
+    spark.read
+      .schema("timestampMs LONG, shardId STRING, kind STRING, success BOOLEAN, " +
+        "isFinalAttempt BOOLEAN, attemptNumber INT, durationMs LONG, hasError BOOLEAN")
+      .option("sep", "\t").csv(spillDir.getAbsolutePath)
       .write.mode("overwrite").parquet(logDir)
     MetricsAggregator.aggregate(
         spark.read.parquet(logDir).as[MetricsAggregator.EventRow])

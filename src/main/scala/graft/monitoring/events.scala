@@ -132,18 +132,30 @@ object EventSink {
 
   /** Bounded in-memory sink mirroring the mpsc channel: capacity-bounded,
     * drop-newest-with-count on overflow (`processor.rs:456-465`). Used by
-    * tests and the local metrics aggregator. Thread-safe. */
+    * tests and the local metrics aggregator. Thread-safe.
+    *
+    * Lock-free (r11): `emit` sits on the record hot path — with 32 task
+    * threads a lock-based queue serializes the whole engine on its put
+    * lock (measured: the s19 gate spent more time in the sink than in
+    * record processing). A CAS-reserve on the size counter plus a
+    * `ConcurrentLinkedQueue` keeps emission non-blocking and the bound
+    * exact for the drop accounting that matters (an in-flight emitter can
+    * momentarily hold a reservation, never more than #threads above the
+    * cap — the same slack a real mpsc's buffered senders have). */
   final class Bounded(capacity: Int = 1000) extends EventSink {
-    private val queue = new java.util.concurrent.LinkedBlockingQueue[ProcessingEvent](capacity)
+    private val queue = new java.util.concurrent.ConcurrentLinkedQueue[ProcessingEvent]()
+    private val n = new java.util.concurrent.atomic.AtomicLong(0)
     private val droppedCount = new java.util.concurrent.atomic.AtomicLong(0)
     override def emit(event: ProcessingEvent): Unit =
-      if (!queue.offer(event)) { droppedCount.incrementAndGet(); () }
+      if (n.incrementAndGet() <= capacity) { queue.add(event); () }
+      else { n.decrementAndGet(); droppedCount.incrementAndGet(); () }
     def dropped: Long = droppedCount.get()
     def drain(): Vector[ProcessingEvent] = {
-      val buf = new java.util.ArrayList[ProcessingEvent]()
-      queue.drainTo(buf)
-      Vector.from(buf.toArray(Array.empty[ProcessingEvent]))
+      val buf = Vector.newBuilder[ProcessingEvent]
+      var e = queue.poll()
+      while (e != null) { buf += e; n.decrementAndGet(); e = queue.poll() }
+      buf.result()
     }
-    def size: Int = queue.size()
+    def size: Int = math.max(0L, math.min(n.get(), Int.MaxValue.toLong)).toInt
   }
 }
