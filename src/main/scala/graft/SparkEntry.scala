@@ -44,8 +44,10 @@ object SparkEntry {
   // Then 166 → 168: t21_bpe_merges (BPE vocabulary induction — K merge
   // rounds on the word-frequency table, run-parity greedy-left rewrite)
   // and t22_kn_surprisal (interpolated Kneser-Ney bigram scoring, q64
-  // log staging on the |vocab|² table only).
-  val expectedQueryCount: Int = 168
+  // log staging on the |vocab|² table only). Then 168 → 169:
+  // s20_stream_keyed_merge (streaming CDC apply through KeyedMerge —
+  // batching-invariant final state, restart-no-op).
+  val expectedQueryCount: Int = 169
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

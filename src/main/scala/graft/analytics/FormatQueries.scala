@@ -258,7 +258,7 @@ object FormatQueries {
       .orderBy(col("user_id"))
   }
 
-  private val f8Oracle: String =
+  private[analytics] val f8Oracle: String =
     """WITH c AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
       |    event_type, value FROM events),
       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id

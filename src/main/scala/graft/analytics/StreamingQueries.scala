@@ -1167,7 +1167,59 @@ object StreamingQueries {
       |FROM ev GROUP BY 1, 2
       |ORDER BY window_start_ms, shard_id""".stripMargin
 
+  /** s20 — STREAMING CDC KEYED MERGE: the streaming enactment of f8 and
+    * the literal completion of SURVEY §3.3/§4's "foreachBatch + MERGE"
+    * promise. The events table streams in as micro-batches (file-stream
+    * splits — NOT time-ordered at sf ≥ 1, which is the point), each batch
+    * applies through [[KeyedMerge]] (bucketed base, touched-bucket-only
+    * dynamic overwrite, struct-argmax last-writer-wins, stored
+    * tombstones), and the FINAL TABLE STATE is the output. A second
+    * `AvailableNow` run on the same checkpoint must re-apply nothing (the
+    * commit log marks every batch done) — the restart path of a real
+    * incremental pipeline.
+    *
+    * Correctness claim the shared f8 oracle pins: the merged state is
+    * INVARIANT to micro-batch boundaries and arrival order — a late batch
+    * carrying older sequence numbers loses to the stored winner instead
+    * of resurrecting it. One stale bucket, one resurrected delete, or one
+    * replayed epoch double-apply breaks the hash.
+    *
+    * Scale shape: per micro-batch, work = touched buckets + the batch
+    * (bucket-pruned scan, key-keyed partial+final argmax, bucket-
+    * partitioned dynamic overwrite); nothing corpus-sized shuffles;
+    * bucket count self-scales from the corpus row count. */
+  def s20StreamKeyedMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tempDir("graft_s20_")
+    val dir = s"$base/table"; val ckpt = s"$base/ckpt"
+    val numBuckets = math.max(8L,
+      math.min(4096L, Tables.events(spark, sfDir).count() / 50000L)).toInt
+    def runOnce(): Unit = {
+      val q = Tables.normalizeEventTs(eventsFileStream(spark, sfDir))
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val ch = b.select(col("user_id"),
+            expr("ts div 1000").as("tsu"), col("event_id"),
+            when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+              .as(KeyedMerge.OpCol),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+          KeyedMerge.applyChanges(spark, dir, ch,
+            keyCols = Seq("user_id"), seqCols = Seq("tsu", "event_id"),
+            numBuckets = numBuckets)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    runOnce() // restart on the same checkpoint: zero batches re-applied
+    KeyedMerge.read(spark, dir)
+      .select(col("user_id"), col("last_type"), col("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_stream_keyed_merge" -> (s20StreamKeyedMerge _),
     "s19_monitoring_metrics" -> (s19MonitoringMetrics _),
     "s18_stream_dsir_score" -> (streamDsirScore _),
     "s17_stream_ann_ingest" -> (streamAnnIngest _),
@@ -1190,6 +1242,10 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // s20 shares f8's oracle VERBATIM: the streamed incremental apply
+    // must converge to the one-window batch replay regardless of
+    // micro-batch boundaries and arrival order
+    "s20_stream_keyed_merge" -> FormatQueries.f8Oracle,
     "s19_monitoring_metrics" -> s19Oracle,
     "s18_stream_dsir_score" -> TextAnalytics.dsirImportanceOracle,
     "s17_stream_ann_ingest" -> streamAnnIngestOracle,

@@ -108,4 +108,14 @@ class KeyedMergeSpec extends AnyFunSuite with Matchers with SparkSpec {
     Option(new File(dir2).listFiles()).toSeq.flatten
       .count(_.getName.startsWith(s"${KeyedMerge.BucketCol}=")) shouldBe 0
   }
+
+  test("s20 streaming CDC apply equals f8's batch apply — batching invariance") {
+    val sf = "/root/testdata/sf0.001"
+    val viaStream = StreamingQueries.s20StreamKeyedMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val viaBatch = FormatQueries.f8KeyedMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    viaStream should not be empty
+    viaStream shouldBe viaBatch
+  }
 }

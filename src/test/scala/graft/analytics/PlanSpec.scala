@@ -35,7 +35,7 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       "s12_stateful_sessions", "s13_running_counts",
       "s14_stream_topk", "s15_stream_left_outer",
       "s16_stream_reshard", "s17_stream_ann_ingest",
-      "s18_stream_dsir_score")).toSeq.sorted
+      "s18_stream_dsir_score", "s20_stream_keyed_merge")).toSeq.sorted
 
   test("no query plan contains a cartesian product or unconditioned nested loop") {
     // e4 (IVF) legitimately scores every vector against a BOUNDED broadcast
