@@ -251,12 +251,13 @@ object Similarity {
     *     (the registered query passes 16, immune to session config);
     *   - else `spark.graft.knn.cells` set: single-level K from config
     *     (the SCALE.md rehearsal knob, back-compatible);
-    *   - else SELF-SCALING: K ≈ √n via the TWO-LEVEL codebook
-    *     ([[knnGraphTwoLevel]], k1 = k2 ≈ n^(1/4)) — assignment cost
-    *     n·(k1+k2) ≈ 2·n^1.25 instead of single-level n·√n = n^1.5, and
-    *     in-cell occupancy ≈ √n keeps the verify term at n^1.5/1 —
-    *     measured at sf10 this is the ≤60 s path vs 803 s at K=16. The
-    *     one count() job is noise next to the assignment scan it sizes. */
+    *   - else SELF-SCALING: the TWO-LEVEL codebook ([[knnGraphTwoLevel]],
+    *     k1 = k2 ≈ n^(1/3) — the r11 balance rule, see [[sideFor]]):
+    *     assignment n·(k1+k2) ≈ 2·n^(4/3) and in-cell verify Σocc² ≈
+    *     n²/(k1·k2) = n^(4/3) — both terms the same exponent, the IVF
+    *     cell-count optimum (the original n^(1/4) rule left the verify
+    *     term at n^1.5 and it dominated from sf30 up). The one count()
+    *     job is noise next to the assignment scan it sizes. */
   def knnGraph(s: SparkSession, d: String, k: Int = 3, nCells0: Int = 0): DataFrame = {
     if (nCells0 > 0) return knnGraphSingleLevel(s, d, k, nCells0)
     val conf = s.conf.getOption("spark.graft.knn.cells")
@@ -268,14 +269,24 @@ object Similarity {
     }
   }
 
-  /** Smallest s in [4, 256] with s⁴ ≥ n — the k1 = k2 ≈ n^(1/4) two-level
+  /** Smallest s in [4, 512] with s³ ≥ n — the k1 = k2 ≈ n^(1/3) two-level
     * side rule as EXACT integer arithmetic, so the DuckDB oracle replays
-    * it bit-for-bit from `count(*)` (a `ceil(pow(n, 0.25))` would hinge
-    * on libm ULPs at exact fourth powers). The 256 cap keeps the
-    * broadcast fine codebook executor-sized (256² = 65k cells covers
-    * 4·10⁹ vectors). */
-  private[analytics] def sideFor(n: Long): Int =
-    (4 to 256).find(s => s.toLong * s * s * s >= n).getOrElse(256)
+    * it bit-for-bit from `count(*)` (a `ceil(pow(n, 1.0/3))` would hinge
+    * on libm ULPs at exact cubes).
+    *
+    * Why n^(1/3), not the original n^(1/4) (r11 sf30 decade check): the
+    * two-level cost has TWO terms — assignment n·(k1+k2) and the in-cell
+    * verify self-join Σ occupancy² ≈ n²/(k1·k2). With s = n^(1/4) the
+    * assignment is n^1.25 but the verify term is n²/√n = n^1.5, and at
+    * sf30 the verify term dominated (measured Σo² = 1.0·10⁹ pairs,
+    * 204–385 s; the documented law covered only the assignment). The
+    * exponents BALANCE at s = n^(1/3): assignment 2·n^(4/3), verify
+    * n²/n^(2/3) = n^(4/3) — the classic IVF cell-count optimum. The 512
+    * cap keeps the broadcast fine codebook executor-sized (512² = 262k
+    * cells ≈ 140 MB of 64-dim centroids; beyond n = 512³ ≈ 1.3·10⁸ the
+    * verify term gracefully degrades toward n²/262k). */
+  private[graft] def sideFor(n: Long): Int =
+    (4 to 512).find(s => s.toLong * s * s >= n).getOrElse(512)
 
   /** Smallest s in [4, 4096] with s² ≥ n — the single-level K ≈ √n
     * occupancy rule, same exact-integer discipline. */
@@ -287,8 +298,9 @@ object Similarity {
     * replays. DEMOTED from the registered gate surface in r10 (VERDICT r9
     * #3a): both its compute terms (n·K assignment, (n/K)²·K in-cell
     * verify) are n^1.5 at K=√n by construction — the measured single-level
-    * CONTRAST to e9's 2·n^1.25 two-level path, which is what `knnGraph`
-    * dispatches to unconfigured and what the bench should measure. It
+    * CONTRAST to e9's balanced n^(4/3) two-level path, which is what
+    * `knnGraph` dispatches to unconfigured and what the bench should
+    * measure. It
     * stays correctness-gated (KnnGraphContrastSpec re-derives the mutual
     * graph brute-force in-JVM; PlanSpec pins the join/limit shapes) and
     * keeps its DuckDB oracle + the isolated measurement protocol in
@@ -372,8 +384,9 @@ object Similarity {
     * deterministic, SQL-replayable "training"); each vector argmaxes over
     * its OWN cell's fine centroids only — an equi-join on coarse_id, n·k2
     * comparisons. Fine cells are (coarse_id, fine_id) pairs, K = k1·k2 of
-    * them; with k1 = k2 = n^(1/4) the assignment is 2·n^1.25 while in-cell
-    * occupancy stays n/√n = √n, same as single-level √n cells.
+    * them; with k1 = k2 = n^(1/3) (the r11 balance rule — [[sideFor]])
+    * both the assignment n·(k1+k2) and the in-cell verify Σocc² ≈
+    * n²/(k1·k2) land on the same n^(4/3) exponent.
     *
     * The directed top-k + reciprocal tail is e7's verbatim, keyed on the
     * composite cell. The registered e9 entry runs at side = sideFor(count)
@@ -439,16 +452,30 @@ object Similarity {
     (out, Seq(coarseAssigned, assigned))
   }
 
+  /** Dev/probe helper: the (coarse, fine) cell occupancy table of e9's
+    * assignment — Σ occupancy² is the in-cell self-join's exact row
+    * volume, the term the sf30 decade check interrogates. */
+  private[graft] def fineCellHistogram(s: SparkSession, d: String,
+      k1: Int, k2: Int): DataFrame = {
+    val (out, caches) = knnGraphTwoLevelPlan(s, d, 3, k1, k2)
+    out.queryExecution // force analysis so caches exist
+    val assigned = caches.last
+    val h = assigned.groupBy(col("coarse_id"), col("fine_id"))
+      .agg(count(lit(1)).as("o")).localCheckpoint(true)
+    caches.foreach(_.unpersist(false))
+    h
+  }
+
   /** e9 oracle — both codebook levels re-derived independently: the side
-    * from count(*) via the exact-integer s⁴ ≥ n rule (prm), coarse
+    * from count(*) via the exact-integer s³ ≥ n rule (prm), coarse
     * centroids/assignment (the e4 CTEs), the per-cell lowest-side
     * fine-centroid selection, the in-cell fine argmax, then e7's directed
     * top-k + reciprocal tail on the composite cell key. Ties break on
     * (coarse_id | fine_id | vec_id) in both engines. */
   val knnGraphTwoLevelOracle: String =
-    """WITH prm AS (SELECT coalesce(min(s), 256) AS side
-      |  FROM generate_series(4, 256) t(s)
-      |  WHERE s * s * s * s >= (SELECT count(*) FROM embeddings)),
+    """WITH prm AS (SELECT coalesce(min(s), 512) AS side
+      |  FROM generate_series(4, 512) t(s)
+      |  WHERE s * s * s >= (SELECT count(*) FROM embeddings)),
       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm FROM e),
       |coarse AS (SELECT vec_id // 31 AS coarse_id, v AS cv, vnorm AS cnorm FROM n

@@ -423,7 +423,10 @@ object StreamingQueries {
   def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame =
     withStatePartitions(spark, sfDir) {
     import org.apache.spark.sql.streaming.Trigger
-    val name = s"graft_s8_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // parquet sink, not a memory sink: the joined pair set is corpus-sized
+    // and a memory sink materializes it on the driver (the s12 sf30
+    // maxResultSize lesson — s7 learned it first)
+    val base = tempDir("graft_s8_")
     def src = Tables.normalizeEventTs(eventsFileStream(spark, sfDir))
       .select(col("event_id"), col("user_id"),
         timestamp_micros(expr("ts div 1000")).as("tsx"), col("event_type"))
@@ -441,10 +444,11 @@ object StreamingQueries {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
       .select(col("p_id"), col("p_user").as("user_id"), col("click_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
-      .writeStream.format("memory").queryName(name)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name).orderBy(col("p_id"), col("click_id"))
+    spark.read.parquet(s"$base/out").orderBy(col("p_id"), col("click_id"))
   }
 
   /** s9 — STREAMING SESSIONIZATION under the oracle gate: `session_window`
@@ -625,7 +629,10 @@ object StreamingQueries {
     val gapMs = 6L * 3600 * 1000
     val shiftMs = FlushShiftMs
     val realBefore = RealBeforeMs
-    val name = s"graft_s12_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // parquet sink, not a memory sink: the closed-session set is
+    // corpus-sized — the memory sink materialized it on the driver and
+    // breached spark.driver.maxResultSize at sf30 (r11 decade check)
+    val base = tempDir("graft_s12_")
     val real = Tables.normalizeEventTs(
         tableFileStream(spark, sfDir, "events", singleBatch = true))
       .select(col("user_id").as("userId"), col("event_type").as("eventType"),
@@ -643,10 +650,11 @@ object StreamingQueries {
       .as[Sessionize.UserEvent]
     val q = Sessionize.closedSessions(events, gapMs = gapMs - 1)
       .toDF()
-      .writeStream.format("memory").queryName(name)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(s"$base/out")
       .filter(col("sessionStartMs") < realBefore) // drop the flush copies
       .groupBy(col("userId"))
       .agg(count(lit(1)).as("n_sessions"),
@@ -777,7 +785,9 @@ object StreamingQueries {
   def streamLeftOuterJoin(spark: SparkSession, sfDir: String): DataFrame =
     withStatePartitions(spark, sfDir) {
     import org.apache.spark.sql.streaming.Trigger
-    val name = s"graft_s15_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // parquet sink, not a memory sink: the outer-joined pair set is
+    // corpus-sized (the s12 sf30 maxResultSize lesson)
+    val base = tempDir("graft_s15_")
     val shiftUs = FlushShiftMs * 1000L
     val realBeforeUs = RealBeforeMs * 1000L
     // ONE +200y token per SIDE (not the r8 copy-of-every-event explode,
@@ -818,10 +828,11 @@ object StreamingQueries {
       .select(col("p_id"), col("p_user").as("user_id"), col("click_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"),
         unix_micros(col("p_ts")).as("p_us"))
-      .writeStream.format("memory").queryName(name)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(s"$base/out")
       .filter(col("p_us") < realBeforeUs) // drop the flush copies
       .select(col("p_id"), col("user_id"), col("click_id"), col("gap_us"))
       .orderBy(col("p_id"), col("click_id"))
@@ -912,6 +923,10 @@ object StreamingQueries {
       .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
       .agg(array_sort(collect_list(struct(col("cell_id"), col("cv")))).as("cb"))
+      // frozen once (the s18 lesson): a lazy static subtree re-executes
+      // per micro-batch; this one is row-group-pruned and cheap, but the
+      // codebook of a streaming ANN index must not drift mid-stream
+      .localCheckpoint()
     val outDir = s"${tempDir("graft_s17_")}/out"
     val q = tableFileStream(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -988,6 +1003,13 @@ object StreamingQueries {
         |    CAST(length(bin(((tc + 1) * 1048576) div (rawc + 1))) - 1 - 20
         |      AS BIGINT)))) AS lmap
         |FROM tab""".stripMargin)
+      // FREEZE the λ table (r11 sf30 decade check): a lazy static subtree
+      // embedded in a streaming plan RE-EXECUTES per micro-batch — the
+      // corpus-sized λ aggregation ran once per file-source batch and
+      // turned a ~10 s operator into 203 s at sf30. localCheckpoint
+      // materializes the 1-row map once; per-batch re-eval is then an
+      // RDD scan of one row — the "frozen λ map" the contract promises.
+      .localCheckpoint()
     val outDir = s"${tempDir("graft_s18_")}/out"
     val q = tableFileStream(spark, sfDir, "documents")
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))

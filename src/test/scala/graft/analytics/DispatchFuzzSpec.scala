@@ -81,11 +81,11 @@ class DispatchFuzzSpec extends AnyFunSuite with Matchers with SparkSpec {
       val side = Similarity.sideFor(n)
       withClue(s"sideFor($n)=$side:") {
         side should be >= 4
-        side should be <= 256
-        if (side < 256) (side.toLong * side * side * side) should be >= n
+        side should be <= 512
+        if (side < 512) (side.toLong * side * side) should be >= n
         if (side > 4) {
           val p = (side - 1).toLong
-          (p * p * p * p) should be < n
+          (p * p * p) should be < n
         }
       }
     }

@@ -24,7 +24,7 @@ class SelfScalingSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally spark.conf.unset("spark.graft.knn.cells")
   }
 
-  test("e7 default (no arg, no conf) dispatches to the two-level codebook at k1 = k2 ≈ n^(1/4)") {
+  test("e7 default (no arg, no conf) dispatches to the two-level codebook at k1 = k2 ≈ n^(1/3)") {
     spark.conf.getOption("spark.graft.knn.cells") shouldBe None
     val n = Tables.embeddings(spark, sfDir).count()
     val side = Similarity.sideFor(n)
