@@ -338,12 +338,19 @@ object Dedup {
     //   Σdf  = total trigram incidences (the corpus size in shingles),
     //   Σdf² = exact row count of an incidence self-join on the trigram —
     // the same shape as e7/e9's count-driven self-scaling.
+    val (sumDf, sumDf2) = containmentDfProfile(s, d)
+    if (containmentDirectEligible(sumDf, sumDf2)) containmentDedupDirect(s, d)
+    else containmentDedupPrefix(s, d)
+  }
+
+  /** The (Σdf, Σdf²) profile aggregate the dispatch reads — Σdf² is also
+    * the DIRECT strategy's exact candidate row volume, which the r11 sf30
+    * law attribution probes ([[graft.examples.ContainProbe]]). */
+  private[graft] def containmentDfProfile(s: SparkSession, d: String): (Long, Long) = {
     val e = containmentIncidences(s, d)
     val st = e.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .agg(sum(col("df")).as("s1"), sum(col("df") * col("df")).as("s2")).head()
-    val (sumDf, sumDf2) = (st.getLong(0), st.getLong(1))
-    if (containmentDirectEligible(sumDf, sumDf2)) containmentDedupDirect(s, d)
-    else containmentDedupPrefix(s, d)
+    (st.getLong(0), st.getLong(1))
   }
 
   /** Direct path eligibility: Σdf²/Σdf is the df-WEIGHTED mean posting
@@ -375,7 +382,18 @@ object Dedup {
     * before the pair aggregation; a pair sharing zero trigrams can never
     * qualify (threshold ≥ 1), so completeness is structural. The
     * per-pair count is a partial+final aggregation — map-side combine
-    * collapses same-pair rows before the shuffle. */
+    * collapses same-pair rows before the shuffle.
+    *
+    * Partitioning is deliberately left to AQE (r11 sf30 decade check):
+    * an explicit `repartition(P, h)` on both join inputs — tried to
+    * spread the Σdf² join volume — made sf10 3× SLOWER (24 → 80 s),
+    * because a user-specified shuffle opts the join out of AQE's
+    * skew-join splitting, and the trigram df distribution is exactly the
+    * skew that optimization exists for. The sf30 residual (161 s on a
+    * provably ×3 row volume — ContainProbe pins Σdf² at exactly 3.0×)
+    * is single-JVM memory pressure on the 32-reducer pair aggregation,
+    * recorded in SCALE.md; on a real cluster the same plan gets more
+    * reducers from a production shuffle-partition default. */
   private[graft] def containmentDedupDirect(s: SparkSession, d: String): DataFrame = {
     val e = containmentIncidences(s, d)
     val probe = e.select(col("doc_id").as("a_id"), col("sz").as("sa"), col("h"))
