@@ -29,7 +29,7 @@ object DsirProbe {
       r
     }
 
-    spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("sdocs")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
     val lamSql =
       """WITH w AS (SELECT doc_id, lang, split(lower(text), ' ') AS ws FROM sdocs),
         |h AS (SELECT lang, graft_md5_prefix_hashes(
@@ -45,8 +45,9 @@ object DsirProbe {
         |    CAST(length(bin(((tc + 1) * 1048576) div (rawc + 1))) - 1 - 20
         |      AS BIGINT)))) AS lmap
         |FROM tab""".stripMargin
-    time("lambda agg cold") { spark.sql(lamSql).count() }
-    val lam = time("lambda agg + checkpoint") { spark.sql(lamSql).localCheckpoint() }
+    def lamDf() = graft.analytics.Views.sql(spark, docs, "sdocs", lamSql)
+    time("lambda agg cold") { lamDf().count() }
+    val lam = time("lambda agg + checkpoint") { lamDf().localCheckpoint() }
     time("batch scoring pass") {
       spark.read.parquet(s"$sf/documents.parquet")
         .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
