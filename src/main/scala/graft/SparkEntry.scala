@@ -46,8 +46,14 @@ object SparkEntry {
   // and t22_kn_surprisal (interpolated Kneser-Ney bigram scoring, q64
   // log staging on the |vocab|² table only). Then 168 → 169:
   // s20_stream_keyed_merge (streaming CDC apply through KeyedMerge —
-  // batching-invariant final state, restart-no-op).
-  val expectedQueryCount: Int = 169
+  // batching-invariant final state, restart-no-op). Then 169 → 170:
+  // e15_ivfpq_topk (IVF + residual product quantization + ADC — the
+  // FAISS IndexIVFPQ layout, completing the index family). Then
+  // 170 → 171: t23_bpe_fertility (apply t21's trained merges; per-source
+  // tokenizer fertility/compression audit). Then 171 → 172:
+  // s21_stream_drift_audit (bucketed per-source KL drift on a stream —
+  // O(|sources|·1024) state, t19's exact-BIGINT staging on the drain).
+  val expectedQueryCount: Int = 172
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

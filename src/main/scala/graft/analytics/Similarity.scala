@@ -1475,6 +1475,179 @@ object Similarity {
       |  max(cos) AS max_cos, max(cos) >= 0.9 AS contaminated
       |FROM p GROUP BY 1 ORDER BY vec_id""".stripMargin
 
+  /** e15 — IVF-PQ with ADC (Jégou et al. 2011 §IV, the FAISS `IndexIVFPQ`
+    * shape): the index layout actual 100 TB deployments run, combining the
+    * family's two orthogonal compressions — e4's coarse inverted file
+    * (search only `nProbe` cells per probe) and e6's product quantization,
+    * applied to the RESIDUAL v − centroid rather than the raw vector
+    * (residuals concentrate near 0 across all cells, so one shared
+    * 8-codeword sub-codebook covers every cell — the standard IVFADC
+    * trick). Each vector's index state is (cell_id, 4 codes) ≈ 5 bytes;
+    * a probe precomputes one 4×8 distance LUT PER PROBED CELL (the
+    * residual ADC table depends on the probe-to-centroid offset), and a
+    * candidate's approximate distance is four lookups summed in fixed
+    * order.
+    *
+    * Determinism discipline: coarse codebook/assignment are e4's verbatim
+    * (every-31st rule, cosine argmax, window-rank tie-break by cell);
+    * residual sub-codebooks take the residuals of every-29th vector
+    * (coprime to 31, so the two samples interleave); encode argmin orders
+    * by (dist, code); the ADC sum is the left-to-right double chain
+    * `((d0+d1)+d2)+d3` in both engines; rank ties break by vec_id.
+    * Rank-only output — no float reaches the hash.
+    *
+    * Scale shape: assignment is the one full scan (broadcast 16-row coarse
+    * codebook); residual encode is a second narrow pass against the
+    * broadcast 32-row sub-codebook (per-vector argmin via an (id, m)
+    * window on map-local data); the search joins the 5-byte code table
+    * against a broadcast ≤1024-row LUT whose cell equi-join IS the IVF
+    * pruning — non-probed cells drop at the join, so per-probe work is
+    * occupancy × nProbe LUT lookups and the corpus float table is never
+    * touched after encoding. */
+  def ivfPqTopK(s: SparkSession, d: String, k: Int = 5, nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val nSub = 4; val subDim = 16; val nCode = 8
+    val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
+    val centroids = emb
+      .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    // coarse assignment (e4 verbatim) + residual v − centroid
+    val assignScore = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cell_id"))
+    val assigned = emb.join(broadcast(centroids))
+      .withColumn("cscore", cosine("v", "cv"))
+      .withColumn("crk", row_number().over(assignScore))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("cell_id"),
+        expr("zip_with(v, cv, (x, y) -> x - y)").as("r"))
+    val sliced = assigned
+      .select(col("vec_id"), col("cell_id"), posexplode(array(
+        (0 until nSub).map(m => slice(col("r"), m * subDim + 1, subDim)): _*)))
+      .select(col("vec_id"), col("cell_id"), col("pos").as("m"), col("col").as("rs"))
+    // shared residual sub-codebooks: residuals of every-29th vector
+    val codebook = sliced
+      .filter(col("vec_id") % 29 === 0 && col("vec_id") < 29L * nCode)
+      .select(expr("vec_id div 29").cast("int").as("code"), col("m"), col("rs").as("cs"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("code"))
+    val codeCols = (0 until nSub).map(m =>
+      max(when(col("m") === m, col("code"))).as(s"c$m"))
+    val codes = sliced.join(broadcast(codebook), "m")
+      .withColumn("dist", expr("graft_l2sq(rs, cs)"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"), col("cell_id"))
+      .agg(codeCols.head, codeCols.tail: _*)
+    // probes: nProbe nearest cells, each with its probe-residual
+    val probeScore = Window.partitionBy(col("probe_id")).orderBy(col("cscore").desc, col("cell_id"))
+    val probeCells = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .join(broadcast(centroids))
+      .withColumn("cscore", cosine("pv", "cv"))
+      .withColumn("crk", row_number().over(probeScore))
+      .filter(col("crk") <= nProbe)
+      .select(col("probe_id"), col("cell_id"),
+        expr("zip_with(pv, cv, (x, y) -> x - y)").as("pr"))
+    // per-(probe, cell) residual ADC LUT: 8 probes × nProbe cells × 4×8
+    val lut = probeCells
+      .select(col("probe_id"), col("cell_id"), posexplode(array(
+        (0 until nSub).map(m => slice(col("pr"), m * subDim + 1, subDim)): _*)))
+      .select(col("probe_id"), col("cell_id"), col("pos").as("m"), col("col").as("ps"))
+      .join(broadcast(codebook), "m")
+      .withColumn("d", expr("graft_l2sq(ps, cs)"))
+      .select(col("probe_id"), col("cell_id"), col("m"), col("code"), col("d"))
+    def lutFor(m: Int): DataFrame = lut.filter(col("m") === m)
+      .select(col("probe_id").as(s"p$m"), col("cell_id").as(s"cl$m"),
+        col("code").as(s"code$m"), col("d").as(s"d$m"))
+    // the cell equi-join on the m=0 leg IS the IVF pruning: codes in
+    // non-probed cells match no LUT row and drop inside the join
+    val adc = codes
+      .join(broadcast(lutFor(0)),
+        col("c0") === col("code0") && col("cell_id") === col("cl0"))
+      .join(broadcast(lutFor(1)), col("c1") === col("code1") &&
+        col("cell_id") === col("cl1") && col("p1") === col("p0"))
+      .join(broadcast(lutFor(2)), col("c2") === col("code2") &&
+        col("cell_id") === col("cl2") && col("p2") === col("p0"))
+      .join(broadcast(lutFor(3)), col("c3") === col("code3") &&
+        col("cell_id") === col("cl3") && col("p3") === col("p0"))
+      .select(col("p0").as("probe_id"), col("vec_id"),
+        (((col("d0") + col("d1")) + col("d2")) + col("d3")).as("adc"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("vec_id"))
+    adc.filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** e15 oracle — DuckDB rebuilds the whole index: e4's coarse
+    * codebook/assignment (the c2/s17-validated replay), the residuals, the
+    * every-29th residual sub-codebooks, the (dist, code) argmin encode, the
+    * per-(probe, cell) residual LUT, and the fixed-order ADC chain; the
+    * cell+code equi-joins replay the IVF pruning identically. */
+  val ivfPqOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm
+      |  FROM e),
+      |cent AS (SELECT vec_id AS cell_id, v AS cv, vnorm AS cnorm FROM n
+      |         WHERE vec_id % 31 = 0 AND vec_id < 496),
+      |assigned AS (SELECT vec_id, cell_id,
+      |    list_transform(generate_series(1, 64), i -> v[i] - cv[i]) AS r
+      |  FROM (
+      |    SELECT n.vec_id, c.cell_id, n.v, c.cv,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i]))
+      |          / (n.vnorm * c.cnorm) DESC,
+      |        c.cell_id) AS crk
+      |    FROM n, cent c) t WHERE crk = 1),
+      |sub AS (SELECT vec_id, cell_id, t.m, r[t.m*16+1 : t.m*16+16] AS rs
+      |  FROM assigned CROSS JOIN generate_series(0, 3) t(m)),
+      |cb AS (SELECT vec_id // 29 AS code, m, rs AS cs FROM sub
+      |  WHERE vec_id % 29 = 0 AND vec_id < 232),
+      |dist AS (SELECT sub.vec_id, sub.cell_id, sub.m, cb.code,
+      |    list_sum(list_transform(generate_series(1, 16),
+      |      i -> (sub.rs[i] - cb.cs[i]) * (sub.rs[i] - cb.cs[i]))) AS dist
+      |  FROM sub JOIN cb USING (m)),
+      |cw AS (SELECT vec_id, cell_id,
+      |    max(CASE WHEN m = 0 THEN code END) AS c0,
+      |    max(CASE WHEN m = 1 THEN code END) AS c1,
+      |    max(CASE WHEN m = 2 THEN code END) AS c2,
+      |    max(CASE WHEN m = 3 THEN code END) AS c3
+      |  FROM (SELECT vec_id, cell_id, m, code FROM (
+      |      SELECT vec_id, cell_id, m, code,
+      |        row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+      |      FROM dist) z WHERE rn = 1) codes
+      |  GROUP BY 1, 2),
+      |pcell AS (SELECT probe_id, cell_id,
+      |    list_transform(generate_series(1, 64), i -> pv[i] - cv[i]) AS pr
+      |  FROM (
+      |    SELECT n.vec_id AS probe_id, c.cell_id, n.v AS pv, c.cv,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i]))
+      |          / (n.vnorm * c.cnorm) DESC,
+      |        c.cell_id) AS crk
+      |    FROM n, cent c WHERE n.vec_id < 8) t WHERE crk <= 4),
+      |lut AS (SELECT probe_id, cell_id, psub.m, cb.code,
+      |    list_sum(list_transform(generate_series(1, 16),
+      |      i -> (psub.ps[i] - cb.cs[i]) * (psub.ps[i] - cb.cs[i]))) AS d
+      |  FROM (SELECT probe_id, cell_id, t.m, pr[t.m*16+1 : t.m*16+16] AS ps
+      |        FROM pcell CROSS JOIN generate_series(0, 3) t(m)) psub
+      |  JOIN cb USING (m)),
+      |a AS (SELECT cw.vec_id, l0.probe_id,
+      |    ((l0.d + l1.d) + l2.d) + l3.d AS adc
+      |  FROM cw
+      |  JOIN lut l0 ON l0.m = 0 AND l0.code = cw.c0 AND l0.cell_id = cw.cell_id
+      |  JOIN lut l1 ON l1.m = 1 AND l1.code = cw.c1 AND l1.cell_id = cw.cell_id
+      |       AND l1.probe_id = l0.probe_id
+      |  JOIN lut l2 ON l2.m = 2 AND l2.code = cw.c2 AND l2.cell_id = cw.cell_id
+      |       AND l2.probe_id = l0.probe_id
+      |  JOIN lut l3 ON l3.m = 3 AND l3.code = cw.c3 AND l3.cell_id = cw.cell_id
+      |       AND l3.probe_id = l0.probe_id)
+      |SELECT probe_id, vec_id AS neighbor_id, rank FROM (
+      |  SELECT probe_id, vec_id,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rank
+      |  FROM a WHERE vec_id <> probe_id) t
+      |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d8_semantic_decontaminate" -> ((s: SparkSession, d: String) => semanticDecontaminate(s, d)),
     "e6_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
@@ -1504,7 +1677,8 @@ object Similarity {
     "e11_two_stage_rerank" -> ((s: SparkSession, d: String) => twoStageRerank(s, d)),
     "e12_refine_recall" -> (refineRecall _),
     "e13_filtered_ann" -> ((s: SparkSession, d: String) => filteredAnn(s, d)),
-    "e14_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d))
+    "e14_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
+    "e15_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1523,6 +1697,7 @@ object Similarity {
     "e11_two_stage_rerank" -> twoStageRerankOracle,
     "e12_refine_recall" -> refineRecallOracle,
     "e13_filtered_ann" -> filteredAnnOracle,
-    "e14_hybrid_rrf" -> hybridRrfOracle
+    "e14_hybrid_rrf" -> hybridRrfOracle,
+    "e15_ivfpq_topk" -> ivfPqOracle
   )
 }

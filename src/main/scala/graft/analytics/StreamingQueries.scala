@@ -1034,6 +1034,77 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** s21 — STREAMING PER-SOURCE DRIFT AUDIT: t19's KL divergence signal
+    * run the way a production pipeline monitors an ingest stream — token
+    * features are hashed into 1024 buckets (t17's md5-prefix bucket rule,
+    * unigrams), the stream maintains one (source, bucket) count state per
+    * pair, and the drained counts fold to a per-source bucketed KL against
+    * the corpus mixture with t19's exact-BIGINT log staging. Bucketing is
+    * what makes the monitor DEPLOYABLE: streaming state is O(|sources| ×
+    * 1024) — a few thousand rows at any corpus size — where t19's
+    * token-level state would grow with the vocabulary (unbounded on an
+    * open stream).
+    *
+    * Scale shape: per micro-batch work is one codegen'd hash pass plus a
+    * partial+final count into the bounded state; the post-drain fold runs
+    * entirely on the |sources|·1024-row state table (three re-aggregations
+    * of it, one bucket equi-join, scalar totals broadcast). The corpus
+    * text never shuffles — only (source, bucket) pairs do. */
+  def streamDriftAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.GraftFunctions.register(spark)
+    val outDir = s"${tempDir("graft_s21_")}/out"
+    val q = tableFileStream(spark, sfDir, "documents")
+      .select(col("source"), explode(expr(
+        """transform(graft_md5_prefix_hashes(split(lower(text), ' ')),
+          |  t -> t % 1024)""".stripMargin)).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("cs"))
+      .writeStream
+      .foreachBatch((df: DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(outDir))
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    Views.sql(spark, spark.read.parquet(outDir), "graft_s21_sb_v",
+      """WITH c AS (SELECT bucket, sum(cs) AS c FROM graft_s21_sb_v
+        |  GROUP BY bucket),
+        |tots AS (SELECT sum(cs) AS t_total FROM graft_s21_sb_v),
+        |ts AS (SELECT source, sum(cs) AS t_s FROM graft_s21_sb_v
+        |  GROUP BY source),
+        |j AS (SELECT sb.source, sb.cs,
+        |    CAST(length(bin((((sb.cs * 1048576) div c.c) * tots.t_total)
+        |      div ts.t_s)) - 1 - 20 AS BIGINT) AS lam
+        |  FROM graft_s21_sb_v sb JOIN c ON sb.bucket = c.bucket
+        |  CROSS JOIN tots
+        |  JOIN ts ON sb.source = ts.source)
+        |SELECT source, sum(cs) AS n_tokens, sum(cs * lam) AS kl_bits_sum,
+        |  CAST(sum(cs * lam) AS DOUBLE) / sum(cs) AS mean_kl_bits
+        |FROM j GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  /** s21 oracle — DuckDB rebuilds the bucketed counts from the documents
+    * table (the t17-validated md5-prefix bucket replay, unigrams) and
+    * folds the identical exact-BIGINT KL staging. */
+  val streamDriftAuditOracle: String =
+    """WITH b AS (SELECT source,
+      |    CAST('0x' || substr(md5(t.token), 1, 15) AS BIGINT) % 1024 AS bucket
+      |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      |        FROM documents) t),
+      |sb AS (SELECT source, bucket, count(*) AS cs FROM b GROUP BY 1, 2),
+      |c AS (SELECT bucket, CAST(sum(cs) AS BIGINT) AS c FROM sb GROUP BY bucket),
+      |tots AS (SELECT CAST(sum(cs) AS BIGINT) AS t_total FROM sb),
+      |ts AS (SELECT source, CAST(sum(cs) AS BIGINT) AS t_s FROM sb GROUP BY source),
+      |j AS (SELECT sb.source, sb.cs,
+      |    CAST(length(bin((((sb.cs * 1048576) // c.c) * tots.t_total)
+      |      // ts.t_s)) - 1 - 20 AS BIGINT) AS lam
+      |  FROM sb JOIN c ON sb.bucket = c.bucket
+      |  CROSS JOIN tots
+      |  JOIN ts ON sb.source = ts.source)
+      |SELECT source, CAST(sum(cs) AS BIGINT) AS n_tokens,
+      |  CAST(sum(cs * lam) AS BIGINT) AS kl_bits_sum,
+      |  CAST(sum(cs * lam) AS DOUBLE) / sum(cs) AS mean_kl_bits
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   /** Decode used by s19: 'error' payloads hard-fail (dead-letter),
     * sequences ending in '7' soft-fail their first three attempts (soft
     * events + a >1-attempt retry for the retry_attempts counter), the
@@ -1244,6 +1315,7 @@ object StreamingQueries {
     "s20_stream_keyed_merge" -> (s20StreamKeyedMerge _),
     "s19_monitoring_metrics" -> (s19MonitoringMetrics _),
     "s18_stream_dsir_score" -> (streamDsirScore _),
+    "s21_stream_drift_audit" -> (streamDriftAudit _),
     "s17_stream_ann_ingest" -> (streamAnnIngest _),
     "s16_stream_reshard" -> (streamReshard _),
     "s15_stream_left_outer" -> (streamLeftOuterJoin _),
@@ -1270,6 +1342,7 @@ object StreamingQueries {
     "s20_stream_keyed_merge" -> FormatQueries.f8Oracle,
     "s19_monitoring_metrics" -> s19Oracle,
     "s18_stream_dsir_score" -> TextAnalytics.dsirImportanceOracle,
+    "s21_stream_drift_audit" -> streamDriftAuditOracle,
     "s17_stream_ann_ingest" -> streamAnnIngestOracle,
     "s16_stream_reshard" -> streamCountOracle,
     "s15_stream_left_outer" -> streamLeftOuterOracle,

@@ -1009,7 +1009,12 @@ object TextAnalytics {
       |SELECT word, wc, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
       |FROM f WHERE dp IS NULL OR dp = 0""".stripMargin
 
-  def bpeMerges(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+  /** Shared t21/t23 training chain: runs `iters` BPE rounds and returns
+    * (per-round best pairs, final encoded positional vocab table). Each
+    * round's tables are vocab-sized and eagerly materialized (see the t21
+    * scaladoc for why a lazy chain explodes under CTE inlining). */
+  private def bpeChain(s: SparkSession, d: String,
+      iters: Int): (Seq[DataFrame], DataFrame) = {
     val wf = Views.sql(s, documents(s, d), "graft_docs_t21_v",
       bpeTokSql("graft_docs_t21_v", duck = false))
     var cur = Views.sql(s, wf, "GRAFT_BPE_WF",
@@ -1024,14 +1029,21 @@ object TextAnalytics {
         col("b").as("pair_b"), concat(col("a"), col("b")).as("merged"),
         col("cnt"))
     }
-    merges.reduce(_ unionByName _).orderBy("iter")
+    (merges, cur)
   }
+
+  def bpeMerges(s: SparkSession, d: String, iters: Int = 6): DataFrame =
+    bpeChain(s, d, iters)._1.reduce(_ unionByName _).orderBy("iter")
 
   /** The oracle replays the identical recurrence as ONE DuckDB query: the
     * run-parity rewrite is expressed with per-round CTEs (DuckDB does not
     * inline CTE references, so the 6-deep chain is linear there). */
-  private def bpeOracleSql(iters: Int): String = {
-    val ctes = Seq(
+  /** The DuckDB replay of [[bpeChain]] as a CTE sequence (DuckDB does not
+    * inline CTE references, so the iters-deep chain is linear there);
+    * `s$iters` is the final encoded positional vocab, `b$k` round k's best
+    * pair — shared by the t21 and t23 oracles. */
+  private def bpeChainCtes(iters: Int): Seq[String] = {
+    Seq(
       s"wf AS (${bpeTokSql("documents", duck = true)})",
       "s0 AS (SELECT word, wc, i AS pos, substring(word, i, 1) AS sym " +
         "FROM wf, unnest(range(1, length(word) + 1)) AS q(i))"
@@ -1066,6 +1078,10 @@ object TextAnalytics {
            |  FROM f$k WHERE dp IS NULL OR dp = 0)""".stripMargin
       )
     }
+  }
+
+  private def bpeOracleSql(iters: Int): String = {
+    val ctes = bpeChainCtes(iters)
     val branches = (1 to iters).map { k =>
       s"SELECT CAST($k AS BIGINT) AS iter, a AS pair_a, b AS pair_b, " +
         s"concat(a, b) AS merged, cnt FROM b$k"
@@ -1075,6 +1091,76 @@ object TextAnalytics {
   }
 
   val bpeMergesOracle: String = bpeOracleSql(6)
+
+  /** t23 — TOKENIZER FERTILITY AUDIT: apply t21's trained merges and
+    * report, per source, how the induced tokenizer segments that source's
+    * text — token count, fertility (subword tokens per word), and
+    * compression (chars per token). This is the standard audit run before
+    * committing a tokenizer: fertility imbalance across
+    * sources/languages directly skews a token-budgeted mixture (p21
+    * apportions token budgets; this measures what a token "costs" each
+    * source under the learned vocab).
+    *
+    * Because BPE encoding of a word replays the training merges in order,
+    * the final positional table of the training chain IS the encoded
+    * vocab — per-word subword count = max(pos). Words a merge never
+    * touched (length-1 words are excluded from training by the symmetric
+    * wf filter) encode to one symbol per char, i.e. exactly their length.
+    *
+    * Scale shape: training is t21's (one corpus word-frequency pass, K
+    * vocab-sized merge rounds); the audit adds one more corpus-sized
+    * token-keyed partial+final agg — (source, word) counts — and joins it
+    * against the vocab-sized ntoks table on the word key (broadcastable:
+    * the encoded vocab is |vocab| rows at any corpus size), then folds to
+    * |sources| rows. Corpus text never shuffles; only (source, word, c)
+    * triples cross the exchange. */
+  def bpeFertility(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    val vocab = bpeChain(s, d, iters)._2
+    val ntoks = vocab.groupBy(col("word"))
+      .agg(max(col("pos")).as("ntoks"))
+    val sw = Views.sql(s, documents(s, d), "graft_docs_t23_v",
+      """SELECT source, word, count(1) AS c, length(word) AS len
+        |FROM (SELECT source, explode(split(lower(text), ' ')) AS word
+        |      FROM graft_docs_t23_v)
+        |WHERE length(word) >= 1 GROUP BY source, word""".stripMargin)
+    sw.join(broadcast(ntoks), Seq("word"), "left")
+      .withColumn("nt", coalesce(col("ntoks"), col("len")))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("nt")).as("n_tokens"),
+        sum(col("c") * col("len")).as("n_chars"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** t23 oracle — the t21 chain CTEs verbatim (the final `s6` is the
+    * encoded vocab), then the identical (source, word) agg, left join,
+    * and per-source fold; the two ratios are single IEEE divisions of
+    * exact BIGINTs. */
+  private def bpeFertilityOracleSql(iters: Int): String = {
+    val ctes = bpeChainCtes(iters)
+    s"""WITH ${ctes.mkString(",\n")},
+      |nt AS (SELECT word, CAST(max(pos) AS BIGINT) AS ntoks
+      |  FROM s$iters GROUP BY word),
+      |sw AS (SELECT source, word, count(*) AS c, length(word) AS len
+      |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      |        FROM documents) z
+      |  WHERE length(word) >= 1 GROUP BY source, word),
+      |j AS (SELECT sw.source, sw.c, sw.len,
+      |    COALESCE(nt.ntoks, sw.len) AS ntk
+      |  FROM sw LEFT JOIN nt USING (word))
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_words,
+      |  CAST(sum(c * ntk) AS BIGINT) AS n_tokens,
+      |  CAST(sum(c * len) AS BIGINT) AS n_chars,
+      |  CAST(sum(c * ntk) AS DOUBLE) / sum(c) AS fertility,
+      |  CAST(sum(c * len) AS DOUBLE) / sum(c * ntk) AS chars_per_token
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  val bpeFertilityOracle: String = bpeFertilityOracleSql(6)
 
   /** t22 — INTERPOLATED KNESER-NEY DOCUMENT SCORING (Kneser & Ney 1995;
     * Chen & Goodman 1999): the canonical n-gram LM smoother, refining
@@ -1168,6 +1254,7 @@ object TextAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t22_kn_surprisal" -> ((s: SparkSession, d: String) => knSurprisal(s, d)),
     "t21_bpe_merges" -> ((s: SparkSession, d: String) => bpeMerges(s, d)),
+    "t23_bpe_fertility" -> ((s: SparkSession, d: String) => bpeFertility(s, d)),
     "t20_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "t19_source_kl_audit" -> (sourceKlAudit _),
     "t17_dsir_importance" -> ((s: SparkSession, d: String) => dsirImportance(s, d)),
@@ -1192,6 +1279,7 @@ object TextAnalytics {
   val oracles: Map[String, String] = Map(
     "t22_kn_surprisal" -> knSurprisalOracle,
     "t21_bpe_merges" -> bpeMergesOracle,
+    "t23_bpe_fertility" -> bpeFertilityOracle,
     "t20_bm25_topk" -> bm25TopKOracle,
     "t19_source_kl_audit" -> sourceKlAuditOracle,
     "t17_dsir_importance" -> dsirImportanceOracle,

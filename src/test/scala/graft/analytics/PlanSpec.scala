@@ -35,7 +35,8 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       "s12_stateful_sessions", "s13_running_counts",
       "s14_stream_topk", "s15_stream_left_outer",
       "s16_stream_reshard", "s17_stream_ann_ingest",
-      "s18_stream_dsir_score", "s20_stream_keyed_merge")).toSeq.sorted
+      "s18_stream_dsir_score", "s20_stream_keyed_merge",
+      "s21_stream_drift_audit")).toSeq.sorted
 
   test("no query plan contains a cartesian product or unconditioned nested loop") {
     // e4 (IVF) legitimately scores every vector against a BOUNDED broadcast
@@ -61,11 +62,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // argmax cross joins live INSIDE its eagerly-materialized rounds —
     // the registered plan is a union of checkpointed RDD scans, so it
     // takes the default no-cartesian gate, not this set.)
+    // e15 (IVF-PQ) composes e4's sanctioned broadcast-codebook assignment
+    // (coarse) before its conditioned code/cell LUT equi-joins.
     val codebookJoins = Set("e4_ann_ivf_topk", "e5_ann_recall", "c1_kmeans",
       "c2_semantic_dedup", "e7_knn_graph", "e9_knn_graph_2level",
       "e10_sq8_ann", "e11_two_stage_rerank", "e12_refine_recall",
       "p21_token_budget_alloc", "t19_source_kl_audit", "t20_bm25_topk",
-      "e14_hybrid_rrf", "t22_kn_surprisal")
+      "e14_hybrid_rrf", "t22_kn_surprisal", "e15_ivfpq_topk")
     // queries that eagerly checkpoint their (small) result so their
     // corpus-sized caches release promptly (r9): the registered plan is an
     // RDD scan — gate the LAZY builder instead, releasing its cache after
