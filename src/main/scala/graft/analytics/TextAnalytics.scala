@@ -1123,7 +1123,12 @@ object TextAnalytics {
         |FROM (SELECT source, explode(split(lower(text), ' ')) AS word
         |      FROM graft_docs_t23_v)
         |WHERE length(word) >= 1 GROUP BY source, word""".stripMargin)
-    sw.join(broadcast(ntoks), Seq("word"), "left")
+    // word-keyed shuffle join, NOT broadcast: ntoks is |vocab| rows and
+    // the vocabulary grows with the corpus (the broadcast hint measured
+    // 42 s at sf10 building a multi-million-row broadcast; the shuffled
+    // join is linear and the (source, word) agg side already hashes on
+    // a compatible key)
+    sw.join(ntoks, Seq("word"), "left")
       .withColumn("nt", coalesce(col("ntoks"), col("len")))
       .groupBy(col("source"))
       .agg(sum(col("c")).as("n_words"),
