@@ -53,7 +53,10 @@ object SparkEntry {
   // tokenizer fertility/compression audit). Then 171 → 172:
   // s21_stream_drift_audit (bucketed per-source KL drift on a stream —
   // O(|sources|·1024) state, t19's exact-BIGINT staging on the drain).
-  val expectedQueryCount: Int = 172
+  // Then 172 → 173: d13_softdedup_weights (duplicate-aware 1/n
+  // down-weighting over n4's clustering — keep-all-reweighted, the
+  // complement of n7's keep-best).
+  val expectedQueryCount: Int = 173
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -578,7 +578,57 @@ object NearDup {
       |  FROM clusters c JOIN l ON l.doc_id = c.doc_id)
       |WHERE rk = 1 ORDER BY cluster_id""".stripMargin
 
+  /** d13 — SOFT DEDUP (duplicate-aware down-WEIGHTING): the alternative
+    * to dropping near-dups that modern pretraining recipes use when
+    * duplicated content is still informative — every document survives,
+    * but each member of an n-member near-dup cluster trains at weight
+    * 1/n, so duplicated content contributes one document's worth of
+    * gradient no matter how many copies exist. (n7 is the keep-BEST
+    * decision; d13 is the keep-ALL-reweighted decision — both consume
+    * n4's clustering.) Weights are staged exact: weight_q20 =
+    * 2²⁰ div n (BIGINT), with the single-IEEE-division weight as the
+    * diagnostic double; unclustered docs carry exactly 2²⁰.
+    *
+    * Scale shape: n4's banded clustering plus one |clusters|-row count
+    * aggregation; the corpus side joins by doc_id with only (doc_id)
+    * projected — text never shuffles — and the cluster-size join is
+    * |clustered docs| vs |clusters| (both pair-derived, corpus-bounded).
+    * Output is one row per document (the weight table a trainer reads). */
+  def softDedupWeights(s: SparkSession, d: String): DataFrame = {
+    val clusters = minhashClusters(s, d)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"))
+    documents(s, d).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"),
+        coalesce(col("n"), lit(1L)).as("n_dups"),
+        expr("1048576L div coalesce(n, 1L)").as("weight_q20"))
+      .withColumn("weight",
+        col("weight_q20").cast("double") / lit(1048576.0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d13 oracle — the full n4 recursive-CTE cluster re-derivation, an
+    * independent cluster-size count, and the identical integer weight
+    * staging over every corpus document. */
+  val softDedupWeightsOracle: String =
+    s"""WITH clusters AS ($minhashClustersOracle),
+      |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM clusters GROUP BY cluster_id)
+      |SELECT d.doc_id,
+      |  COALESCE(c.cluster_id, -1) AS cluster_id,
+      |  COALESCE(s.n, 1) AS n_dups,
+      |  1048576 // COALESCE(s.n, 1) AS weight_q20,
+      |  CAST(1048576 // COALESCE(s.n, 1) AS DOUBLE) / 1048576.0 AS weight
+      |FROM documents d
+      |LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      |LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_softdedup_weights" -> (softDedupWeights _),
     "n5_simhash_portable" -> (simhashPortable _),
     "n7_cluster_rep" -> (clusterRepresentative _),
     "n1_minhash_neardup" -> (minhashNearDup _),
@@ -597,6 +647,7 @@ object NearDup {
     "n4_neardup_clusters" -> minhashClustersOracle,
     "d9_minhash_decontaminate" -> minhashDecontaminateOracle,
     "n6_neardup_clusters_bigstar" -> minhashClustersOracle,
-    "n7_cluster_rep" -> clusterRepresentativeOracle
+    "n7_cluster_rep" -> clusterRepresentativeOracle,
+    "d13_softdedup_weights" -> softDedupWeightsOracle
   )
 }

@@ -146,6 +146,29 @@ class RoundElevenBOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("d13 equals reweighting n4's own registered clustering in plain Scala") {
+    val clusters = NearDup.minhashClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc_id -> cluster_id
+    val sizes = clusters.values.groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val exp = docs.map { id =>
+      val (c, n) = clusters.get(id).fold((-1L, 1L))(c => (c, sizes(c)))
+      id -> (c, n, 1048576L / n, (1048576L / n).toDouble / 1048576.0)
+    }.toMap
+    val got = NearDup.softDedupWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    got shouldBe exp
+    // weights must reconcile: every cluster's members sum to ~1 doc of
+    // mass (within div truncation) and some cluster actually has n > 1
+    got.values.map(_._2).max should be > 1L
+    got.values.filter(_._1 >= 0).groupBy(_._1).foreach { case (_, vs) =>
+      val n = vs.head._2
+      vs.map(_._3).sum shouldBe (1048576L / n) * n
+    }
+  }
+
   test("s21 equals an in-memory md5-bucketed KL replay") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def bucket(tok: String): Long = {
