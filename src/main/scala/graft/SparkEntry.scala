@@ -55,8 +55,10 @@ object SparkEntry {
   // O(|sources|·1024) state, t19's exact-BIGINT staging on the drain).
   // Then 172 → 173: d13_softdedup_weights (duplicate-aware 1/n
   // down-weighting over n4's clustering — keep-all-reweighted, the
-  // complement of n7's keep-best).
-  val expectedQueryCount: Int = 173
+  // complement of n7's keep-best). Then 173 → 174: e16_ivfpq_recall
+  // (recall@5 of flat PQ vs IVF-PQ against brute truth — closes the
+  // recall-gate pattern over the index family).
+  val expectedQueryCount: Int = 174
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1653,6 +1653,42 @@ object Similarity {
       |  FROM a WHERE vec_id <> probe_id) t
       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
+  /** e16 — IVF-PQ RECALL AUDIT, closing the recall-gate pattern over the
+    * index family (e5 gates LSH/IVF, e12 gates SQ8/refine): recall@5
+    * against e1's brute-force cosine truth for flat PQ (e6) vs IVF-PQ
+    * (e15) — the measurement that shows what the coarse pruning costs on
+    * top of the quantization error (a candidate outside the probed cells
+    * can never be returned, however good its code distance). e5's
+    * composition shape: top-k sets are 8×5 rows, every join
+    * broadcast-sized no matter the corpus. */
+  def ivfPqRecall(s: SparkSession, d: String): DataFrame = {
+    val brute = bruteCosineTopK(s, d).select(col("probe_id"), col("neighbor_id"))
+    val pq = pqAdcTopK(s, d).select(col("probe_id"), col("neighbor_id"),
+      lit(1).as("phit"))
+    val ivfpq = ivfPqTopK(s, d).select(col("probe_id"), col("neighbor_id"),
+      lit(1).as("vhit"))
+    brute
+      .join(pq, Seq("probe_id", "neighbor_id"), "left")
+      .join(ivfpq, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("phit")).as("pq_hits"), count(col("vhit")).as("ivfpq_hits"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** e16 oracle — the e1/e6/e15 oracles verbatim as CTEs (e5's nested-WITH
+    * trick), so the audit inherits their independent re-derivations. */
+  def ivfPqRecallOracle: String =
+    s"""WITH brute AS ($bruteCosineOracle),
+      |pq AS ($pqAdcOracle),
+      |ivfpq AS ($ivfPqOracle)
+      |SELECT b.probe_id,
+      |  count(p.probe_id) AS pq_hits,
+      |  count(v.probe_id) AS ivfpq_hits
+      |FROM brute b
+      |LEFT JOIN pq p ON p.probe_id = b.probe_id AND p.neighbor_id = b.neighbor_id
+      |LEFT JOIN ivfpq v ON v.probe_id = b.probe_id AND v.neighbor_id = b.neighbor_id
+      |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d8_semantic_decontaminate" -> ((s: SparkSession, d: String) => semanticDecontaminate(s, d)),
     "e6_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
@@ -1683,7 +1719,8 @@ object Similarity {
     "e12_refine_recall" -> (refineRecall _),
     "e13_filtered_ann" -> ((s: SparkSession, d: String) => filteredAnn(s, d)),
     "e14_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
-    "e15_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d))
+    "e15_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
+    "e16_ivfpq_recall" -> (ivfPqRecall _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1703,6 +1740,7 @@ object Similarity {
     "e12_refine_recall" -> refineRecallOracle,
     "e13_filtered_ann" -> filteredAnnOracle,
     "e14_hybrid_rrf" -> hybridRrfOracle,
-    "e15_ivfpq_topk" -> ivfPqOracle
+    "e15_ivfpq_topk" -> ivfPqOracle,
+    "e16_ivfpq_recall" -> ivfPqRecallOracle
   )
 }

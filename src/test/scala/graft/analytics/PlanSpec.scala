@@ -68,7 +68,10 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       "c2_semantic_dedup", "e7_knn_graph", "e9_knn_graph_2level",
       "e10_sq8_ann", "e11_two_stage_rerank", "e12_refine_recall",
       "p21_token_budget_alloc", "t19_source_kl_audit", "t20_bm25_topk",
-      "e14_hybrid_rrf", "t22_kn_surprisal", "e15_ivfpq_topk")
+      "e14_hybrid_rrf", "t22_kn_surprisal", "e15_ivfpq_topk",
+      // e16 composes e15's sanctioned coarse-assignment BNLJ (plus e1's
+      // conditioned broadcast-probe pass in the brute-truth leg)
+      "e16_ivfpq_recall")
     // queries that eagerly checkpoint their (small) result so their
     // corpus-sized caches release promptly (r9): the registered plan is an
     // RDD scan — gate the LAZY builder instead, releasing its cache after

@@ -146,6 +146,26 @@ class RoundElevenBOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("e16 equals intersecting the three legs' own registered outputs") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteCosineTopK(spark, sf)
+      .select("probe_id", "neighbor_id"))
+    val pq = pairs(Similarity.pqAdcTopK(spark, sf)
+      .select("probe_id", "neighbor_id"))
+    val ivfpq = pairs(Similarity.ivfPqTopK(spark, sf)
+      .select("probe_id", "neighbor_id"))
+    val exp = brute.groupBy(_._1).map { case (p, ks) =>
+      p -> (ks.count(pq.contains).toLong, ks.count(ivfpq.contains).toLong)
+    }
+    val got = Similarity.ivfPqRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got shouldBe exp
+    // the audit must measure something: at least one probe recalls a true
+    // neighbor through the compressed index
+    got.values.map(_._2).max should be > 0L
+  }
+
   test("d13 equals reweighting n4's own registered clustering in plain Scala") {
     val clusters = NearDup.minhashClusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc_id -> cluster_id
