@@ -52,12 +52,16 @@ class ConcurrencySpec extends AnyFunSuite with Matchers with graft.SparkSpec {
     "t15_unigram_surprisal", "t16_bigram_surprisal", "t17_dsir_importance",
     "t19_source_kl_audit", "d12_cdc_chunk_dedup", "p20_pretrain_pipeline",
     "p21_token_budget_alloc", "g1_event_pagerank",
-    "d1_exact_dedup", "e1_ann_brute_topk")
+    "d1_exact_dedup", "e1_ann_brute_topk",
+    // r11 continuation entries: t23 runs the t21 view+localCheckpoint
+    // chain (the heaviest Views user), d13 shares the persisted corpus
+    // signature table across threads, e15 is pure DataFrame control
+    "t23_bpe_fertility", "d13_softdedup_weights", "e15_ivfpq_topk")
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  test("20 queries x2 concurrent on one FAIR session == sequential results") {
+  test("23 queries x2 concurrent on one FAIR session == sequential results") {
     val sequential: Map[String, Seq[String]] =
       names.map(n => n -> rows(SparkEntry.queries(n)(spark, sf))).toMap
 
