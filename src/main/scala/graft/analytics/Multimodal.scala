@@ -568,7 +568,100 @@ object Multimodal {
       |  CAST(sum(seg_len) AS BIGINT) AS n_voiced
       |FROM seg GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** Per-video ordered frame-signature fingerprint (m9). */
+  final case class VideoPrint(media_id: Long, n_frames: Long, fp: String)
+
+  /** m9 — VIDEO FINGERPRINT DEDUP: cross-video duplicate detection by
+    * per-frame perceptual signatures — the video member of the dedup
+    * family (d1 text hashes, m6 image aHash). Each video is m3/m7's
+    * frame slicing; each frame gets m6's aHash discipline applied to its
+    * bytes (bit b set iff byte b clears the frame mean, compared as
+    * fb·byte > Σframe — integer cross-multiplication, 62 bits max), and
+    * the video's fingerprint is the '_'-joined signature sequence IN
+    * FRAME ORDER (re-encoded or re-containerized copies of the same
+    * content collide; videos differing in any frame don't). Dedup is
+    * d1's hash-groupBy on (n_frames, fp); the corpus is doubled (the
+    * m6/d1 convention) so every video has exactly one duplicate.
+    *
+    * Scale shape: decode + per-frame signatures run executor-side per
+    * partition (payload bytes never shuffle); only (media_id, n_frames,
+    * fp) rows — ≤ 8 signatures' worth of digits — cross the exchange,
+    * and the groupBy is partial+final on the fingerprint key. A
+    * production pipeline swaps real keyframe luma planes in at the same
+    * [[MediaDecoder]] seam; near-dup (Hamming ≤ k per frame) reuses n3's
+    * banding on the same signatures. */
+  def videoDedup(s: SparkSession, d: String, maxFrames: Int = 8): DataFrame = {
+    import s.implicits._
+    val base = mediaTable(s, d).filter(col("kind") === "video")
+    val doubled = base.unionByName(
+      base.withColumn("media_id", col("media_id") + 1000000L)).as[Media]
+    doubled.mapPartitions(_.map { m =>
+      val nf = math.min(maxFrames.toLong, math.max(1L, m.duration_ms / 1000L)).toInt
+      val fb = m.payload.length / nf
+      val sb = new StringBuilder
+      var f = 0
+      while (f < nf) {
+        var fsum = 0L
+        var i = f * fb
+        while (i < (f + 1) * fb) { fsum += (m.payload(i) & 0xFF).toLong; i += 1 }
+        var sig = 0L
+        var b = 0
+        val nb = math.min(62, fb)
+        while (b < nb) {
+          if (fb.toLong * (m.payload(f * fb + b) & 0xFF) > fsum) sig |= 1L << b
+          b += 1
+        }
+        if (f > 0) sb.append('_')
+        sb.append(sig)
+        f += 1
+      }
+      VideoPrint(m.media_id, nf.toLong, sb.toString)
+    }).toDF()
+      .groupBy(col("n_frames"), col("fp"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("n_frames"), col("fp"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** m9 oracle — DuckDB re-derives every frame's byte sum and the
+    * cross-multiplied 62-bit signature from character positions (the
+    * m5/m7 ASCII contract), keeps zero-length frames as signature 0 via
+    * the LEFT-JOIN skeleton (m7's fl trick), orders the string_agg by
+    * frame_idx, and replays the doubled-corpus groupBy. */
+  val videoDedupOracle: String =
+    """WITH v AS (SELECT doc_id AS media_id, text,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    least(8, greatest(1, (n_chars * 40) // 1000)) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |dup AS (SELECT media_id, text, n_bytes, n_frames FROM v
+      |        UNION ALL SELECT media_id + 1000000, text, n_bytes, n_frames FROM v),
+      |fr AS (SELECT media_id, frame_idx, n_bytes // n_frames AS fb, text, n_frames
+      |  FROM dup, unnest(generate_series(0, n_frames - 1)) t(frame_idx)),
+      |tot AS (SELECT media_id, frame_idx,
+      |    CAST(sum(unicode(substr(text, CAST(frame_idx * fb + i + 1 AS INT), 1)))
+      |      AS BIGINT) AS fsum
+      |  FROM fr, unnest(generate_series(0, fb - 1)) u(i)
+      |  GROUP BY media_id, frame_idx),
+      |sigb AS (SELECT z.media_id, z.frame_idx,
+      |    CAST(sum(CASE WHEN z.fb * z.ub > z.fsum
+      |      THEN (CAST(1 AS BIGINT) << z.b) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM (SELECT fr.media_id, fr.frame_idx, fr.fb, t2.fsum, w.b,
+      |          CAST(unicode(substr(fr.text,
+      |            CAST(fr.frame_idx * fr.fb + w.b + 1 AS INT), 1)) AS BIGINT) AS ub
+      |        FROM fr JOIN tot t2 USING (media_id, frame_idx),
+      |             unnest(generate_series(0, least(62, fb) - 1)) w(b)) z
+      |  GROUP BY z.media_id, z.frame_idx),
+      |sk AS (SELECT fr.media_id, fr.frame_idx, fr.n_frames,
+      |    coalesce(sigb.sig, 0) AS sig
+      |  FROM fr LEFT JOIN sigb USING (media_id, frame_idx)),
+      |fp AS (SELECT media_id, CAST(max(n_frames) AS BIGINT) AS n_frames,
+      |    string_agg(CAST(sig AS VARCHAR), '_' ORDER BY frame_idx) AS fp
+      |  FROM sk GROUP BY media_id)
+      |SELECT min(media_id) AS keep_id, count(*) AS n_copies, n_frames, fp
+      |FROM fp GROUP BY n_frames, fp ORDER BY keep_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_video_dedup" -> ((s: SparkSession, d: String) => videoDedup(s, d)),
     "m8_voiced_segments" -> ((s: SparkSession, d: String) => voicedSegments(s, d)),
     "m7_scene_change" -> ((s: SparkSession, d: String) => sceneChange(s, d)),
     "m6_phash_dedup" -> (phashDedup _),
@@ -580,6 +673,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "m9_video_dedup" -> videoDedupOracle,
     "m8_voiced_segments" -> voicedSegmentsOracle,
     "m7_scene_change" -> sceneChangeOracle,
     "m6_phash_dedup" -> phashDedupOracle,

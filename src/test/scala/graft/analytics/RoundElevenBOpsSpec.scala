@@ -189,6 +189,39 @@ class RoundElevenBOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("m9 equals an in-memory frame-fingerprint replay; every video pairs with its copy") {
+    val vids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .filter(_.getLong(0) % 3 == 2)
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8"),
+        r.getLong(2) * 40L))
+    def print0(payload: Array[Byte], durMs: Long): (Long, String) = {
+      val nf = math.min(8L, math.max(1L, durMs / 1000L)).toInt
+      val fb = payload.length / nf
+      val fps = (0 until nf).map { f =>
+        val fsum = (f * fb until (f + 1) * fb).map(i => (payload(i) & 0xFF).toLong).sum
+        (0 until math.min(62, fb)).foldLeft(0L) { (sig, b) =>
+          if (fb.toLong * (payload(f * fb + b) & 0xFF) > fsum) sig | (1L << b) else sig
+        }
+      }
+      (nf.toLong, fps.mkString("_"))
+    }
+    val prints = vids.flatMap { case (id, p, dur) =>
+      val (nf, fp) = print0(p, dur)
+      Seq((id, nf, fp), (id + 1000000L, nf, fp))
+    }
+    val exp = prints.groupBy(t => (t._2, t._3)).map { case ((nf, fp), vs) =>
+      (vs.map(_._1).min, vs.size.toLong, nf, fp)
+    }.toSet
+    val got = Multimodal.videoDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    got shouldBe exp
+    // the doubled corpus means every group has an even copy count, and at
+    // least one fingerprint actually discriminates (not all videos equal)
+    got.foreach { case (_, n, _, _) => n % 2 shouldBe 0L }
+    got.size should be > 1
+  }
+
   test("s21 equals an in-memory md5-bucketed KL replay") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def bucket(tok: String): Long = {
