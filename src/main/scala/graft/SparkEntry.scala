@@ -57,8 +57,20 @@ object SparkEntry {
   // down-weighting over n4's clustering — keep-all-reweighted, the
   // complement of n7's keep-best). Then 173 → 174: e16_ivfpq_recall
   // (recall@5 of flat PQ vs IVF-PQ against brute truth — closes the
-  // recall-gate pattern over the index family).
-  val expectedQueryCount: Int = 174
+  // recall-gate pattern over the index family). Then 174 → 175:
+  // m9_video_dedup (cross-video duplicate detection by ordered per-frame
+  // aHash fingerprints — the video member of the dedup family). Then
+  // 175 → 176: t24_perplexity_filter (CCNet-style per-source perplexity
+  // terciles over t22's KN scorer — THE model-based quality filter).
+  // Then 176 → 177: e17_graph_ann (greedy beam search over e9's
+  // reciprocal kNN graph — the HNSW/DiskANN family member, completing
+  // the ANN index families). Then 177 → 180: f9_snapshot_read
+  // (append-only versioned table + as-of time travel — reproducible
+  // training snapshots), m10_audio_dedup (energy-delta fingerprints —
+  // dedup now spans text/image/video/audio), p22_curriculum_schedule
+  // (two-phase anneal schedule: temperature-weighted main + head-only
+  // anneal, exact largest-remainder budgets over t24's terciles).
+  val expectedQueryCount: Int = 180
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -267,8 +267,70 @@ object FormatQueries {
       |FROM r WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** f9 — VERSIONED SNAPSHOT READ (time travel) under the oracle gate:
+    * f8's event CDC stream is committed as 6 event-time-ordered
+    * APPEND-ONLY deltas through [[VersionedTable]], then the table is
+    * read AS OF version 3 (mid-history) and version 5 (current) — the
+    * reproducible-training-snapshot capability ("train on the corpus
+    * exactly as it stood at version k"). The DuckDB oracle re-derives
+    * the batch cutoffs from the same exact integer rule (lo/hi/span)
+    * and replays last-writer-wins per (version, user). Equality proves
+    * BOTH directions: the as-of-3 snapshot contains everything
+    * committed through version 3, and nothing from versions 4-5 leaks
+    * in (one leaked upsert, one missed tombstone, or one wrong cutoff
+    * breaks the hash).
+    *
+    * Scale shape: each as-of read is one delta-pruned scan (`delta` is
+    * a partition column, so versions > k are never opened) + one
+    * key-partitioned partial+final argmax; appends never rewrite. */
+  def f9SnapshotRead(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${Scratch.dir("graft-versioned")}/table"
+    val ev = events(s, d)
+    val ch = ev.select(col("user_id"),
+      expr("ts div 1000").as("tsu"), col("event_id"),
+      when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+        .as(VersionedTable.OpCol),
+      col("event_type").as("last_type"), col("value").as("last_value"))
+    val mm = ch.agg(min(col("tsu")), max(col("tsu"))).head()
+    val lo = mm.getLong(0); val hi = mm.getLong(1) + 1
+    val nBatches = 6
+    val span = math.max(1L, (hi - lo + nBatches - 1) / nBatches)
+    (0 until nBatches).foreach { i =>
+      val b = ch.filter(col("tsu") >= lo + i * span &&
+        col("tsu") < (if (i == nBatches - 1) hi else lo + (i + 1) * span))
+      VersionedTable.appendDelta(dir, b, i.toLong)
+    }
+    def asOf(k: Long) = VersionedTable
+      .readAsOf(s, dir, Seq("user_id"), Seq("tsu", "event_id"), k)
+      .withColumn("version", lit(k))
+    asOf(3L).unionByName(asOf(5L))
+      .select(col("version"), col("user_id"), col("last_type"),
+        col("last_value"))
+      .orderBy(col("version"), col("user_id"))
+  }
+
+  private[analytics] val f9Oracle: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+      |    event_type, value FROM events),
+      |prm AS (SELECT min(tsu) AS lo, max(tsu) + 1 AS hi,
+      |    greatest(1, (max(tsu) + 1 - min(tsu) + 5) // 6) AS span FROM c),
+      |v AS (SELECT CAST(3 AS BIGINT) AS version
+      |      UNION ALL SELECT CAST(5 AS BIGINT)),
+      |cut AS (SELECT v.version,
+      |    CASE WHEN v.version >= 5 THEN p.hi
+      |         ELSE p.lo + (v.version + 1) * p.span END AS cutoff
+      |  FROM v, prm p),
+      |r AS (SELECT cut.version, c.*,
+      |    row_number() OVER (PARTITION BY cut.version, c.user_id
+      |      ORDER BY c.tsu DESC, c.event_id DESC) AS rn
+      |  FROM c JOIN cut ON c.tsu < cut.cutoff)
+      |SELECT version, user_id, event_type AS last_type, value AS last_value
+      |FROM r WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY version, user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f8_keyed_merge" -> (f8KeyedMerge _),
+    "f9_snapshot_read" -> (f9SnapshotRead _),
     "f7_compaction" -> (f7Compaction _),
     "f6_clustered_layout" -> (f6ClusteredLayout _),
     "f5_schema_evolution" -> (f5SchemaEvolution _),
@@ -280,6 +342,7 @@ object FormatQueries {
 
   val oracles: Map[String, String] = Map(
     "f8_keyed_merge" -> f8Oracle,
+    "f9_snapshot_read" -> f9Oracle,
     "f7_compaction" -> roundtripOracle,
     "f6_clustered_layout" -> f6Oracle,
     "f5_schema_evolution" -> f5Oracle,

@@ -660,7 +660,89 @@ object Multimodal {
       |SELECT min(media_id) AS keep_id, count(*) AS n_copies, n_frames, fp
       |FROM fp GROUP BY n_frames, fp ORDER BY keep_id""".stripMargin
 
+  /** Per-audio energy-delta fingerprint (m10). */
+  final case class AudioPrint(media_id: Long, n_windows: Long, fp: Long)
+
+  /** m10 — AUDIO FINGERPRINT DEDUP: cross-audio duplicate detection by a
+    * temporal energy-delta signature — the audio member of the dedup
+    * family, completing it across every modality (d1 text, m6 image,
+    * m9 video, m10 audio). Each clip is m5's 16-byte energy windows;
+    * bit w of the fingerprint (first 62 deltas) is set iff window w+1's
+    * energy EXCEEDS window w's — the sign-of-band-energy-difference
+    * scheme of Haitsma & Kalker 2002 (the classic robust audio
+    * fingerprint), reduced to one band and exact integers. Re-encoded
+    * copies of the same signal collide; any local energy reordering
+    * flips a bit. Dedup is d1's hash-groupBy on (n_windows, fp); the
+    * corpus is doubled (the m6/m9/d1 convention) so every clip has
+    * exactly one duplicate.
+    *
+    * Scale shape: decode + windowed energies + the delta-sign pack run
+    * executor-side per partition (payload bytes never shuffle); only
+    * (media_id, n_windows, fp) — 3 longs — crosses the exchange, and
+    * the groupBy is partial+final on the fingerprint key. Near-dup
+    * (Hamming ≤ k) reuses n3's banding on the same 62-bit signatures. */
+  def audioDedup(s: SparkSession, d: String, win: Int = 16): DataFrame = {
+    import s.implicits._
+    val base = mediaTable(s, d).filter(col("kind") === "audio")
+    val doubled = base.unionByName(
+      base.withColumn("media_id", col("media_id") + 1000000L)).as[Media]
+    doubled.mapPartitions(_.map { m =>
+      val bytes = m.payload
+      val nWin = (bytes.length + win - 1) / win
+      val e = new Array[Long](math.max(1, nWin))
+      var i = 0
+      while (i < bytes.length) {
+        val v = (bytes(i) & 0xFF).toLong
+        e(i / win) += v * v
+        i += 1
+      }
+      var fp = 0L
+      var w = 0
+      val nb = math.min(62, nWin - 1)
+      while (w < nb) {
+        if (e(w + 1) > e(w)) fp |= 1L << w
+        w += 1
+      }
+      AudioPrint(m.media_id, nWin.toLong, fp)
+    }).toDF()
+      .groupBy(col("n_windows"), col("fp"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("n_windows"), col("fp"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** m10 oracle — DuckDB re-derives the windowed energies from character
+    * positions (the m5 ASCII contract), the lead()-compared delta signs,
+    * the packed BIGINT, and the doubled-corpus groupBy; window counts
+    * come from byte length so zero-length clips keep fingerprint 0. */
+  val audioDedupOracle: String =
+    """WITH a AS (SELECT doc_id AS media_id, text FROM documents
+      |           WHERE doc_id % 3 = 1),
+      |dup AS (SELECT media_id, text FROM a
+      |        UNION ALL SELECT media_id + 1000000, text FROM a),
+      |px AS (SELECT media_id, CAST(i AS BIGINT) AS i,
+      |    CAST(unicode(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) AS b
+      |  FROM dup, unnest(generate_series(0, length(text) - 1)) AS t(i)),
+      |en AS (SELECT media_id, i // 16 AS w, CAST(sum(b * b) AS BIGINT) AS e
+      |  FROM px GROUP BY media_id, i // 16),
+      |dl AS (SELECT media_id, w, e,
+      |    lead(e) OVER (PARTITION BY media_id ORDER BY w) AS e2 FROM en),
+      |fpx AS (SELECT media_id,
+      |    CAST(sum(CASE WHEN e2 > e
+      |      THEN (CAST(1 AS BIGINT) << CAST(w AS INT)) ELSE 0 END) AS BIGINT)
+      |      AS fp
+      |  FROM dl WHERE e2 IS NOT NULL AND w < 62 GROUP BY media_id),
+      |nw AS (SELECT media_id,
+      |    CAST((octet_length(encode(text)) + 15) // 16 AS BIGINT)
+      |      AS n_windows
+      |  FROM dup)
+      |SELECT min(media_id) AS keep_id, count(*) AS n_copies, n_windows, fp
+      |FROM (SELECT nw.media_id, nw.n_windows, coalesce(fpx.fp, 0) AS fp
+      |      FROM nw LEFT JOIN fpx USING (media_id)) z
+      |GROUP BY n_windows, fp ORDER BY keep_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_audio_dedup" -> ((s: SparkSession, d: String) => audioDedup(s, d)),
     "m9_video_dedup" -> ((s: SparkSession, d: String) => videoDedup(s, d)),
     "m8_voiced_segments" -> ((s: SparkSession, d: String) => voicedSegments(s, d)),
     "m7_scene_change" -> ((s: SparkSession, d: String) => sceneChange(s, d)),
@@ -673,6 +755,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "m10_audio_dedup" -> audioDedupOracle,
     "m9_video_dedup" -> videoDedupOracle,
     "m8_voiced_segments" -> voicedSegmentsOracle,
     "m7_scene_change" -> sceneChangeOracle,

@@ -1017,7 +1017,79 @@ object PipelineOps {
       |  CAST(fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
       |FROM r CROSS JOIN need ORDER BY source""".stripMargin
 
+  /** p22 — CURRICULUM / ANNEAL SCHEDULE (the two-phase data schedule of
+    * modern pretraining — MiniCPM's decay phase, LLaMA-3's annealing:
+    * train the bulk phase on the broad mix, then spend the final ~20%
+    * of the token budget on the highest-quality slice only). Composes
+    * t24's per-source perplexity terciles with two exact-integer
+    * apportionments:
+    *
+    *   - MAIN phase: buckets 1–2 (t24's kept set), budget = 4/5 of the
+    *     kept bigram mass, allocated across sources by p15's α = 0.5
+    *     temperature rule staged as INTEGER weights w_s =
+    *     floor(sqrt(mass_s)) (one IEEE sqrt + floor — identical in both
+    *     engines) and Hamilton-rounded by p21's largest-remainder rule;
+    *   - ANNEAL phase: bucket 1 only (lowest perplexity), budget = the
+    *     remaining 1/5, allocated proportional to head mass, same
+    *     largest-remainder rule.
+    *
+    * Allocations sum EXACTLY to their phase budgets (the p21 invariant),
+    * so the two-phase run hits the total token target to the token.
+    *
+    * Scale shape: everything corpus-sized is t24's chain (t22's
+    * ReuseExchange'd staging + one |docs|-row source join); the schedule
+    * arithmetic runs on ≤ 2·|sources| rows, and the two 1-row totals
+    * ride the sanctioned bounded cross join (the p21/t22 shape). */
+  def p22CurriculumSchedule(s: SparkSession, d: String): DataFrame =
+    Views.sql(s, documents(s, d), "graft_docs_p22_v",
+      p22Sql("graft_docs_p22_v", duck = false))
+
+  private def p22Sql(docsRel: String, duck: Boolean): String = {
+    val dv = if (duck) "//" else "div"
+    def big(x: String) = if (duck) s"CAST($x AS BIGINT)" else x
+    TextAnalytics.perplexityLabSql(docsRel, duck) + s""",
+       |bb AS (SELECT source,
+       |    ${big("sum(n_bigrams)")} AS main_mass,
+       |    ${big("sum(CASE WHEN bucket = 1 THEN n_bigrams ELSE 0 END)")}
+       |      AS head_mass
+       |  FROM lab WHERE bucket <= 2 GROUP BY source),
+       |tot AS (SELECT ${big("sum(main_mass)")} AS tm,
+       |    ${big("sum(head_mass)")} AS th FROM bb),
+       |prm AS (SELECT tm, th, tm $dv 5 AS ann_b, tm - (tm $dv 5) AS main_b
+       |  FROM tot),
+       |wg AS (SELECT source, main_mass, head_mass,
+       |    CAST(floor(sqrt(CAST(main_mass AS DOUBLE))) AS BIGINT) AS wgt
+       |  FROM bb),
+       |wt AS (SELECT ${big("sum(wgt)")} AS tw FROM wg),
+       |ma AS (SELECT source, main_mass AS mass,
+       |    (p.main_b * wg.wgt) $dv wt.tw AS fl,
+       |    (p.main_b * wg.wgt) % wt.tw AS rem, p.main_b AS budget
+       |  FROM wg CROSS JOIN wt CROSS JOIN prm p),
+       |mr AS (SELECT source, mass, fl, rem, budget,
+       |    row_number() OVER (ORDER BY rem DESC, source) AS rk FROM ma),
+       |mneed AS (SELECT max(budget) - ${big("sum(fl)")} AS extra FROM ma),
+       |aa AS (SELECT source, head_mass AS mass,
+       |    (p.ann_b * wg.head_mass) $dv p.th AS fl,
+       |    (p.ann_b * wg.head_mass) % p.th AS rem, p.ann_b AS budget
+       |  FROM wg CROSS JOIN prm p),
+       |ar AS (SELECT source, mass, fl, rem, budget,
+       |    row_number() OVER (ORDER BY rem DESC, source) AS rk FROM aa),
+       |aneed AS (SELECT max(budget) - ${big("sum(fl)")} AS extra FROM aa)
+       |SELECT phase, source, mass, alloc FROM (
+       |  SELECT 'main' AS phase, source, mass,
+       |    fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS alloc
+       |  FROM mr CROSS JOIN mneed
+       |  UNION ALL
+       |  SELECT 'anneal' AS phase, source, mass,
+       |    fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS alloc
+       |  FROM ar CROSS JOIN aneed) u
+       |ORDER BY phase, source""".stripMargin
+  }
+
+  val p22Oracle: String = p22Sql("documents", duck = true)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_curriculum_schedule" -> ((s: SparkSession, d: String) => p22CurriculumSchedule(s, d)),
     "p21_token_budget_alloc" -> ((s: SparkSession, d: String) => p21TokenBudgetAlloc(s, d)),
     "p20_pretrain_pipeline" -> (p20PretrainPipeline _),
     "p19_winsorize" -> (p19Winsorize _),
@@ -1042,6 +1114,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p22_curriculum_schedule" -> p22Oracle,
     "p21_token_budget_alloc" -> p21Oracle,
     "p20_pretrain_pipeline" -> p20Oracle,
     "p19_winsorize" -> p19Oracle,

@@ -472,7 +472,10 @@ object Similarity {
     * fine-centroid selection, the in-cell fine argmax, then e7's directed
     * top-k + reciprocal tail on the composite cell key. Ties break on
     * (coarse_id | fine_id | vec_id) in both engines. */
-  val knnGraphTwoLevelOracle: String =
+  /** e9's CTE chain up to the directed in-cell top-k — shared verbatim by
+    * [[knnGraphTwoLevelOracle]] and [[graphAnnOracle]] so both gates
+    * re-derive the identical graph. */
+  private val knnTwoLevelCtes: String =
     """WITH prm AS (SELECT coalesce(min(s), 512) AS side
       |  FROM generate_series(4, 512) t(s)
       |  WHERE s * s * s >= (SELECT count(*) FROM embeddings)),
@@ -508,10 +511,146 @@ object Similarity {
       |     AND b.vec_id <> a.vec_id
       |    JOIN n na ON na.vec_id = a.vec_id
       |    JOIN n nb ON nb.vec_id = b.vec_id) t
-      |  WHERE rk <= 3)
+      |  WHERE rk <= 3)""".stripMargin
+
+  val knnGraphTwoLevelOracle: String = knnTwoLevelCtes +
+    """
       |SELECT x.src AS vec_a, x.dst AS vec_b
       |FROM topk x JOIN topk y ON y.src = x.dst AND y.dst = x.src
       |WHERE x.src < x.dst ORDER BY vec_a, vec_b""".stripMargin
+
+  /** e17 — GRAPH-TRAVERSAL ANN (the HNSW/DiskANN/NSG family member,
+    * Malkov & Yashunin 2016; Subramanya et al. 2019): answer top-k by
+    * GREEDY BEAM SEARCH over e9's reciprocal kNN graph instead of
+    * scanning cells — the modern production ANN default, and the last
+    * index family missing from e1/e2/e4/e6/e10/e11/e13/e15. Entry point
+    * is per-probe: the best of e9's k1 coarse centroids (the IVF-graph
+    * hybrid entry rule — cheap, deterministic, replayable). Each of the
+    * `hops` rounds expands the beam by its graph neighbors and re-ranks
+    * beam ∪ neighbors to width `beam` by exact cosine (ties on node id —
+    * the greedy-search-without-visited-list formulation, which is
+    * order-free and therefore SQL-replayable, unlike the priority-queue
+    * variant). The final answer is the exact top-k of the surviving
+    * beam, excluding the probe itself. Output shape matches e1.
+    *
+    * Scale shape: the graph build is e9's n^(4/3) two-level pass —
+    * amortized in production (built once, searched per query; the gate
+    * rebuilds it so the whole operator replays from the parquet). Search
+    * touches per hop: one equi-join of the ≤|probes|·beam broadcast beam
+    * against the O(n·k) edge table, one id-lookup equi-join into the
+    * corpus for vectors (at deployment scale both are bucketed point
+    * lookups; here they are broadcast-hash probes — no shuffle of the
+    * corpus side), and a |probes|·beam·(k+1)-row window. Beam state is
+    * eagerly checkpointed per hop, so lineage stays flat and the
+    * registered plan is equi-joins off an RDD scan. Candidate volume is
+    * independent of corpus size — the defining property of graph ANN. */
+  def graphAnnTopK(s: SparkSession, d: String, k: Int = 5, beam: Int = 8,
+      hops: Int = 3): DataFrame = {
+    // cached ONCE for the whole operator: the graph build's own scans
+    // (identical canonical plan → CacheManager substitution), the probe
+    // and coarse-entry slices, and every hop's id→vector lookup all hit
+    // this instead of re-reading the parquet — the operator's one
+    // corpus-sized persist, released before returning (the e9 rule)
+    val emb = withVec(embeddings(s, d), "embedding")
+      .select(col("vec_id"), col("v")).cache()
+    val side = sideFor(emb.count())
+    val rec = knnGraphTwoLevel(s, d, 3, side, side)
+    val edges = rec.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionByName(rec.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val coarse = emb.filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * side)
+      .select(col("vec_id").as("node"), col("v").as("cv"))
+    val wEntry = Window.partitionBy(col("probe_id"))
+      .orderBy(col("escore").desc, col("node"))
+    val wBeam = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("node"))
+    // |probes| × k1 — both sides bounded; the cross scan IS the entry rule
+    var beamDf = broadcast(probes).join(coarse)
+      .withColumn("escore", cosine("pv", "cv"))
+      .withColumn("erk", row_number().over(wEntry))
+      .filter(col("erk") === 1)
+      .select(col("probe_id"), col("node"))
+    // Each hop's beam is CACHED (lazy), not eagerly materialized: the
+    // whole search then runs as ONE job whose hop boundaries are the
+    // beam-broadcast sub-stages, instead of `hops` sequential jobs each
+    // paying full scheduling latency. Every beam is ≤ |probes|·beam rows.
+    val hopCaches = Seq.newBuilder[DataFrame]
+    (1 to hops).foreach { h =>
+      val neigh = broadcast(beamDf).join(edges, col("node") === col("src"))
+        .select(col("probe_id"), col("dst").as("node"))
+      val cand = beamDf.unionByName(neigh).distinct()
+      // the last hop keeps its scores: the final top-k re-ranks the
+      // SAME beam by the SAME cosine, so no further corpus lookup runs
+      val scored = broadcast(cand).join(emb, col("node") === col("vec_id"))
+        .join(broadcast(probes), "probe_id")
+        .withColumn("cos", cosine("pv", "v"))
+        .withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= beam)
+      beamDf = (if (h < hops) scored.select(col("probe_id"), col("node"))
+                else scored.select(col("probe_id"), col("node"), col("cos")))
+        .cache()
+      hopCaches += beamDf
+    }
+    val out = beamDf
+      .filter(col("node") =!= col("probe_id"))
+      .withColumn("rank", row_number().over(wBeam).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("node").as("neighbor_id"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+      .localCheckpoint(true)
+    hopCaches.result().foreach(_.unpersist(false))
+    emb.unpersist(false)
+    out
+  }
+
+  /** e17 oracle — e9's full two-level CTE chain re-derived via
+    * [[knnTwoLevelCtes]], the reciprocal edge set symmetrized, and the
+    * 3-hop beam search unrolled: per-probe entry at the best coarse
+    * centroid, each hop expands by graph neighbors and re-ranks
+    * beam ∪ neighbors to width 8 with the shared cosine fold (ties on
+    * node id), final exact top-5 excluding the probe. */
+  val graphAnnOracle: String = {
+    val cosPN = "list_sum(list_transform(generate_series(1, 64), " +
+      "i -> p.pv[i] * nv.v[i])) / (p.pnorm * nv.vnorm)"
+    val rounds = (1 to 3).map { r =>
+      s"""c$r AS (SELECT DISTINCT probe_id, node FROM (
+         |    SELECT probe_id, node FROM b${r - 1}
+         |    UNION ALL
+         |    SELECT b.probe_id, ed.dst FROM b${r - 1} b
+         |    JOIN edges ed ON ed.src = b.node) u),
+         |b$r AS (SELECT probe_id, node FROM (
+         |    SELECT c.probe_id, c.node,
+         |      row_number() OVER (PARTITION BY c.probe_id ORDER BY
+         |        $cosPN DESC, c.node) AS rk
+         |    FROM c$r c JOIN n nv ON nv.vec_id = c.node
+         |    JOIN probes p ON p.probe_id = c.probe_id) t WHERE rk <= 8)""".stripMargin
+    }.mkString(",\n")
+    knnTwoLevelCtes + s""",
+       |rec AS (SELECT x.src AS vec_a, x.dst AS vec_b
+       |  FROM topk x JOIN topk y ON y.src = x.dst AND y.dst = x.src
+       |  WHERE x.src < x.dst),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM rec
+       |          UNION ALL SELECT vec_b, vec_a FROM rec),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv, vnorm AS pnorm
+       |           FROM n WHERE vec_id < 8),
+       |b0 AS (SELECT probe_id, node FROM (
+       |    SELECT p.probe_id, c.coarse_id * 31 AS node,
+       |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, 64),
+       |          i -> p.pv[i] * c.cv[i])) / (p.pnorm * c.cnorm) DESC,
+       |        c.coarse_id) AS erk
+       |    FROM probes p, coarse c) t WHERE erk = 1),
+       |$rounds
+       |SELECT probe_id, node AS neighbor_id, rank FROM (
+       |  SELECT b.probe_id, b.node,
+       |    row_number() OVER (PARTITION BY b.probe_id ORDER BY
+       |      $cosPN DESC, b.node) AS rank
+       |  FROM b3 b JOIN n nv ON nv.vec_id = b.node
+       |  JOIN probes p ON p.probe_id = b.probe_id
+       |  WHERE b.node <> b.probe_id) z
+       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
 
   /** e7 oracle — e4's codebook/assignment CTEs re-derived, the directed
     * in-cell top-k, then the reciprocal join; ties break by vec_id in
@@ -1714,6 +1853,7 @@ object Similarity {
     // re-derivation) + PlanSpec, with the isolated protocol in SCALE.md.
     "e8_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
     "e9_knn_graph_2level" -> ((s: SparkSession, d: String) => knnGraphTwoLevelSelfScaled(s, d)),
+    "e17_graph_ann" -> ((s: SparkSession, d: String) => graphAnnTopK(s, d)),
     "e10_sq8_ann" -> ((s: SparkSession, d: String) => sq8TopK(s, d)),
     "e11_two_stage_rerank" -> ((s: SparkSession, d: String) => twoStageRerank(s, d)),
     "e12_refine_recall" -> (refineRecall _),
@@ -1735,6 +1875,7 @@ object Similarity {
     "e5_ann_recall" -> annRecallOracle,
     "e8_mmr_rerank" -> mmrRerankOracle,
     "e9_knn_graph_2level" -> knnGraphTwoLevelOracle,
+    "e17_graph_ann" -> graphAnnOracle,
     "e10_sq8_ann" -> sq8Oracle,
     "e11_two_stage_rerank" -> twoStageRerankOracle,
     "e12_refine_recall" -> refineRecallOracle,

@@ -1191,7 +1191,7 @@ object TextAnalytics {
     * the |vocab|² `cb` table — never on the corpus-sized bigram stream —
     * and the corpus-sized side touches just one equi-join against that
     * broadcast-able smoothed table. */
-  private def knSql(docsRel: String, duck: Boolean): String = {
+  private def knCoreSql(docsRel: String, duck: Boolean): String = {
     val (splitF, sizeF, dv) =
       if (duck) ("string_split", "len", "//") else ("split", "size", "div")
     val elem = if (duck) "ws[i]" else "element_at(ws, i)"
@@ -1243,12 +1243,17 @@ object TextAnalytics {
        |    AS bits
        |  FROM l6),
        |j AS (SELECT bf.doc_id, bf.bf, knq.bits
-       |  FROM bf JOIN knq ON bf.w1 = knq.w1 AND bf.w2 = knq.w2)
-       |SELECT doc_id, ${big("sum(bf)")} AS n_bigrams,
+       |  FROM bf JOIN knq ON bf.w1 = knq.w1 AND bf.w2 = knq.w2),
+       |perdoc AS (SELECT doc_id, ${big("sum(bf)")} AS n_bigrams,
        |  ${big("sum(bf * bits)")} AS kn_bits_q64,
        |  CAST(sum(bf * bits) AS DOUBLE) / (64 * sum(bf)) AS mean_bits
-       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM j GROUP BY doc_id)""".stripMargin
   }
+
+  /** t22's full text: the shared KN staging plus its per-doc final. */
+  private def knSql(docsRel: String, duck: Boolean): String =
+    knCoreSql(docsRel, duck) +
+      "\nSELECT doc_id, n_bigrams, kn_bits_q64, mean_bits FROM perdoc ORDER BY doc_id"
 
   def knSurprisal(s: SparkSession, d: String): DataFrame =
     Views.sql(s, documents(s, d), "graft_docs_t22_v",
@@ -1256,8 +1261,98 @@ object TextAnalytics {
 
   val knSurprisalOracle: String = knSql("documents", duck = true)
 
+  /** t24 — PERPLEXITY-BASED QUALITY FILTER (the CCNet recipe, Wenzek et
+    * al. 2020, adopted by the LLaMA data pipeline): score every document
+    * with t22's interpolated Kneser-Ney LM, split each source's documents
+    * into perplexity TERCILES by ascending mean bits-per-bigram (head /
+    * middle / tail — CCNet's convention), and mark head+middle kept —
+    * the standard model-based quality filter run before pretraining.
+    * Output is the per-(source, bucket) audit table reviewed before
+    * committing the filter: document and bigram volumes plus each
+    * bucket's surprisal range.
+    *
+    * Determinism: the tercile split is ntile(3) ordered by (mean_bits,
+    * doc_id) — mean_bits is one IEEE division of two exact BIGINTs (the
+    * t22 staging, bit-identical in both engines), doc_id breaks ties,
+    * and ntile's extra-row distribution rule is SQL-standard in Spark
+    * and DuckDB alike. min/max over identical doubles are
+    * order-independent; no double is ever summed. Documents under two
+    * tokens carry no bigram and are excluded by t22's scorer (the length
+    * gate in p13's funnel owns them).
+    *
+    * Scale shape: all corpus-sized work is t22's staging (|vocab|²-
+    * bounded smoothing tables, ReuseExchange'd aggregates); the wrapper
+    * adds one |docs|-row equi-join to recover `source`, one per-source
+    * window (partition key = the natural distribution key — no global
+    * sort), and a |sources|·3-row final aggregate. */
+  def perplexityFilter(s: SparkSession, d: String): DataFrame =
+    Views.sql(s, documents(s, d), "graft_docs_t24_v",
+      perplexitySql("graft_docs_t24_v", duck = false))
+
+  /** The t24 chain through the per-doc tercile labels (`lab`) — shared
+    * with p22's curriculum schedule so both run the identical split.
+    *
+    * The DuckDB side is the textbook `ntile(3) OVER (PARTITION BY
+    * source ORDER BY mean_bits, doc_id)`. The Spark side computes the
+    * IDENTICAL bucket without funneling each source through one task
+    * (the per-source window is the canonical stratum-sort scale-killer
+    * — a 100 TB source would sort single-threaded): the p14 two-phase
+    * rank. Docs quantize to integer sub-buckets qb = 8·kn_bits_q64 div
+    * n_bigrams (= floor(512·mean_bits) — monotone in mean_bits, so
+    * sub-bucket order composes with in-bucket order); per-(source, qb)
+    * rank windows run PARALLEL, the (source, qb) histogram (bounded by
+    * |sources|·512·max_bits — corpus-independent) carries prefix-sum
+    * offsets and per-source totals, and ntile's SQL-standard
+    * distribution rule is applied as closed-form integer arithmetic on
+    * rank r and total n (first n%3 buckets get one extra row). The
+    * oracle gate proves the two formulations equal on every corpus. */
+  private[analytics] def perplexityLabSql(docsRel: String, duck: Boolean): String =
+    if (duck)
+      knCoreSql(docsRel, duck) + s""",
+         |lab AS (SELECT p.doc_id, dd.source, p.n_bigrams, p.mean_bits,
+         |    ntile(3) OVER (PARTITION BY dd.source
+         |      ORDER BY p.mean_bits, p.doc_id) AS bucket
+         |  FROM perdoc p JOIN $docsRel dd ON dd.doc_id = p.doc_id)""".stripMargin
+    else
+      knCoreSql(docsRel, duck) + s""",
+         |lab0 AS (SELECT p.doc_id, dd.source, p.n_bigrams, p.mean_bits,
+         |    (p.kn_bits_q64 * 8) div p.n_bigrams AS qb
+         |  FROM perdoc p JOIN $docsRel dd ON dd.doc_id = p.doc_id),
+         |hist AS (SELECT source, qb, count(1) AS cnt
+         |  FROM lab0 GROUP BY source, qb),
+         |off AS (SELECT source, qb,
+         |    coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY qb
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS off,
+         |    sum(cnt) OVER (PARTITION BY source) AS n
+         |  FROM hist),
+         |lab1 AS (SELECT /*+ BROADCAST(o) */ l.doc_id, l.source,
+         |    l.n_bigrams, l.mean_bits, o.n,
+         |    o.off + row_number() OVER (PARTITION BY l.source, l.qb
+         |      ORDER BY l.mean_bits, l.doc_id) AS r
+         |  FROM lab0 l JOIN off o ON o.source = l.source AND o.qb = l.qb),
+         |lab AS (SELECT doc_id, source, n_bigrams, mean_bits,
+         |    CASE WHEN r <= (n % 3) * (n div 3 + 1)
+         |         THEN (r - 1) div (n div 3 + 1) + 1
+         |         ELSE (n % 3) + (r - (n % 3) * (n div 3 + 1) - 1)
+         |              div (n div 3) + 1
+         |    END AS bucket
+         |  FROM lab1)""".stripMargin
+
+  private def perplexitySql(docsRel: String, duck: Boolean): String =
+    perplexityLabSql(docsRel, duck) + """
+       |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(count(1) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       |  min(mean_bits) AS min_bits, max(mean_bits) AS max_bits,
+       |  CAST(CASE WHEN bucket <= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM lab GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
+
+  val perplexityFilterOracle: String = perplexitySql("documents", duck = true)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t22_kn_surprisal" -> ((s: SparkSession, d: String) => knSurprisal(s, d)),
+    "t24_perplexity_filter" -> ((s: SparkSession, d: String) => perplexityFilter(s, d)),
     "t21_bpe_merges" -> ((s: SparkSession, d: String) => bpeMerges(s, d)),
     "t23_bpe_fertility" -> ((s: SparkSession, d: String) => bpeFertility(s, d)),
     "t20_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
@@ -1283,6 +1378,7 @@ object TextAnalytics {
 
   val oracles: Map[String, String] = Map(
     "t22_kn_surprisal" -> knSurprisalOracle,
+    "t24_perplexity_filter" -> perplexityFilterOracle,
     "t21_bpe_merges" -> bpeMergesOracle,
     "t23_bpe_fertility" -> bpeFertilityOracle,
     "t20_bm25_topk" -> bm25TopKOracle,

@@ -56,12 +56,17 @@ class ConcurrencySpec extends AnyFunSuite with Matchers with graft.SparkSpec {
     // r11 continuation entries: t23 runs the t21 view+localCheckpoint
     // chain (the heaviest Views user), d13 shares the persisted corpus
     // signature table across threads, e15 is pure DataFrame control
-    "t23_bpe_fertility", "d13_softdedup_weights", "e15_ivfpq_topk")
+    "t23_bpe_fertility", "d13_softdedup_weights", "e15_ivfpq_topk",
+    // third batch: t24 composes the t22 Views chain; e17 caches/releases
+    // a corpus table two concurrent invocations share by canonical plan
+    // (one thread's unpersist just makes the other recompute, never
+    // miscompute)
+    "t24_perplexity_filter", "e17_graph_ann")
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  test("23 queries x2 concurrent on one FAIR session == sequential results") {
+  test("25 queries x2 concurrent on one FAIR session == sequential results") {
     val sequential: Map[String, Seq[String]] =
       names.map(n => n -> rows(SparkEntry.queries(n)(spark, sf))).toMap
 

@@ -71,7 +71,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       "e14_hybrid_rrf", "t22_kn_surprisal", "e15_ivfpq_topk",
       // e16 composes e15's sanctioned coarse-assignment BNLJ (plus e1's
       // conditioned broadcast-probe pass in the brute-truth leg)
-      "e16_ivfpq_recall")
+      "e16_ivfpq_recall",
+      // t24 composes t22's chain and so inherits its 1-row
+      // bigram-type-total cross join (bounded by construction); p22
+      // composes t24's chain plus its own 1-row budget/weight totals
+      "t24_perplexity_filter", "p22_curriculum_schedule")
     // queries that eagerly checkpoint their (small) result so their
     // corpus-sized caches release promptly (r9): the registered plan is an
     // RDD scan — gate the LAZY builder instead, releasing its cache after
