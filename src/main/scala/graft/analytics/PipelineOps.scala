@@ -1040,26 +1040,48 @@ object PipelineOps {
     * ReuseExchange'd staging + one |docs|-row source join); the schedule
     * arithmetic runs on ≤ 2·|sources| rows, and the two 1-row totals
     * ride the sanctioned bounded cross join (the p21/t22 shape). */
-  def p22CurriculumSchedule(s: SparkSession, d: String): DataFrame =
+  def p22CurriculumSchedule(s: SparkSession, d: String): DataFrame = {
+    // TWO-STEP on Spark: the schedule arithmetic references the
+    // per-source masses from five different aggregates, and inlined as
+    // one query each reference re-executes the whole corpus-sized t24
+    // chain (measured 7.8 s vs t24's 2.2 s at sf0.1). The masses land
+    // in scratch parquet through the NORMAL insert path — the chain
+    // keeps AQE's runtime join selection, which a localCheckpoint pin
+    // (Dataset.rdd compiles without AQE) loses: the pinned variants
+    // measured 2-4× slower at sf30 — and the schedule then runs on the
+    // ≤|sources|-row re-read. The DuckDB oracle stays one query (its
+    // CTEs materialize once by default).
+    val out = s"${Scratch.dir("graft-p22")}/bb"
     Views.sql(s, documents(s, d), "graft_docs_p22_v",
-      p22Sql("graft_docs_p22_v", duck = false))
+      p22MassSql("graft_docs_p22_v")).write.parquet(out)
+    Views.sql(s, s.read.parquet(out), "graft_p22_bb_v",
+      "WITH " + p22ScheduleCtes("graft_p22_bb_v", duck = false))
+  }
 
-  private def p22Sql(docsRel: String, duck: Boolean): String = {
+  /** Per-source (main, head) bigram masses over t24's tercile labels —
+    * the Spark-side step-1 text. */
+  private def p22MassSql(docsRel: String): String =
+    TextAnalytics.perplexityLabSql(docsRel, duck = false) + """,
+       |bb AS (SELECT source,
+       |    sum(n_bigrams) AS main_mass,
+       |    sum(CASE WHEN bucket = 1 THEN n_bigrams ELSE 0 END)
+       |      AS head_mass
+       |  FROM lab WHERE bucket <= 2 GROUP BY source)
+       |SELECT source, main_mass, head_mass FROM bb""".stripMargin
+
+  /** The schedule arithmetic from the per-source mass table `bbRel` to
+    * the final phase table — shared between Spark's step 2 and the
+    * oracle's tail. */
+  private def p22ScheduleCtes(bbRel: String, duck: Boolean): String = {
     val dv = if (duck) "//" else "div"
     def big(x: String) = if (duck) s"CAST($x AS BIGINT)" else x
-    TextAnalytics.perplexityLabSql(docsRel, duck) + s""",
-       |bb AS (SELECT source,
-       |    ${big("sum(n_bigrams)")} AS main_mass,
-       |    ${big("sum(CASE WHEN bucket = 1 THEN n_bigrams ELSE 0 END)")}
-       |      AS head_mass
-       |  FROM lab WHERE bucket <= 2 GROUP BY source),
-       |tot AS (SELECT ${big("sum(main_mass)")} AS tm,
-       |    ${big("sum(head_mass)")} AS th FROM bb),
+    s"""tot AS (SELECT ${big("sum(main_mass)")} AS tm,
+       |    ${big("sum(head_mass)")} AS th FROM $bbRel),
        |prm AS (SELECT tm, th, tm $dv 5 AS ann_b, tm - (tm $dv 5) AS main_b
        |  FROM tot),
        |wg AS (SELECT source, main_mass, head_mass,
        |    CAST(floor(sqrt(CAST(main_mass AS DOUBLE))) AS BIGINT) AS wgt
-       |  FROM bb),
+       |  FROM $bbRel),
        |wt AS (SELECT ${big("sum(wgt)")} AS tw FROM wg),
        |ma AS (SELECT source, main_mass AS mass,
        |    (p.main_b * wg.wgt) $dv wt.tw AS fl,
@@ -1086,7 +1108,14 @@ object PipelineOps {
        |ORDER BY phase, source""".stripMargin
   }
 
-  val p22Oracle: String = p22Sql("documents", duck = true)
+  val p22Oracle: String =
+    TextAnalytics.perplexityLabSql("documents", duck = true) + """,
+       |bb AS (SELECT source,
+       |    CAST(sum(n_bigrams) AS BIGINT) AS main_mass,
+       |    CAST(sum(CASE WHEN bucket = 1 THEN n_bigrams ELSE 0 END)
+       |      AS BIGINT) AS head_mass
+       |  FROM lab WHERE bucket <= 2 GROUP BY source),
+       |""".stripMargin + p22ScheduleCtes("bb", duck = true)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p22_curriculum_schedule" -> ((s: SparkSession, d: String) => p22CurriculumSchedule(s, d)),

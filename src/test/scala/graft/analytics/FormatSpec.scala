@@ -43,6 +43,31 @@ class FormatSpec extends AnyFunSuite with Matchers with SparkSpec {
     (plan should not).include("EqualTo(lang,en)")
   }
 
+  test("f9 as-of read prunes later deltas at planning time (PartitionFilters) and replays LWW") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-vt-spec").toString + "/t"
+    VersionedTable.appendDelta(dir,
+      Seq((1L, 1L, "u", 10.0), (2L, 1L, "u", 20.0)).toDF("k", "seq", "__op", "v"), 0L)
+    VersionedTable.appendDelta(dir,
+      Seq((1L, 2L, "u", 11.0), (3L, 2L, "d", 0.0)).toDF("k", "seq", "__op", "v"), 1L)
+    VersionedTable.appendDelta(dir,
+      Seq((2L, 3L, "d", 0.0), (4L, 3L, "u", 40.0)).toDF("k", "seq", "__op", "v"), 2L)
+    // a committed version is immutable: re-landing it must fail loudly
+    an[Exception] should be thrownBy VersionedTable.appendDelta(dir,
+      Seq((9L, 9L, "u", 9.0)).toDF("k", "seq", "__op", "v"), 1L)
+    val asOf1 = VersionedTable.readAsOf(spark, dir, Seq("k"), Seq("seq"), 1L)
+    val plan = asOf1.queryExecution.executedPlan.toString
+    // the version predicate must resolve at PLANNING time against the
+    // delta directories — a partition filter, never a data filter
+    plan should include regex "PartitionFilters: \\[.*delta.* <= 1\\)\\]"
+    asOf1.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet shouldBe Set((1L, 2L, 11.0), (2L, 1L, 20.0))
+    VersionedTable.readAsOf(spark, dir, Seq("k"), Seq("seq"), 2L)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 4L)
+  }
+
   test("f6 clustered re-read pushes the date-range predicate to the scan") {
     import org.apache.spark.sql.functions.{col, lit}
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")

@@ -215,4 +215,22 @@ class RoundElevenCOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.toSeq.filter(_._1 == "main").map(_._4).sum shouldBe mainB
     got.toSeq.filter(_._1 == "anneal").map(_._4).sum shouldBe annB
   }
+
+  test("the closed-form ntile(3) arithmetic equals the SQL-standard definition for every group size to 500") {
+    // the Spark side of t24/p22 replaces the per-source ntile window with
+    // p14's two-phase rank + this closed form; pin the closed form against
+    // the standard definition (first n%3 buckets get one extra row) for
+    // every group size the algebra could get wrong
+    (1 to 500).foreach { n =>
+      val base = n / 3; val rem = n % 3
+      val standard = (1 to 3).flatMap(b =>
+        Seq.fill(if (b <= rem) base + 1 else base)(b))
+      (1 to n).foreach { r =>
+        val closed =
+          if (r <= rem * (base + 1)) (r - 1) / (base + 1) + 1
+          else rem + (r - rem * (base + 1) - 1) / base + 1
+        withClue(s"n=$n r=$r") { closed shouldBe standard(r - 1) }
+      }
+    }
+  }
 }
