@@ -69,8 +69,11 @@ object SparkEntry {
   // training snapshots), m10_audio_dedup (energy-delta fingerprints —
   // dedup now spans text/image/video/audio), p22_curriculum_schedule
   // (two-phase anneal schedule: temperature-weighted main + head-only
-  // anneal, exact largest-remainder budgets over t24's terciles).
-  val expectedQueryCount: Int = 180
+  // anneal, exact largest-remainder budgets over t24's terciles). Then
+  // 180 → 181: s22_stream_versioned_ingest (f9's streaming twin —
+  // batchId-keyed idempotent delta commits; f8↔s20 in-place merge,
+  // f9↔s22 versioned history).
+  val expectedQueryCount: Int = 181
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1311,7 +1311,57 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** s22 — STREAMING VERSIONED INGEST: the streaming enactment of f9 and
+    * s20's append-only twin (f8 ↔ s20 in-place merge; f9 ↔ s22 versioned
+    * history). Each micro-batch of the event CDC stream commits as
+    * [[VersionedTable]] delta `delta=<batchId>` through the canonical
+    * batchId-keyed idempotent foreachBatch sink: the commit is
+    * EXISTENCE-GUARDED, so a replayed epoch (driver crash in the K4
+    * at-least-once window, then restart) finds its delta already on disk
+    * and skips — history can never fork or double-apply, and every
+    * micro-batch boundary is a NAMED, time-travelable version. A second
+    * `AvailableNow` run on the same checkpoint re-commits nothing. The
+    * output is the as-of-latest state, which must equal f8's one-window
+    * batch replay — the shared oracle pins that the versioned log
+    * converges to the same truth as the in-place merge.
+    *
+    * Scale shape: per micro-batch, work = exactly the batch (ONE
+    * append-only write, no base read, no rewrite — cheaper per batch
+    * than s20's touched-bucket overwrite; the cost moves to the as-of
+    * read's delta-pruned LWW merge, f9's documented trade). */
+  def s22StreamVersionedIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tempDir("graft_s22_")
+    val dir = s"$base/table"; val ckpt = s"$base/ckpt"
+    def runOnce(): Unit = {
+      val q = Tables.normalizeEventTs(eventsFileStream(spark, sfDir))
+        .writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val ch = b.select(col("user_id"),
+            expr("ts div 1000").as("tsu"), col("event_id"),
+            when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+              .as(VersionedTable.OpCol),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+          val p = new org.apache.hadoop.fs.Path(s"$dir/delta=$batchId")
+          val fs = p.getFileSystem(
+            ch.sparkSession.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) VersionedTable.appendDelta(dir, ch, batchId)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    runOnce() // restart on the same checkpoint: zero deltas re-committed
+    VersionedTable
+      .readAsOf(spark, dir, Seq("user_id"), Seq("tsu", "event_id"),
+        Long.MaxValue)
+      .select(col("user_id"), col("last_type"), col("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_stream_versioned_ingest" -> (s22StreamVersionedIngest _),
     "s20_stream_keyed_merge" -> (s20StreamKeyedMerge _),
     "s19_monitoring_metrics" -> (s19MonitoringMetrics _),
     "s18_stream_dsir_score" -> (streamDsirScore _),
@@ -1340,6 +1390,10 @@ object StreamingQueries {
     // must converge to the one-window batch replay regardless of
     // micro-batch boundaries and arrival order
     "s20_stream_keyed_merge" -> FormatQueries.f8Oracle,
+    // s22 also shares f8's oracle VERBATIM: the as-of-latest state of
+    // the batchId-versioned append-only log must converge to the same
+    // one-window batch replay as the in-place merge
+    "s22_stream_versioned_ingest" -> FormatQueries.f8Oracle,
     "s19_monitoring_metrics" -> s19Oracle,
     "s18_stream_dsir_score" -> TextAnalytics.dsirImportanceOracle,
     "s21_stream_drift_audit" -> streamDriftAuditOracle,

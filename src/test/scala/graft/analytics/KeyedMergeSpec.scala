@@ -118,4 +118,25 @@ class KeyedMergeSpec extends AnyFunSuite with Matchers with SparkSpec {
     viaStream should not be empty
     viaStream shouldBe viaBatch
   }
+
+  test("s22 versioned ingest equals s20's merged state; every micro-batch is a named immutable version") {
+    val sf = "/root/testdata/sf0.001"
+    val viaLog = StreamingQueries.s22StreamVersionedIngest(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val viaMerge = FormatQueries.f8KeyedMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    viaLog should not be empty
+    // the append-only versioned log converges to the in-place merge
+    viaLog shouldBe viaMerge
+    // and the history IS the layout: the scratch table holds one
+    // immutable delta=<batchId> dir per micro-batch (the second
+    // AvailableNow run added none — a double-applied epoch would show
+    // as an extra dir or a changed state, both caught above)
+    val dirs = new java.io.File("/tmp").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_s22_"))
+    dirs should not be empty
+    val deltas = new java.io.File(dirs.maxBy(_.lastModified), "table")
+      .listFiles().filter(_.getName.startsWith("delta="))
+    deltas.length should be >= 1
+  }
 }
