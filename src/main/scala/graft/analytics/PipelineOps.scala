@@ -1084,15 +1084,17 @@ object PipelineOps {
        |  FROM $bbRel),
        |wt AS (SELECT ${big("sum(wgt)")} AS tw FROM wg),
        |ma AS (SELECT source, main_mass AS mass,
-       |    (p.main_b * wg.wgt) $dv wt.tw AS fl,
-       |    (p.main_b * wg.wgt) % wt.tw AS rem, p.main_b AS budget
+       |    ${ExactMath.mulDiv("p.main_b", "wg.wgt", "wt.tw", duck)} AS fl,
+       |    ${ExactMath.mulMod("p.main_b", "wg.wgt", "wt.tw", duck)} AS rem,
+       |    p.main_b AS budget
        |  FROM wg CROSS JOIN wt CROSS JOIN prm p),
        |mr AS (SELECT source, mass, fl, rem, budget,
        |    row_number() OVER (ORDER BY rem DESC, source) AS rk FROM ma),
        |mneed AS (SELECT max(budget) - ${big("sum(fl)")} AS extra FROM ma),
        |aa AS (SELECT source, head_mass AS mass,
-       |    (p.ann_b * wg.head_mass) $dv p.th AS fl,
-       |    (p.ann_b * wg.head_mass) % p.th AS rem, p.ann_b AS budget
+       |    ${ExactMath.mulDiv("p.ann_b", "wg.head_mass", "p.th", duck)} AS fl,
+       |    ${ExactMath.mulMod("p.ann_b", "wg.head_mass", "p.th", duck)} AS rem,
+       |    p.ann_b AS budget
        |  FROM wg CROSS JOIN prm p),
        |ar AS (SELECT source, mass, fl, rem, budget,
        |    row_number() OVER (ORDER BY rem DESC, source) AS rk FROM aa),

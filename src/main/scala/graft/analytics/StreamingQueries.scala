@@ -1066,14 +1066,14 @@ object StreamingQueries {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     Views.sql(spark, spark.read.parquet(outDir), "graft_s21_sb_v",
-      """WITH c AS (SELECT bucket, sum(cs) AS c FROM graft_s21_sb_v
+      s"""WITH c AS (SELECT bucket, sum(cs) AS c FROM graft_s21_sb_v
         |  GROUP BY bucket),
         |tots AS (SELECT sum(cs) AS t_total FROM graft_s21_sb_v),
         |ts AS (SELECT source, sum(cs) AS t_s FROM graft_s21_sb_v
         |  GROUP BY source),
         |j AS (SELECT sb.source, sb.cs,
-        |    CAST(length(bin((((sb.cs * 1048576) div c.c) * tots.t_total)
-        |      div ts.t_s)) - 1 - 20 AS BIGINT) AS lam
+        |    CAST(length(bin(${s21Staged(duck = false)}))
+        |      - 1 - 20 AS BIGINT) AS lam
         |  FROM graft_s21_sb_v sb JOIN c ON sb.bucket = c.bucket
         |  CROSS JOIN tots
         |  JOIN ts ON sb.source = ts.source)
@@ -1082,11 +1082,23 @@ object StreamingQueries {
         |FROM j GROUP BY source ORDER BY source""".stripMargin)
   }
 
+  /** s21's staged KL ratio `((cs*2^20 div c) * t_total) div t_s` through
+    * [[ExactMath.mulDiv]] so `t_total` never multiplies a 2^20-scale
+    * factor directly (ADVICE r11: the naive product overflows BIGINT —
+    * silently on Spark, loudly on DuckDB — once the corpus passes ~2^43
+    * tokens). Exact for any corpus with per-source token counts up to
+    * ~2^43 (8.8×10^12); bound recorded in SCALE.md. */
+  private def s21Staged(duck: Boolean): String = {
+    val dv = if (duck) "//" else "div"
+    ExactMath.mulDiv("tots.t_total", s"(sb.cs * 1048576) $dv c.c",
+      "ts.t_s", duck)
+  }
+
   /** s21 oracle — DuckDB rebuilds the bucketed counts from the documents
     * table (the t17-validated md5-prefix bucket replay, unigrams) and
     * folds the identical exact-BIGINT KL staging. */
   val streamDriftAuditOracle: String =
-    """WITH b AS (SELECT source,
+    s"""WITH b AS (SELECT source,
       |    CAST('0x' || substr(md5(t.token), 1, 15) AS BIGINT) % 1024 AS bucket
       |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token
       |        FROM documents) t),
@@ -1095,8 +1107,8 @@ object StreamingQueries {
       |tots AS (SELECT CAST(sum(cs) AS BIGINT) AS t_total FROM sb),
       |ts AS (SELECT source, CAST(sum(cs) AS BIGINT) AS t_s FROM sb GROUP BY source),
       |j AS (SELECT sb.source, sb.cs,
-      |    CAST(length(bin((((sb.cs * 1048576) // c.c) * tots.t_total)
-      |      // ts.t_s)) - 1 - 20 AS BIGINT) AS lam
+      |    CAST(length(bin(${s21Staged(duck = true)}))
+      |      - 1 - 20 AS BIGINT) AS lam
       |  FROM sb JOIN c ON sb.bucket = c.bucket
       |  CROSS JOIN tots
       |  JOIN ts ON sb.source = ts.source)
@@ -1315,10 +1327,15 @@ object StreamingQueries {
     * s20's append-only twin (f8 ↔ s20 in-place merge; f9 ↔ s22 versioned
     * history). Each micro-batch of the event CDC stream commits as
     * [[VersionedTable]] delta `delta=<batchId>` through the canonical
-    * batchId-keyed idempotent foreachBatch sink: the commit is
-    * EXISTENCE-GUARDED, so a replayed epoch (driver crash in the K4
-    * at-least-once window, then restart) finds its delta already on disk
-    * and skips — history can never fork or double-apply, and every
+    * batchId-keyed idempotent foreachBatch sink
+    * ([[VersionedTable.commitDelta]]): committed means the `_SUCCESS`
+    * marker is present, a marker-less dir is a crash remnant that gets
+    * rewritten, and publication is one atomic temp-dir rename — so a
+    * replayed epoch (driver crash in the K4 at-least-once window, then
+    * restart) can neither double-apply a committed delta NOR silently
+    * skip a partially-written one (ADVICE r11: a bare dir-existence
+    * guard loses the partial-write epoch forever). History can never
+    * fork or double-apply, and every
     * micro-batch boundary is a NAMED, time-travelable version. A second
     * `AvailableNow` run on the same checkpoint re-commits nothing. The
     * output is the as-of-latest state, which must equal f8's one-window
@@ -1329,9 +1346,16 @@ object StreamingQueries {
     * append-only write, no base read, no rewrite — cheaper per batch
     * than s20's touched-bucket overwrite; the cost moves to the as-of
     * read's delta-pruned LWW merge, f9's documented trade). */
-  def s22StreamVersionedIngest(spark: SparkSession, sfDir: String): DataFrame = {
+  def s22StreamVersionedIngest(spark: SparkSession, sfDir: String): DataFrame =
+    s22StreamVersionedIngestAt(spark, sfDir, tempDir("graft_s22_"))
+
+  /** [[s22StreamVersionedIngest]] with a caller-supplied scratch base —
+    * specs assert on the exact table they ran instead of scanning /tmp
+    * for the most-recent name match (ADVICE r11: flaky under parallel
+    * suites and leftover dirs from earlier sessions). */
+  def s22StreamVersionedIngestAt(spark: SparkSession, sfDir: String,
+      base: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val base = tempDir("graft_s22_")
     val dir = s"$base/table"; val ckpt = s"$base/ckpt"
     def runOnce(): Unit = {
       val q = Tables.normalizeEventTs(eventsFileStream(spark, sfDir))
@@ -1342,10 +1366,7 @@ object StreamingQueries {
             when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
               .as(VersionedTable.OpCol),
             col("event_type").as("last_type"), col("value").as("last_value"))
-          val p = new org.apache.hadoop.fs.Path(s"$dir/delta=$batchId")
-          val fs = p.getFileSystem(
-            ch.sparkSession.sparkContext.hadoopConfiguration)
-          if (!fs.exists(p)) VersionedTable.appendDelta(dir, ch, batchId)
+          VersionedTable.commitDelta(dir, ch, batchId)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()

@@ -1297,9 +1297,15 @@ object TextAnalytics {
     * IDENTICAL bucket without funneling each source through one task
     * (the per-source window is the canonical stratum-sort scale-killer
     * — a 100 TB source would sort single-threaded): the p14 two-phase
-    * rank. Docs quantize to integer sub-buckets qb = 8·kn_bits_q64 div
-    * n_bigrams (= floor(512·mean_bits) — monotone in mean_bits, so
-    * sub-bucket order composes with in-bucket order); per-(source, qb)
+    * rank. Docs quantize to integer sub-buckets qb = floor(512 ·
+    * mean_bits) computed FROM THE SAME IEEE DOUBLE the oracle sorts on
+    * (ADVICE r11: deriving qb from the exact integers instead lets two
+    * docs whose exact ratios straddle a k/512 boundary but round to the
+    * same double sort differently in the two engines, flipping a
+    * tercile at a bucket edge; floor(512·x) is monotone in the double x
+    * — constant-multiply and floor are order-preserving under round-to-
+    * nearest — so sub-bucket order composes exactly with in-bucket
+    * order); per-(source, qb)
     * rank windows run PARALLEL, the (source, qb) histogram (bounded by
     * |sources|·512·max_bits — corpus-independent) carries prefix-sum
     * offsets and per-source totals, and ntile's SQL-standard
@@ -1316,7 +1322,7 @@ object TextAnalytics {
     else
       knCoreSql(docsRel, duck) + s""",
          |lab0 AS (SELECT p.doc_id, dd.source, p.n_bigrams, p.mean_bits,
-         |    (p.kn_bits_q64 * 8) div p.n_bigrams AS qb
+         |    CAST(floor(p.mean_bits * 512) AS BIGINT) AS qb
          |  FROM perdoc p JOIN $docsRel dd ON dd.doc_id = p.doc_id),
          |hist AS (SELECT source, qb, count(1) AS cnt
          |  FROM lab0 GROUP BY source, qb),

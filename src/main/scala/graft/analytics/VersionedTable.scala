@@ -42,6 +42,44 @@ object VersionedTable {
     batch.write.mode("errorifexists").parquet(s"$dir/delta=$k")
   }
 
+  /** Idempotent commit of `batch` as version `k` — the foreachBatch sink
+    * form, safe under at-least-once epoch replay AND a crash mid-write
+    * (ADVICE r11: a bare `exists(delta=k)` guard treats a PARTIALLY
+    * written delta as committed — the parquet committer creates the
+    * target dir at job setup, so a crash mid-job leaves `delta=k`
+    * existing with no data and the replayed epoch silently skips it:
+    * permanent data loss). Protocol:
+    *
+    *   1. committed ⇔ `delta=k/_SUCCESS` exists (the committer's job
+    *      marker travels with the directory) — a replayed epoch skips;
+    *   2. a dir without the marker is a crash remnant — deleted;
+    *   3. the write lands in a dot-prefixed temp dir (hidden from
+    *      [[readAsOf]]'s partition discovery) and PUBLISHES via one
+    *      atomic rename, so `delta=k` is only ever absent or complete.
+    *
+    * If `_SUCCESS` emission is disabled (`mapreduce.fileoutputcommitter
+    * .marksuccessfuljobs=false`) the skip optimization degrades to
+    * delete+rewrite of a deterministic batch — still exactly-once in
+    * effect, never lossy. */
+  def commitDelta(dir: String, batch: DataFrame, k: Long): Unit = {
+    require(!batch.columns.contains("delta"), "'delta' is reserved")
+    val hc = batch.sparkSession.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(s"$dir/delta=$k")
+    val fs = target.getFileSystem(hc)
+    val marker = new org.apache.hadoop.fs.Path(target, "_SUCCESS")
+    if (fs.exists(marker)) return // committed — replayed epoch, no-op
+    if (fs.exists(target)) fs.delete(target, true) // partial: discard
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.tmp_delta_$k")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    batch.write.mode("errorifexists").parquet(tmp.toString)
+    if (!fs.rename(tmp, target)) {
+      // lost a publish race: a concurrent committer must have won
+      fs.delete(tmp, true)
+      require(fs.exists(target),
+        s"delta=$k publish failed with no committed winner present")
+    }
+  }
+
   /** The table exactly as it stood after version `asOf` committed:
     * last-writer-wins over deltas 0..asOf, tombstones applied. */
   def readAsOf(s: SparkSession, dir: String, keyCols: Seq[String],

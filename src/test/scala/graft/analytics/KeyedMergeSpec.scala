@@ -121,7 +121,12 @@ class KeyedMergeSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   test("s22 versioned ingest equals s20's merged state; every micro-batch is a named immutable version") {
     val sf = "/root/testdata/sf0.001"
-    val viaLog = StreamingQueries.s22StreamVersionedIngest(spark, sf)
+    // caller-supplied base so the assertions below inspect the EXACT
+    // table this run wrote (ADVICE r11: scanning /tmp for the newest
+    // name match is flaky under parallel suites / leftover dirs)
+    val base = java.nio.file.Files.createTempDirectory("graft_s22spec_")
+      .toString
+    val viaLog = StreamingQueries.s22StreamVersionedIngestAt(spark, sf, base)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     val viaMerge = FormatQueries.f8KeyedMerge(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
@@ -131,12 +136,41 @@ class KeyedMergeSpec extends AnyFunSuite with Matchers with SparkSpec {
     // and the history IS the layout: the scratch table holds one
     // immutable delta=<batchId> dir per micro-batch (the second
     // AvailableNow run added none — a double-applied epoch would show
-    // as an extra dir or a changed state, both caught above)
-    val dirs = new java.io.File("/tmp").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_s22_"))
-    dirs should not be empty
-    val deltas = new java.io.File(dirs.maxBy(_.lastModified), "table")
-      .listFiles().filter(_.getName.startsWith("delta="))
+    // as an extra dir or a changed state, both caught above), each
+    // carrying its commit marker and no stray temp/partial dirs
+    val table = new File(base, "table")
+    val entries = Option(table.listFiles()).toSeq.flatten
+    val deltas = entries.filter(_.getName.startsWith("delta="))
     deltas.length should be >= 1
+    deltas.foreach { d =>
+      new File(d, "_SUCCESS").exists() shouldBe true
+    }
+    entries.count(_.getName.startsWith(".tmp_delta_")) shouldBe 0
+  }
+
+  test("s22 commitDelta recovers a crash-window partial delta instead of skipping it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vt_crash_")
+      .toString + "/table"
+    val b0 = Seq((1L, 1L, "u", 10.0)).toDF("k", "seq", KeyedMerge.OpCol, "v")
+    VersionedTable.commitDelta(dir, b0, 0L)
+    // simulate the ADVICE r11 crash window: the committer created the
+    // target dir (no _SUCCESS, no data) and the driver died mid-write
+    val partial = new File(dir, "delta=1")
+    partial.mkdirs() shouldBe true
+    val b1 = Seq((1L, 2L, "u", 20.0)).toDF("k", "seq", KeyedMerge.OpCol, "v")
+    VersionedTable.commitDelta(dir, b1, 1L) // replayed epoch must WRITE
+    new File(partial, "_SUCCESS").exists() shouldBe true
+    val state = VersionedTable
+      .readAsOf(spark, dir, Seq("k"), Seq("seq"), Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    state shouldBe Array((1L, 20.0)) // the recovered epoch applied
+    // and a committed delta is never re-applied: replay epoch 1 with
+    // DIFFERENT (would-be-forked) content — the marker wins, no rewrite
+    val forged = Seq((1L, 3L, "u", 99.0)).toDF("k", "seq", KeyedMerge.OpCol, "v")
+    VersionedTable.commitDelta(dir, forged, 1L)
+    VersionedTable.readAsOf(spark, dir, Seq("k"), Seq("seq"), Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))) shouldBe
+      Array((1L, 20.0))
   }
 }

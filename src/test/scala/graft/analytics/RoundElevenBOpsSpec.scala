@@ -239,8 +239,13 @@ class RoundElevenBOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     val ts = sb.groupBy(_._1._1).map { case (s, v) => s -> v.values.sum }
     val exp = sb.groupBy(_._1._1).map { case (src, rows) =>
       val klSum = rows.map { case ((_, b), cs) =>
-        val staged = (((cs * 1048576L) / c(b)) * tTotal) / ts(src)
-        val lam = (63 - java.lang.Long.numberOfLeadingZeros(staged)) - 20L
+        // exact BigInt replay of the ExactMath.mulDiv staging (identical
+        // value — the limb split is an identity, only overflow behavior
+        // differs); lam via bin()-length semantics, where bin(0) = "0"
+        // has length 1 so staged == 0 maps to -20, not -21 (ADVICE r11)
+        val staged = ((BigInt(cs) * 1048576 / c(b)) * tTotal / ts(src)).toLong
+        val lam = (if (staged == 0L) 0L
+                   else 63L - java.lang.Long.numberOfLeadingZeros(staged)) - 20L
         cs * lam
       }.sum
       src -> (ts(src), klSum, klSum.toDouble / ts(src))
