@@ -1,6 +1,52 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Parse the per-query min map out of a prior bench artifact line
+    * (the committed `bench.json` from the previous round). Regex over
+    * the machine-generated flat `"name":sec` object — no JSON library
+    * dependency, returns empty on any shape mismatch (a missing or
+    * unparseable baseline disables ratio-flagging, never fails the
+    * bench). */
+  def parseBaselineQueries(text: String): Map[String, Double] = {
+    val start = text.indexOf("\"queries\":{")
+    if (start < 0) Map.empty
+    else {
+      val body = text.substring(start + "\"queries\":{".length)
+      val end = body.indexOf('}')
+      if (end < 0) Map.empty
+      else "\"([^\"]+)\":(-?[0-9][0-9.]*)".r
+        .findAllMatchIn(body.substring(0, end))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** The dynamic isolation set (VERDICT r11 #1): every entry whose
+    * in-run min exceeds `threshold` × its prior-round time. The boot-
+    * wide 1.3–1.7× sweep dispersion documented in SCALE.md made the
+    * sequential in-run totals useless as a regression signal (r11 read
+    * 116.9 s vs r10's 64.9 s with zero real regressions); every
+    * apparent regression now re-runs alone on a quiesced rig so the
+    * artifact carries the stable per-entry number alongside the noisy
+    * in-run one. Entries new this round (absent from the baseline) or
+    * failed in-run (-1) are not ratio-flagged. */
+  def flaggedForIsolation(current: Map[String, Double],
+      prior: Map[String, Double], threshold: Double): Seq[String] =
+    current.collect {
+      case (n, t) if t >= 0 && prior.get(n).exists(p => p > 0 && t > threshold * p) => n
+    }.toSeq.sorted
+
+  /** Sweep-dispersion index over the per-query (min, max) pairs: the
+    * two totals, their ratio, and how many entries individually spread
+    * past 1.5× — committed with every artifact so a noisy boot is
+    * VISIBLE IN THE ARTIFACT instead of reconstructed from prose. */
+  def dispersionIndex(results: Seq[(String, (Double, Double))])
+      : (Double, Double, Int) = {
+    val good = results.collect { case (_, (mn, mx)) if mn >= 0 => (mn, mx) }
+    val totalMin = good.map(_._1).sum
+    val totalMax = good.map(_._2).sum
+    val over = good.count { case (mn, mx) => mn > 0 && mx / mn > 1.5 }
+    (totalMin, totalMax, over)
+  }
   /** Driver-heap preflight (VERDICT r7 item 8): the sf10 rehearsal needs
     * ~48 g of heap (GCLocker OOM, exit 52, below that — SCALE.md); that was
     * tribal knowledge. Heuristic: cached signature/vector tables and
@@ -90,38 +136,67 @@ object Bench {
       graft.analytics.Scratch.sweep()
       name -> (if (good.isEmpty) (-1.0, -1.0) else (good.min, good.max))
     }
-    // Isolation protocol for write-heavy entries (VERDICT r9 #4): in-run
-    // sf10 timings for entries whose operator IS a large scratch write
-    // carried 2-4x spread from IO contention with the surrounding surface
-    // (f6 21.6-41 s in-run vs 9.9-12.3 s isolated; e9 18.7-50 vs 23.5).
-    // After the main loop — every other query's scratch already swept —
-    // each flagged entry re-runs alone on a quiesced rig and both numbers
-    // land in the artifact ("isolated" map), so per-entry regressions are
-    // judged against a stable signal instead of rig noise. Override the
-    // flagged set with SPARK_GRAFT_BENCH_ISOLATED (comma list, empty to
-    // disable).
-    val isolatedNames: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_ISOLATED")
+    // Isolation protocol (VERDICT r9 #4, widened per VERDICT r11 #1):
+    // in-run timings carry 1.3-1.7x boot-wide dispersion with disjoint
+    // outlier sets across identical sweeps (SCALE.md), so the sequential
+    // sweep alone is not a regression signal. After the main loop —
+    // every other query's scratch already swept — the flagged set
+    // re-runs ALONE on a quiesced rig, min of 2, and the artifact
+    // carries in-run, isolated, AND the prior-round reference per
+    // flagged entry. Flagged = the static write-heavy set (whose
+    // operator IS a large scratch write: f6 21.6-41 s in-run vs
+    // 9.9-12.3 s isolated at sf10; e9 18.7-50 vs 23.5; f8 same class)
+    // UNION every entry whose in-run min exceeded 1.4x its time in the
+    // previous round's committed bench.json. Overrides:
+    // SPARK_GRAFT_BENCH_ISOLATED (comma list, empty disables the static
+    // set), SPARK_GRAFT_BENCH_BASELINE (prior artifact path),
+    // SPARK_GRAFT_BENCH_ISO_THRESHOLD.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "bench.json")
+    val baseline: Map[String, Double] =
+      try {
+        val f = java.nio.file.Paths.get(baselinePath)
+        if (java.nio.file.Files.isReadable(f))
+          parseBaselineQueries(new String(
+            java.nio.file.Files.readAllBytes(f), "UTF-8"))
+        else Map.empty
+      } catch { case _: Throwable => Map.empty }
+    val isoThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_THRESHOLD",
+      "1.4").toDouble
+    val staticIso: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_ISOLATED")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      // f8 joined r11: its operator IS a bucketed base-table build plus a
-      // touched-bucket rewrite — the same corpus-sized-scratch-write class
-      // as f6 (61 s in-run vs ~25 s isolated at sf10 when it landed).
       .getOrElse(Seq("f6_clustered_layout", "e9_knn_graph_2level",
         "f8_keyed_merge"))
+    val inRunMin: Map[String, Double] = results.map { case (k, (mn, _)) => k -> mn }.toMap
+    val ratioFlagged = flaggedForIsolation(inRunMin, baseline, isoThreshold)
+    // cap the re-run budget on a pathologically noisy boot, but NEVER
+    // silently: anything dropped is named in the artifact
+    val isoCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_CAP", "48").toInt
+    val allFlagged = (staticIso ++ ratioFlagged).distinct
       .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
+    val (isolatedNames, isoDropped) = (allFlagged.take(isoCap),
+      allFlagged.drop(isoCap))
     val isolated: Seq[(String, Double)] = isolatedNames.map { name =>
       graft.analytics.Scratch.sweep()
       System.gc()
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch { case t: Throwable =>
-          // the -1.0 sentinel alone forces a full re-run to diagnose
-          // (ADVICE r10) — mirror the main loop's stderr reporting
-          System.err.println(
-            s"[bench] isolated re-run FAILED: $name — ${t.getClass.getName}: ${t.getMessage}")
-          false
-        }
-      graft.analytics.Scratch.sweep()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // min of 2 quiesced runs — one isolated sample still wears burst
+      // noise (SCALE.md r11: disjoint outliers across identical sweeps)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case t: Throwable =>
+            // the -1.0 sentinel alone forces a full re-run to diagnose
+            // (ADVICE r10) — mirror the main loop's stderr reporting
+            System.err.println(
+              s"[bench] isolated re-run FAILED: $name — ${t.getClass.getName}: ${t.getMessage}")
+            false
+          }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        graft.analytics.Scratch.sweep()
+        dt
+      }
+      val good = times.filter(_ >= 0)
+      name -> (if (good.isEmpty) -1.0 else good.min)
     }
     // 0.1 ms precision: full-resolution doubles balloon the 115-entry line
     // past harness capture limits, and sub-ms digits are noise on this rig.
@@ -143,8 +218,24 @@ object Bench {
     val filteredTag = if (only.isDefined) ""","filtered":true""" else ""
     val isoJson = isolated.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
+    // regression ledger: every flagged entry with all three numbers side
+    // by side — the judge's regression calls cite "isolated" vs "prior",
+    // never the in-run sweep (VERDICT r11 #1)
+    val isoMap = isolated.toMap
+    val flaggedJson = isolatedNames.map { n =>
+      val prior = baseline.get(n).map(r4).getOrElse("null")
+      s"""\"$n\":{"prior":$prior,"inrun":${r4(inRunMin.getOrElse(n, -1.0))},"isolated":${r4(isoMap.getOrElse(n, -1.0))}}"""
+    }.mkString("{", ",", "}")
+    val isoDroppedJson = isoDropped.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val (dispMin, dispMax, dispOver) = dispersionIndex(results)
+    val dispersionJson =
+      s"""{"total_min":${r4(dispMin)},"total_max":${r4(dispMax)},"ratio":${r4(if (dispMin > 0) dispMax / dispMin else -1.0)},"entries_over_1p5":$dispOver}"""
+    val baselineTag =
+      if (baseline.isEmpty) """"baseline":null"""
+      else s""""baseline":"$baselinePath","iso_threshold":$isoThreshold"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"isolated":$isoJson,"failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"isolated":$isoJson,"flagged":$flaggedJson,"isolated_dropped":$isoDroppedJson,"dispersion":$dispersionJson,$baselineTag,"failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDir"}"""
     // The harness records only a 2000-char stdout TAIL; at 148×2 map entries
     // the full line is ~8 KiB and got truncated at BOTH ends for three
     // rounds running (BENCH_r06..08 all `parsed: null` — VERDICT r8 item 2).
@@ -164,7 +255,7 @@ object Bench {
       val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(25)
       val qsSlow = slowest.map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":null,"queries_slowest":$qsSlow,"queries_shown":"slowest ${slowest.size} of ${results.size}","queries_file":"$outFile","failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":null,"queries_slowest":$qsSlow,"queries_shown":"slowest ${slowest.size} of ${results.size}","queries_file":"$outFile","dispersion":$dispersionJson,"flagged_count":${isolatedNames.size},"failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDir"}""")
     }
     spark.stop()
     if (failedNames.nonEmpty) {
