@@ -1052,16 +1052,20 @@ object PipelineOps {
     // ≤|sources|-row re-read. The DuckDB oracle stays one query (its
     // CTEs materialize once by default).
     val out = s"${Scratch.dir("graft-p22")}/bb"
-    Views.sql(s, documents(s, d), "graft_docs_p22_v",
-      p22MassSql("graft_docs_p22_v")).write.parquet(out)
+    Views.sqlN(s,
+      Seq(TextAnalytics.knPerdocStaged(s, d) -> "graft_perdoc_p22_v",
+        documents(s, d) -> "graft_docs_p22_v"),
+      p22MassSql("graft_perdoc_p22_v", "graft_docs_p22_v"))
+      .write.parquet(out)
     Views.sql(s, s.read.parquet(out), "graft_p22_bb_v",
       "WITH " + p22ScheduleCtes("graft_p22_bb_v", duck = false))
   }
 
   /** Per-source (main, head) bigram masses over t24's tercile labels —
-    * the Spark-side step-1 text. */
-  private def p22MassSql(docsRel: String): String =
-    TextAnalytics.perplexityLabSql(docsRel, duck = false) + """,
+    * the Spark-side step-1 text, reading t22's staged per-doc table
+    * (VERDICT r11 #3) instead of re-executing the KN chain. */
+  private def p22MassSql(perdocRel: String, docsRel: String): String =
+    TextAnalytics.perplexityLabStagedSql(perdocRel, docsRel) + """,
        |bb AS (SELECT source,
        |    sum(n_bigrams) AS main_mass,
        |    sum(CASE WHEN bucket = 1 THEN n_bigrams ELSE 0 END)
