@@ -408,7 +408,8 @@ final class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader
       UTF8String.fromString(r.partitionKey),
       r.data,
       r.approximateArrivalTimestamp.fold(null: Any)(t => t.getTime * 1000L),
-      UTF8String.fromString(r.shardId)))
+      UTF8String.fromString(r.shardId),
+      r.explicitHashKey.fold(null: Any)(UTF8String.fromString)))
   }
 
   override def close(): Unit = ()

@@ -55,6 +55,34 @@ class GraftStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally SourceClientRegistry.unregister("c1")
   }
 
+  test("explicitHashKey rides the envelope verbatim — set, absent, and schema (processor.rs:26, VERDICT r11 missing #3)") {
+    // every even record carries a producer routing override; odd don't
+    val shards = Map("shard-0" -> (0 until 10).map { i =>
+      rec("shard-0", i).copy(
+        explicitHashKey = if (i % 2 == 0) Some(s"ehk-$i") else None)
+    })
+    SourceClientRegistry.register("cehk", new InMemorySourceClient(shards))
+    try {
+      val dir = tmpDir()
+      val q = spark.readStream.format("graft-stream")
+        .option("client", "cehk").load()
+        .writeStream.format("memory").queryName("ehk")
+        .option("checkpointLocation", dir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val df = spark.sql("SELECT sequenceNumber, explicitHashKey FROM ehk")
+      df.schema("explicitHashKey").dataType.typeName shouldBe "string"
+      df.schema("explicitHashKey").nullable shouldBe true
+      val got = df.collect()
+        .map(r => r.getString(0).toInt -> Option(r.getString(1))).toMap
+      got.size shouldBe 10
+      (0 until 10).foreach { i =>
+        got(i) shouldBe (if (i % 2 == 0) Some(s"ehk-$i") else None)
+      }
+      spark.sql("DROP TABLE ehk")
+    } finally SourceClientRegistry.unregister("cehk")
+  }
+
   test("admission cap: at most batchSize*maxLoops records per shard per micro-batch (S4)") {
     SourceClientRegistry.register("c2", new InMemorySourceClient(mkShards(2, 100)))
     try {
