@@ -283,7 +283,33 @@ object FormatQueries {
     * Scale shape: each as-of read is one delta-pruned scan (`delta` is
     * a partition column, so versions > k are never opened) + one
     * key-partitioned partial+final argmax; appends never rewrite. */
-  def f9SnapshotRead(s: SparkSession, d: String): DataFrame = {
+  def f9SnapshotRead(s: SparkSession, d: String): DataFrame =
+    versionedAsOf3And5(s, d, compactFirst = false)
+
+  /** f10 — LOG COMPACTION under the oracle gate: f9's 6-delta build,
+    * then [[VersionedTable.compactUpTo]] folds deltas 0..3 into one
+    * base delta BEFORE the reads — and the output must still hash-equal
+    * f9's oracle verbatim. That pins the whole maintenance contract at
+    * once: the compacted base replays the as-of-3 snapshot bit-for-bit
+    * (nothing lost, nothing from versions 4-5 leaked in), tombstones
+    * survive compaction with their sequence numbers (a post-compaction
+    * delta carrying an OLDER sequence must still lose), and the as-of-5
+    * read over base+tail equals the uncompacted log's.
+    *
+    * Scale shape: compaction is one delta-pruned scan + one
+    * key-partitioned partial+final argmax + one partitioned write (the
+    * cost of a single as-of read plus the write); afterwards every
+    * as-of read opens a BOUNDED file set instead of one directory per
+    * historical micro-batch — the read-amplification counter-move a
+    * long-running s22 ingest needs (soak-gated at 200 deltas in
+    * SinkSoakSpec). */
+  def f10LogCompaction(s: SparkSession, d: String): DataFrame =
+    versionedAsOf3And5(s, d, compactFirst = true)
+
+  /** Shared f9/f10 body: commit the event CDC stream as 6 event-time
+    * deltas, optionally compact 0..3 into one base, read as-of 3 and 5. */
+  private def versionedAsOf3And5(s: SparkSession, d: String,
+      compactFirst: Boolean): DataFrame = {
     val dir = s"${Scratch.dir("graft-versioned")}/table"
     val ev = events(s, d)
     val ch = ev.select(col("user_id"),
@@ -300,6 +326,9 @@ object FormatQueries {
         col("tsu") < (if (i == nBatches - 1) hi else lo + (i + 1) * span))
       VersionedTable.appendDelta(dir, b, i.toLong)
     }
+    if (compactFirst)
+      VersionedTable.compactUpTo(s, dir, 3L,
+        Seq("user_id"), Seq("tsu", "event_id"))
     def asOf(k: Long) = VersionedTable
       .readAsOf(s, dir, Seq("user_id"), Seq("tsu", "event_id"), k)
       .withColumn("version", lit(k))
@@ -331,6 +360,7 @@ object FormatQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f8_keyed_merge" -> (f8KeyedMerge _),
     "f9_snapshot_read" -> (f9SnapshotRead _),
+    "f10_log_compaction" -> (f10LogCompaction _),
     "f7_compaction" -> (f7Compaction _),
     "f6_clustered_layout" -> (f6ClusteredLayout _),
     "f5_schema_evolution" -> (f5SchemaEvolution _),
@@ -343,6 +373,9 @@ object FormatQueries {
   val oracles: Map[String, String] = Map(
     "f8_keyed_merge" -> f8Oracle,
     "f9_snapshot_read" -> f9Oracle,
+    // f10 shares f9's oracle VERBATIM: compaction must be invisible to
+    // both the mid-history and the current read
+    "f10_log_compaction" -> f9Oracle,
     "f7_compaction" -> roundtripOracle,
     "f6_clustered_layout" -> f6Oracle,
     "f5_schema_evolution" -> f5Oracle,

@@ -80,9 +80,11 @@ object VersionedTable {
     }
   }
 
-  /** The table exactly as it stood after version `asOf` committed:
-    * last-writer-wins over deltas 0..asOf, tombstones applied. */
-  def readAsOf(s: SparkSession, dir: String, keyCols: Seq[String],
+  /** Per-key LWW winners over deltas 0..asOf, TOMBSTONES RETAINED (op
+    * and seq columns survive) — the raw form [[compactUpTo]] must
+    * persist: dropping a tombstone at compaction would let a later
+    * delta row with an OLDER sequence resurrect the deleted key. */
+  private def winners(s: SparkSession, dir: String, keyCols: Seq[String],
       seqCols: Seq[String], asOf: Long): DataFrame = {
     val all = s.read.parquet(dir).filter(col("delta") <= asOf)
     val dataCols = all.columns.toSeq.filterNot(_ == "delta")
@@ -92,7 +94,66 @@ object VersionedTable {
     all.groupBy(keyCols.map(col): _*)
       .agg(max(struct(ordered.map(col): _*)).as("__w"))
       .select(keyCols.map(col) ++ ordered.map(c => col(s"__w.$c")): _*)
+  }
+
+  /** The table exactly as it stood after version `asOf` committed:
+    * last-writer-wins over deltas 0..asOf, tombstones applied. */
+  def readAsOf(s: SparkSession, dir: String, keyCols: Seq[String],
+      seqCols: Seq[String], asOf: Long): DataFrame =
+    winners(s, dir, keyCols, seqCols, asOf)
       .filter(col(OpCol) =!= "d")
       .drop(OpCol)
+
+  /** f7-style MAINTENANCE COMPACTION of the delta log (the scaladoc's
+    * documented read-amplification counter-move, now a real operator):
+    * fold deltas 0..k into ONE base delta re-published as `delta=k`, so
+    * an as-of read afterwards opens a bounded file set instead of one
+    * directory per historical micro-batch. Semantics:
+    *
+    *   - winners are persisted WITH their tombstones and sequence
+    *     columns, so LWW against every delta > k is unchanged —
+    *     readAsOf(>= k) is bit-identical before/after;
+    *   - time travel BELOW k is retired (the retention trade every
+    *     log-structured table makes — Delta/Iceberg vacuum semantics);
+    *   - crash-resumable: the snapshot lands durably (with its
+    *     `_SUCCESS` marker) in a hidden temp dir BEFORE any delta is
+    *     deleted, and a re-run of `compactUpTo(k)` after a crash
+    *     resumes from the durable snapshot rather than re-deriving from
+    *     a partially-deleted log. Run it as maintenance (no concurrent
+    *     readers of versions <= k), like f7's compaction.
+    *
+    * 100 TB shape: one pruned scan + one key-partitioned partial+final
+    * aggregation + one partitioned write — the same cost as a single
+    * as-of read plus the write; nothing collects to the driver. */
+  def compactUpTo(s: SparkSession, dir: String, k: Long,
+      keyCols: Seq[String], seqCols: Seq[String]): Unit = {
+    val hc = s.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.compact_upto_$k")
+    val fs = tmp.getFileSystem(hc)
+    val marker = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    if (!fs.exists(marker)) {
+      // phase 1 — durable snapshot FIRST; only after the marker lands is
+      // any source delta deletable. A crash here re-derives cleanly: the
+      // full log is still present.
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      winners(s, dir, keyCols, seqCols, k)
+        .write.mode("errorifexists").parquet(tmp.toString)
+    }
+    // phase 2 — retire the compacted range (includes the old delta=k);
+    // crash-safe: every row is already in the durable snapshot, and a
+    // re-run skips phase 1 on the marker and finishes the deletes.
+    val st = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+    st.map(_.getPath).filter(_.getName.startsWith("delta=")).foreach { p =>
+      val v = p.getName.stripPrefix("delta=").toLong
+      if (v <= k) { fs.delete(p, true); () }
+    }
+    // phase 3 — publish: one atomic rename. After a completed prior run
+    // the target already exists and the tmp is gone, so both branches
+    // are no-op-safe.
+    val target = new org.apache.hadoop.fs.Path(s"$dir/delta=$k")
+    if (!fs.exists(target)) {
+      require(fs.rename(tmp, target),
+        s"compaction publish rename failed for delta=$k")
+    } else if (fs.exists(tmp)) { fs.delete(tmp, true); () }
   }
 }
