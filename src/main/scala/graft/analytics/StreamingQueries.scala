@@ -1218,6 +1218,7 @@ object StreamingQueries {
     }, s"graft-s19-event-consumer-$tid")
     val consumers = Seq(consumerThread(0), consumerThread(1))
     consumers.foreach(_.start())
+    val tEngine0 = System.nanoTime()
     val gp = new GraftProcessor[String](
       ProcessorConfig("events", batchSize = batch),
       new MonitoredDecodeProcessor,
@@ -1237,11 +1238,19 @@ object StreamingQueries {
     }
     require(bounded.dropped == 0,
       s"s19 event channel dropped ${bounded.dropped} events — size the capacity up")
+    val tEngine = (System.nanoTime() - tEngine0) / 1e9
+    val tConv0 = System.nanoTime()
     spark.read
       .schema("timestampMs LONG, shardId STRING, kind STRING, success BOOLEAN, " +
         "isFinalAttempt BOOLEAN, attemptNumber INT, durationMs LONG, hasError BOOLEAN")
       .option("sep", "\t").csv(spillDir.getAbsolutePath)
       .write.mode("overwrite").parquet(logDir)
+    val tConv = (System.nanoTime() - tConv0) / 1e9
+    // one-line phase attribution (VERDICT r11 #7): the returned fold is
+    // lazy, so engine+convert here plus the caller-observed remainder is
+    // the complete cost decomposition
+    System.err.println(
+      f"[s19] phases: engine=$tEngine%.1fs convert=$tConv%.1fs (fold is lazy)")
     MetricsAggregator.aggregate(
         spark.read.parquet(logDir).as[MetricsAggregator.EventRow])
       .select(
