@@ -1390,7 +1390,52 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** s23 — STREAMING INGEST WITH PERIODIC LOG COMPACTION: s22 plus the
+    * maintenance loop a long-running versioned ingest actually operates
+    * with — every 4th committed micro-batch, [[VersionedTable
+    * .compactUpTo]] folds the log so far into one base delta (foreachBatch
+    * is serial per query, so maintenance never races a commit). The
+    * output is the as-of-latest state under f8's oracle VERBATIM: the
+    * gate pins that interleaving compactions with live commits changes
+    * NOTHING about the converged truth. A replayed epoch whose delta was
+    * already folded is content-idempotent too: the base retains the
+    * winners with their sequence numbers, so re-committed rows tie or
+    * lose under LWW — history still cannot fork.
+    *
+    * Scale shape: commits stay append-only (exactly the batch); each
+    * compaction is one delta-pruned scan + one key-partitioned argmax +
+    * one write, and in exchange every subsequent as-of read opens a
+    * BOUNDED file set — the read-amplification counter-move measured at
+    * 200 deltas in SinkSoakSpec, here gated under live interleaving. */
+  def s23StreamCompactedIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tempDir("graft_s23_")
+    val dir = s"$base/table"; val ckpt = s"$base/ckpt"
+    val q = Tables.normalizeEventTs(eventsFileStream(spark, sfDir))
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val ch = b.select(col("user_id"),
+          expr("ts div 1000").as("tsu"), col("event_id"),
+          when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+            .as(VersionedTable.OpCol),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        VersionedTable.commitDelta(dir, ch, batchId)
+        if (batchId % 4L == 3L)
+          VersionedTable.compactUpTo(spark, dir, batchId,
+            Seq("user_id"), Seq("tsu", "event_id"))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    VersionedTable
+      .readAsOf(spark, dir, Seq("user_id"), Seq("tsu", "event_id"),
+        Long.MaxValue)
+      .select(col("user_id"), col("last_type"), col("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_stream_compacted_ingest" -> (s23StreamCompactedIngest _),
     "s22_stream_versioned_ingest" -> (s22StreamVersionedIngest _),
     "s20_stream_keyed_merge" -> (s20StreamKeyedMerge _),
     "s19_monitoring_metrics" -> (s19MonitoringMetrics _),
@@ -1424,6 +1469,8 @@ object StreamingQueries {
     // the batchId-versioned append-only log must converge to the same
     // one-window batch replay as the in-place merge
     "s22_stream_versioned_ingest" -> FormatQueries.f8Oracle,
+    // s23: compactions interleaved with live commits change nothing
+    "s23_stream_compacted_ingest" -> FormatQueries.f8Oracle,
     "s19_monitoring_metrics" -> s19Oracle,
     "s18_stream_dsir_score" -> TextAnalytics.dsirImportanceOracle,
     "s21_stream_drift_audit" -> streamDriftAuditOracle,

@@ -1279,11 +1279,15 @@ object TextAnalytics {
     * BIGINTs and the one IEEE division round-trip parquet bit-exactly,
     * so every consumer's oracle is unchanged. */
   private[analytics] def knPerdocStaged(s: SparkSession, d: String): DataFrame =
-    StageCache.getOrBuild(s, s"knperdoc:$d") {
-      Views.sql(s, documents(s, d), "graft_docs_t22_v",
-        knCoreSql("graft_docs_t22_v", duck = false) +
-          "\nSELECT doc_id, n_bigrams, kn_bits_q64, mean_bits FROM perdoc")
-    }
+    StageCache.getOrBuild(s, s"knperdoc:$d")(knPerdocPlan(s, d))
+
+  /** The UNSTAGED perdoc chain — the plan PlanSpec gates (the staged
+    * read truncates the registered plan to a parquet scan, same as the
+    * eager-checkpoint overrides). */
+  private[analytics] def knPerdocPlan(s: SparkSession, d: String): DataFrame =
+    Views.sql(s, documents(s, d), "graft_docs_t22_v",
+      knCoreSql("graft_docs_t22_v", duck = false) +
+        "\nSELECT doc_id, n_bigrams, kn_bits_q64, mean_bits FROM perdoc")
 
   def knSurprisal(s: SparkSession, d: String): DataFrame =
     knPerdocStaged(s, d).orderBy("doc_id")

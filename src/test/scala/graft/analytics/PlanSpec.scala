@@ -72,10 +72,12 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       // e16 composes e15's sanctioned coarse-assignment BNLJ (plus e1's
       // conditioned broadcast-probe pass in the brute-truth leg)
       "e16_ivfpq_recall",
-      // t24 composes t22's chain and so inherits its 1-row
-      // bigram-type-total cross join (bounded by construction); p22
-      // composes t24's chain plus its own 1-row budget/weight totals
-      "t24_perplexity_filter", "p22_curriculum_schedule")
+      // t24 now reads t22's STAGED perdoc parquet (r12 stage cache) —
+      // its registered plan carries no cross join at all, so it left
+      // this set; t22's chain BNLJ is gated through its lazy override
+      // below. p22 keeps its OWN 1-row budget/weight totals cross joins
+      // in the registered step-2 plan.
+      "p22_curriculum_schedule")
     // queries that eagerly checkpoint their (small) result so their
     // corpus-sized caches release promptly (r9): the registered plan is an
     // RDD scan — gate the LAZY builder instead, releasing its cache after
@@ -98,6 +100,12 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       "g2_type_cooccurrence" -> (() => {
         val (df, c) = GraphOps.typeCooccurrencePlan(spark, sfDir)
         released(df, Seq(c)) }),
+      // r12: the registered t22 reads its staged parquet; the chain —
+      // whose sanctioned 1-row bigram-type-total BNLJ this gate pins —
+      // is the unstaged builder
+      "t22_kn_surprisal" -> (() =>
+        TextAnalytics.knPerdocPlan(spark, sfDir)
+          .queryExecution.executedPlan.toString),
     )
     planBased.foreach { name =>
       val plan = lazyOverrides.get(name).map(_()).getOrElse(planOf(name))
