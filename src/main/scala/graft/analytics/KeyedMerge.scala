@@ -108,6 +108,16 @@ object KeyedMerge {
       .groupBy((keyCols :+ BucketCol).map(col): _*)
       .agg(max(struct(ordered.map(col): _*)).as("__w"))
       .select((keyCols :+ BucketCol).map(col) ++ ordered.map(c => col(s"__w.$c")): _*)
+      // bucket-aligned write layout (r12, found by the sf30 isolated
+      // slope check): the agg hashes on (key, bucket), so EVERY write
+      // task holds rows of EVERY touched bucket and partitionBy emits
+      // tasks×buckets files — ~19k tiny files per batch at sf30 (600
+      // buckets), and the dynamic-overwrite commit's per-file rename
+      // turned f8 super-linear (7.4x isolated for 3x data). One
+      // bucket-keyed exchange of the (deduplicated) winners makes each
+      // task ≈ one bucket ≈ one file — the f7 targetBytes discipline —
+      // and the commit metadata scales with buckets, not tasks×buckets.
+      .repartition(math.min(touched.length, 4096), col(BucketCol))
 
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = s.conf.getOption(key)
