@@ -35,6 +35,11 @@ private[graft] object Scratch {
     * a query's lazy consumers must have materialized first. Best-effort:
     * never throws. */
   def sweep(): Unit = {
+    // release the engine slices' resident mock-shard cache with the same
+    // between-query cadence (r12): at sf30 an unbounded cache held ~9 GB
+    // of dead KRecord objects across the rest of the sweep
+    try graft.sources.ShardedCorpus.evictAll()
+    catch { case _: Throwable => () }
     var p = live.poll()
     while (p != null) {
       try {

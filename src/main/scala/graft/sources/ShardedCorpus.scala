@@ -116,13 +116,27 @@ object ShardedCorpus {
     out
   }
 
-  /** Per-JVM lazy shard cache: a reader task touching `shard-3` loads only
-    * that file. Keyed by (dir, shardId) so several corpora coexist. */
+  /** Per-JVM lazy shard cache: a reader task touching `shard-3` loads
+    * only that file. Keyed by (dir, shardId) so several corpora coexist.
+    *
+    * UNBOUNDED within a query, evicted between queries (r12): every
+    * micro-batch of an engine slice re-touches ALL shards (the admission
+    * cap splits each shard across ~25 micro-batches), so the per-query
+    * working set IS the corpus — a record-count-bounded LRU was measured
+    * and REJECTED (s19 at sf30: 352 s vs 99.8 s, each under-capacity
+    * micro-batch re-parsing the evicted shards). What was actually
+    * harmful is the residency AFTER the query: ~9 GB of dead KRecord
+    * objects taxing every later query in a sweep — fixed by
+    * [[evictAll]] wired into the between-query scratch sweep. The
+    * production client never has this cache; it is mock-harness
+    * plumbing only. */
   private val shardCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), IndexedSeq[KRecord]]()
 
   private[sources] def loadShard(dir: String, shardId: String): IndexedSeq[KRecord] =
-    shardCache.computeIfAbsent((dir, shardId), { _ =>
+    shardCache.computeIfAbsent((dir, shardId), _ => parseShard(dir, shardId))
+
+  private def parseShard(dir: String, shardId: String): IndexedSeq[KRecord] = {
       val f = new File(dir, s"$shardId.bin")
       if (!f.isFile) IndexedSeq.empty
       else {
@@ -149,13 +163,18 @@ object ShardedCorpus {
           buf.result()
         } finally in.close()
       }
-    })
+  }
 
   /** Drop cached shards of `dir` (test hook / memory release). */
   private[sources] def evict(dir: String): Unit = {
     val it = shardCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1 == dir) it.remove()
   }
+
+  /** Drop EVERY cached shard — called by the between-query scratch sweep
+    * so one engine slice's resident mock corpus never taxes the next
+    * query's heap (r12; the next slice lazily re-parses its files). */
+  private[graft] def evictAll(): Unit = shardCache.clear()
 }
 
 /** [[IndexedSourceClient]] over a [[ShardedCorpus]] directory: stateless,
