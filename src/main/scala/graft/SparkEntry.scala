@@ -72,8 +72,17 @@ object SparkEntry {
   // anneal, exact largest-remainder budgets over t24's terciles). Then
   // 180 → 181: s22_stream_versioned_ingest (f9's streaming twin —
   // batchId-keyed idempotent delta commits; f8↔s20 in-place merge,
-  // f9↔s22 versioned history).
-  val expectedQueryCount: Int = 181
+  // f9↔s22 versioned history). Then 181 → 183 (r12): f10_log_compaction
+  // (versioned-log maintenance fold — the Delta/Iceberg vacuum trade)
+  // and s23_stream_compacted_ingest (s22 + the live compaction loop).
+  // Then 183 → 187 (r12): e18_binary_ann (1-bit binary quantization +
+  // exact re-rank — the RAM-resident index tier, completing the
+  // compression family), e19_bq_recall (its recall audit, closing the
+  // recall-gate pattern's last member), q57_funnel (sequential
+  // conversion funnel — ordered-event-pattern aggregation), and
+  // m11_av_align (cross-modal as-of alignment of scene cuts to audio
+  // feature windows — the A/V synchronization step).
+  val expectedQueryCount: Int = 187
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

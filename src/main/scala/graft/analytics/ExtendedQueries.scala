@@ -1379,7 +1379,69 @@ object ExtendedQueries {
       |  min(node) AS min_id, max(node) AS max_id
       |FROM walk GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** q57 — SEQUENTIAL CONVERSION FUNNEL (view → click → purchase): the
+    * ordered-event-pattern aggregation every product-analytics engine
+    * ships as its funnel operator. A user reaches step n+1 only with an
+    * event of that type STRICTLY AFTER their step-n time (first-touch
+    * attribution: each step binds to its earliest qualifying event). Per
+    * step: users reached and the exact total step-transition gap in
+    * MICROS (BIGINT — q17's precision rule, so the hash is float-free).
+    *
+    * Scale shape: each step is a partial+final min-aggregation on
+    * user_id over a type-pruned scan (the event_type filter reaches the
+    * parquet scan), and each step JOIN is an equi-join on user_id against
+    * a funnel that only ever SHRINKS — at 100 TB the step-1 aggregate is
+    * the largest intermediate at one row per converting user, and AQE
+    * broadcasts the later (smaller) funnel sides. No window over the raw
+    * event stream, no per-user sort: ordering enters only through min()
+    * and the strictly-after join condition. */
+  def q57Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("tus", expr("ts div 1000"))
+      .select(col("user_id"), col("event_type"), col("tus"))
+    val step1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
+    val step2 = ev.filter(col("event_type") === "click")
+      .join(step1, "user_id").filter(col("tus") > col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("tus")).as("t2"))
+    val step3 = ev.filter(col("event_type") === "purchase")
+      .join(step2, "user_id").filter(col("tus") > col("t2"))
+      .groupBy(col("user_id"), col("t2")).agg(min(col("tus")).as("t3"))
+    step1.agg(count(lit(1)).as("users"), lit(0L).as("sum_gap_us"))
+      .withColumn("step", lit(1L))
+      .unionByName(step2
+        .agg(count(lit(1)).as("users"),
+          coalesce(sum(col("t2") - col("t1")), lit(0L)).as("sum_gap_us"))
+        .withColumn("step", lit(2L)))
+      .unionByName(step3
+        .agg(count(lit(1)).as("users"),
+          coalesce(sum(col("t3") - col("t2")), lit(0L)).as("sum_gap_us"))
+        .withColumn("step", lit(3L)))
+      .select(col("step"), col("users"), col("sum_gap_us"))
+      .orderBy(col("step"))
+  }
+
+  /** q57 oracle — DuckDB replays the same first-touch chain; epoch_us
+    * sees the identical integers as `ts div 1000` (q17's rule). */
+  val q57Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |s1 AS (SELECT user_id, min(tus) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, s1.t1, min(e.tus) AS t2
+      |       FROM e JOIN s1 ON e.user_id = s1.user_id AND e.tus > s1.t1
+      |       WHERE e.event_type = 'click' GROUP BY 1, 2),
+      |s3 AS (SELECT e.user_id, s2.t2, min(e.tus) AS t3
+      |       FROM e JOIN s2 ON e.user_id = s2.user_id AND e.tus > s2.t2
+      |       WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT CAST(1 AS BIGINT) AS step, count(*) AS users,
+      |  CAST(0 AS BIGINT) AS sum_gap_us FROM s1
+      |UNION ALL
+      |SELECT 2, count(*), CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) FROM s2
+      |UNION ALL
+      |SELECT 3, count(*), CAST(coalesce(sum(t3 - t2), 0) AS BIGINT) FROM s3
+      |ORDER BY step""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_funnel" -> (q57Funnel _),
     "q48_recursive_chain" -> (q48RecursiveChain _),
     "q49_map_functions" -> (q49MapFunctions _),
     "q55_bitmap" -> (q55Bitmap _),
@@ -1429,6 +1491,7 @@ object ExtendedQueries {
   /** q14 omitted: HLL++ sketch values are engine-specific (rows-only);
     * q24 is its fully-oracle-checked portable twin. */
   val oracles: Map[String, String] = Map(
+    "q57_funnel" -> q57Oracle,
     "q46_locf" -> q46Oracle,
     "q47_rolling_wau" -> q47Oracle,
     "q42_posexplode" -> q42Oracle,

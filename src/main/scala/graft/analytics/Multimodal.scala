@@ -741,7 +741,139 @@ object Multimodal {
       |      FROM nw LEFT JOIN fpx USING (media_id)) z
       |GROUP BY n_windows, fp ORDER BY keep_id""".stripMargin
 
+  /** Cut-frame row for m11's video leg: byte offset of a scene-change
+    * frame (exact integers all the way). */
+  final case class CutFrame(media_id: Long, frame_idx: Long, frame_off: Long)
+
+  /** Audio-track window row for m11's audio leg: byte offset + exact
+    * sum-of-squares energy (m5's windowing rule). */
+  final case class TrackWindow(media_id: Long, window_idx: Long, woff: Long,
+      energy: Long)
+
+  /** m11 — CROSS-MODAL AS-OF ALIGNMENT (scene cuts → audio windows): the
+    * A/V synchronization step of a video training pipeline — every scene
+    * boundary (m7's cut rule) binds to the LAST audio feature window
+    * starting at or before it on the shared media timeline, which is how
+    * clip/caption builders attach audio context (and how subtitle and
+    * ASR alignment work) when the two modalities are sampled at
+    * different rates. The video's byte stream carries both derivations:
+    * frames are m3/m7's contiguous slices, the audio track is m5's
+    * 16-byte tumbling energy windows over the same payload — a real
+    * demuxer feeds two PTS-stamped streams into the identical join at
+    * this seam. First-visible rule: a window starting exactly AT the cut
+    * offset wins (ASOF `>=`, p1's tie discipline).
+    *
+    * Boundary rule: m7's shape (integer cross-multiplied relative
+    * change, no division, no float) at 2% sensitivity — 50·|Δluma| >
+    * Σluma — because the alignment operator's job is to bind EVERY
+    * detected boundary, and this corpus's text-derived frames never
+    * reach m7's 25% shot-cut threshold (the byte sums of prose are too
+    * homogeneous); a real decoder swaps thresholds at the same seam.
+    *
+    * Scale shape: both legs decode executor-side (payload bytes never
+    * shuffle; cut rows are 3 longs, window rows 4); the as-of join is
+    * p1's union + running-last window merge — ONE shuffle on media_id,
+    * per-media sort bounded by maxFrames + len/16 rows, no quadratic
+    * term. Output is all-BIGINT (offsets, gap, energy), so the hash is
+    * float-free. */
+  def avAlign(s: SparkSession, d: String, maxFrames: Int = 8,
+      win: Int = 16): DataFrame = {
+    import s.implicits._
+    val media: Dataset[Media] =
+      mediaTable(s, d).filter(col("kind") === "video").as[Media]
+    // leg 1: scene-change frames (m7's derivation, keeping byte offsets)
+    val cuts = media.mapPartitions(_.flatMap { m =>
+      val nf = math.min(maxFrames.toLong, math.max(1L, m.duration_ms / 1000L)).toInt
+      val fb = m.payload.length / nf
+      var prev = -1L
+      (0 until nf).iterator.flatMap { f =>
+        var sum = 0L
+        var i = f * fb
+        val end = (f + 1) * fb
+        while (i < end) { sum += (m.payload(i) & 0xFF).toLong; i += 1 }
+        val isCut = prev >= 0L && math.abs(sum - prev) * 50 > (sum + prev)
+        prev = sum
+        if (isCut) Iterator.single(CutFrame(m.media_id, f.toLong, f.toLong * fb))
+        else Iterator.empty
+      }
+    }).toDF()
+    // leg 2: the audio track — m5's tumbling windows over the same payload
+    val windows = media.mapPartitions(_.flatMap { m =>
+      (0 until m.payload.length by win).iterator.map { off =>
+        val end = math.min(off + win, m.payload.length)
+        var e = 0L
+        var i = off
+        while (i < end) {
+          val v = (m.payload(i) & 0xFF).toLong
+          e += v * v
+          i += 1
+        }
+        TrackWindow(m.media_id, (off / win).toLong, off.toLong, e)
+      }
+    }).toDF()
+    // p1's as-of merge: side 0 = window (visible at equal offsets), 1 = cut
+    val tagged = windows.select(col("media_id"), col("woff").as("off"),
+        lit(0).as("side"), col("window_idx"), col("energy"),
+        lit(null).cast("long").as("frame_idx"))
+      .unionByName(cuts.select(col("media_id"), col("frame_off").as("off"),
+        lit(1).as("side"), lit(null).cast("long").as("window_idx"),
+        lit(null).cast("long").as("energy"), col("frame_idx")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id"))
+      .orderBy(col("off"), col("side"), col("window_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tagged
+      .withColumn("aw", last(col("window_idx"), ignoreNulls = true).over(w))
+      .withColumn("aoff",
+        last(when(col("side") === 0, col("off")), ignoreNulls = true).over(w))
+      .withColumn("aenergy", last(col("energy"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("aw").isNotNull)
+      .select(col("media_id"), col("frame_idx"), col("off").as("frame_off"),
+        col("aw").as("window_idx"), (col("off") - col("aoff")).as("align_gap"),
+        col("aenergy").as("energy"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** m11 oracle — m7's cut derivation (carrying the frame byte offset) +
+    * m5's windowed energies over the same character stream, joined with
+    * DuckDB's native ASOF `>=` (p1's oracle discipline). */
+  val avAlignOracle: String =
+    """WITH v AS (SELECT doc_id AS media_id, text,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    least(8, greatest(1, (n_chars * 40) // 1000)) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (SELECT media_id, frame_idx, n_bytes // n_frames AS fb, text
+      |  FROM v, unnest(generate_series(0, n_frames - 1)) t(frame_idx)),
+      |ps AS (SELECT media_id, frame_idx,
+      |    CAST(sum(unicode(substr(text, CAST(frame_idx * fb + i + 1 AS INT), 1)))
+      |      AS BIGINT) AS luma
+      |  FROM fr, unnest(generate_series(0, fb - 1)) u(i)
+      |  GROUP BY media_id, frame_idx),
+      |fl AS (SELECT fr.media_id, fr.frame_idx, fr.fb, coalesce(ps.luma, 0) AS luma
+      |  FROM fr LEFT JOIN ps
+      |    ON fr.media_id = ps.media_id AND fr.frame_idx = ps.frame_idx),
+      |lg AS (SELECT media_id, frame_idx, fb, luma,
+      |    lag(luma) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+      |  FROM fl),
+      |cuts AS (SELECT media_id, frame_idx,
+      |    CAST(frame_idx * fb AS BIGINT) AS frame_off
+      |  FROM lg WHERE prev IS NOT NULL AND abs(luma - prev) * 50 > (luma + prev)),
+      |px AS (SELECT media_id, CAST(i AS BIGINT) AS i,
+      |    CAST(unicode(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) AS b
+      |  FROM v, unnest(generate_series(0, n_bytes - 1)) t(i)),
+      |w AS (SELECT media_id, i // 16 AS window_idx,
+      |    CAST((i // 16) * 16 AS BIGINT) AS woff,
+      |    CAST(sum(b * b) AS BIGINT) AS energy
+      |  FROM px GROUP BY media_id, i // 16)
+      |SELECT c.media_id, c.frame_idx, c.frame_off, w.window_idx,
+      |  c.frame_off - w.woff AS align_gap, w.energy
+      |FROM cuts c ASOF JOIN w
+      |  ON c.media_id = w.media_id AND c.frame_off >= w.woff
+      |ORDER BY c.media_id, c.frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_av_align" -> ((s: SparkSession, d: String) => avAlign(s, d)),
     "m10_audio_dedup" -> ((s: SparkSession, d: String) => audioDedup(s, d)),
     "m9_video_dedup" -> ((s: SparkSession, d: String) => videoDedup(s, d)),
     "m8_voiced_segments" -> ((s: SparkSession, d: String) => voicedSegments(s, d)),
@@ -755,6 +887,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "m11_av_align" -> avAlignOracle,
     "m10_audio_dedup" -> audioDedupOracle,
     "m9_video_dedup" -> videoDedupOracle,
     "m8_voiced_segments" -> voicedSegmentsOracle,

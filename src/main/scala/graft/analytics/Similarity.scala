@@ -1845,6 +1845,182 @@ object Similarity {
       |LEFT JOIN ivfpq v ON v.probe_id = b.probe_id AND v.neighbor_id = b.neighbor_id
       |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
 
+  /** 1-bit-per-dimension binary codes for e18/e19: bit i is set iff
+    * x_i STRICTLY exceeds the dimension's corpus MIDRANGE (mn+mx)/2 —
+    * derived from the same order-insensitive min/max stats pass as e10's
+    * SQ8 grid (a float MEAN would be accumulation-order-sensitive and
+    * could never hash cross-engine; the midrange is two exact extrema and
+    * one IEEE add+halve written with the identical association in both
+    * engines). The 64 bits pack into TWO 32-bit BIGINT words so no sign
+    * bit is ever touched (the m6/m9 62-bit discipline).
+    *
+    * Scale shape (e10's): one partial+final (dim → min/max) pass folds to
+    * a single 64-row grid that broadcasts to the encode scan; encoding is
+    * a pure projection — the corpus never shuffles and the resident index
+    * is 16 bytes/vector (16× smaller than float, 4× smaller than SQ8). */
+  private def binaryCodes(s: SparkSession, d: String): DataFrame = {
+    val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
+    val grid = emb
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx"))))
+        .as("st"))
+      .cache() // 1 row; consumed by both the probe branch and the corpus encode
+    emb.join(broadcast(grid))
+      .select(col("vec_id"),
+        expr("""aggregate(transform(v, (x, ix) ->
+              |  CASE WHEN ix < 32 AND x > (st[ix].mn + st[ix].mx) / 2.0D
+              |       THEN shiftleft(1L, ix) ELSE 0L END),
+              |  0L, (acc, y) -> acc + y)""".stripMargin).as("w0"),
+        expr("""aggregate(transform(v, (x, ix) ->
+              |  CASE WHEN ix >= 32 AND x > (st[ix].mn + st[ix].mx) / 2.0D
+              |       THEN shiftleft(1L, ix - 32) ELSE 0L END),
+              |  0L, (acc, y) -> acc + y)""".stripMargin).as("w1"))
+  }
+
+  /** Hamming coarse stage shared by e18 (as its candidate cut) and e19
+    * (as the raw-BQ recall leg): exact integer popcount distance over the
+    * packed words, top-k per probe by (hamming, vec_id). */
+  private def bqHammingTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val codes = binaryCodes(s, d)
+    val probes = codes.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("w0").as("p0"),
+        col("w1").as("p1"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    broadcast(probes)
+      .join(codes, col("vec_id") =!= col("probe_id"))
+      .withColumn("hamming",
+        (bit_count(col("p0").bitwiseXOR(col("w0"))) +
+          bit_count(col("p1").bitwiseXOR(col("w1")))).cast("long"))
+      .withColumn("coarse_rank", row_number().over(w).cast("long"))
+      .filter(col("coarse_rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("coarse_rank"), col("hamming"))
+  }
+
+  /** e18 — BINARY QUANTIZATION ANN (BQ + exact re-rank): the 1-bit member
+    * completing the compression family (e2 LSH projections, e6 PQ, e10
+    * SQ8, e15 IVF-PQ) — the shape modern vector stores ship as their
+    * memory-tier default, because 16 bytes/vector lets the WHOLE index
+    * stay RAM-resident at corpus sizes where even SQ8 spills. Unlike e2's
+    * random hyperplanes, the bits are axis-aligned threshold tests
+    * against the corpus midrange (RaBitQ-family scalar binarization), so
+    * "training" is the same one stats pass as e10. Search is e11's
+    * IndexRefine shape: a Hamming-distance scan over the packed codes
+    * (exact integer popcount — no float ever enters the coarse stage)
+    * cuts the corpus to `coarseK` candidates, then ONLY those ids fetch
+    * float vectors for the exact-cosine re-rank to top-k.
+    *
+    * Scale shape: coarse = broadcast-probe popcount pass over the 16-byte
+    * resident codes (the cheapest full-scan in the family); re-rank =
+    * candidate ids broadcast against the float table (point lookups,
+    * Bloom/DPP-prunable). The windowed top-k partitions by probe. */
+  def binaryQuantTopK(s: SparkSession, d: String, k: Int = 5,
+      coarseK: Int = 32): DataFrame = {
+    val emb = withVec(embeddings(s, d), "embedding").select(col("vec_id"), col("v"))
+    val cand = bqHammingTopK(s, d, coarseK)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // candidate side is the build side of BOTH id joins (e11's re-hint rule:
+    // the hint does not propagate through a join)
+    broadcast(broadcast(cand)
+        .join(emb.select(col("vec_id").as("probe_id"), col("v").as("pv")),
+          "probe_id"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        "neighbor_id")
+      .withColumn("cosine", cosine("pv", "nv"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"),
+        col("coarse_rank"), col("hamming"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Hamming-stage oracle at `k`, parameterized so e18 embeds it as the
+    * candidate cut and e19 as the raw-BQ leg (the sq8OracleAt pattern).
+    * DuckDB re-derives the grid, the midrange tests, the packed words,
+    * and the integer popcount distance bit-for-bit. */
+  private def bqHammingOracleAt(k: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |  FROM embeddings),
+      |st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+      |  FROM e CROSS JOIN generate_series(1, 64) t(i) GROUP BY i),
+      |codes AS (SELECT vec_id,
+      |    CAST(sum(CASE WHEN st.i <= 32 AND e.v[st.i] > (st.mn + st.mx) / 2
+      |                  THEN (CAST(1 AS BIGINT) << (st.i - 1)) ELSE 0 END)
+      |      AS BIGINT) AS w0,
+      |    CAST(sum(CASE WHEN st.i > 32 AND e.v[st.i] > (st.mn + st.mx) / 2
+      |                  THEN (CAST(1 AS BIGINT) << (st.i - 33)) ELSE 0 END)
+      |      AS BIGINT) AS w1
+      |  FROM e CROSS JOIN st GROUP BY vec_id),
+      |hpairs AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+      |    CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+      |      AS BIGINT) AS hamming
+      |  FROM codes a JOIN codes b ON b.vec_id != a.vec_id
+      |  WHERE a.vec_id < 8)
+      |SELECT probe_id, neighbor_id, coarse_rank, hamming FROM (
+      |  SELECT probe_id, neighbor_id, hamming,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY hamming, neighbor_id) AS coarse_rank
+      |  FROM hpairs) t
+      |WHERE coarse_rank <= $k""".stripMargin
+
+  /** e18 oracle — the Hamming derivation at coarseK = 32, then e1's
+    * exact-cosine evaluation order for the re-rank; the cosine never
+    * reaches the hash (rank-only, e11's rule), while the coarse rank and
+    * the integer Hamming distance DO hash. */
+  val binaryQuantOracle: String =
+    s"""WITH coarse AS (${bqHammingOracleAt(32)}),
+      |e2b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |  FROM embeddings),
+      |n2b AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm
+      |  FROM e2b)
+      |SELECT probe_id, neighbor_id, rank, coarse_rank, hamming FROM (
+      |  SELECT c.probe_id, c.neighbor_id, c.coarse_rank, c.hamming,
+      |    row_number() OVER (PARTITION BY c.probe_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+      |        / (a.vnorm * b.vnorm) DESC,
+      |      c.neighbor_id) AS rank
+      |  FROM coarse c JOIN n2b a ON a.vec_id = c.probe_id
+      |       JOIN n2b b ON b.vec_id = c.neighbor_id) t
+      |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
+  /** e19 — BINARY-QUANTIZATION RECALL AUDIT, extending the recall-gate
+    * pattern to the family's last member (e5 gates LSH/IVF, e12 SQ8/
+    * refine, e16 PQ/IVF-PQ): recall@5 against e1's brute truth for raw
+    * Hamming@5 vs BQ+re-rank@5 — the measurement that justifies the
+    * refine tier, since 1-bit codes alone lose rank resolution that the
+    * exact re-rank of a 32-candidate cut recovers. e5's composition
+    * shape: both legs are 8×k rows, every join broadcast-sized. */
+  def bqRecall(s: SparkSession, d: String): DataFrame = {
+    val brute = bruteCosineTopK(s, d).select(col("probe_id"), col("neighbor_id"))
+    val raw = bqHammingTopK(s, d, 5).select(col("probe_id"), col("neighbor_id"),
+      lit(1).as("bhit"))
+    val reranked = binaryQuantTopK(s, d).select(col("probe_id"),
+      col("neighbor_id"), lit(1).as("rhit"))
+    brute
+      .join(raw, Seq("probe_id", "neighbor_id"), "left")
+      .join(reranked, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("bhit")).as("bq_hits"), count(col("rhit")).as("reranked_hits"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** e19 oracle — the e1/e18 oracles verbatim as CTEs (e5's nested-WITH
+    * trick), so the audit inherits their independent re-derivations. */
+  def bqRecallOracle: String =
+    s"""WITH brute AS ($bruteCosineOracle),
+      |bqraw AS (${bqHammingOracleAt(5)}),
+      |bqref AS ($binaryQuantOracle)
+      |SELECT b.probe_id,
+      |  count(q.probe_id) AS bq_hits,
+      |  count(r.probe_id) AS reranked_hits
+      |FROM brute b
+      |LEFT JOIN bqraw q ON q.probe_id = b.probe_id AND q.neighbor_id = b.neighbor_id
+      |LEFT JOIN bqref r ON r.probe_id = b.probe_id AND r.neighbor_id = b.neighbor_id
+      |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d8_semantic_decontaminate" -> ((s: SparkSession, d: String) => semanticDecontaminate(s, d)),
     "e6_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
@@ -1877,7 +2053,9 @@ object Similarity {
     "e13_filtered_ann" -> ((s: SparkSession, d: String) => filteredAnn(s, d)),
     "e14_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
     "e15_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
-    "e16_ivfpq_recall" -> (ivfPqRecall _)
+    "e16_ivfpq_recall" -> (ivfPqRecall _),
+    "e18_binary_ann" -> ((s: SparkSession, d: String) => binaryQuantTopK(s, d)),
+    "e19_bq_recall" -> (bqRecall _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1899,6 +2077,8 @@ object Similarity {
     "e13_filtered_ann" -> filteredAnnOracle,
     "e14_hybrid_rrf" -> hybridRrfOracle,
     "e15_ivfpq_topk" -> ivfPqOracle,
-    "e16_ivfpq_recall" -> ivfPqRecallOracle
+    "e16_ivfpq_recall" -> ivfPqRecallOracle,
+    "e18_binary_ann" -> binaryQuantOracle,
+    "e19_bq_recall" -> bqRecallOracle
   )
 }
