@@ -61,12 +61,16 @@ class ConcurrencySpec extends AnyFunSuite with Matchers with graft.SparkSpec {
     // a corpus table two concurrent invocations share by canonical plan
     // (one thread's unpersist just makes the other recompute, never
     // miscompute)
-    "t24_perplexity_filter", "e17_graph_ann")
+    "t24_perplexity_filter", "e17_graph_ann",
+    // r12 entries: e18 caches its 1-row BQ grid (the e17 shared-cache
+    // shape); q57 chains three agg-joins off one Tables.events plan two
+    // threads share; m11 runs both mapPartitions decode legs
+    "e18_binary_ann", "q57_funnel", "m11_av_align")
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  test("25 queries x2 concurrent on one FAIR session == sequential results") {
+  test("28 queries x2 concurrent on one FAIR session == sequential results") {
     val sequential: Map[String, Seq[String]] =
       names.map(n => n -> rows(SparkEntry.queries(n)(spark, sf))).toMap
 
