@@ -81,8 +81,13 @@ object SparkEntry {
   // recall-gate pattern's last member), q57_funnel (sequential
   // conversion funnel — ordered-event-pattern aggregation), and
   // m11_av_align (cross-modal as-of alignment of scene cuts to audio
-  // feature windows — the A/V synchronization step).
-  val expectedQueryCount: Int = 187
+  // feature windows — the A/V synchronization step). Then 187 → 190
+  // (r12, second batch): q58_median_mode (native exact median +
+  // deterministic mode under the gate), f11_bucketed_join (catalog
+  // bucketBy layout — zero-hash-exchange aggregations and self-join),
+  // and t25_zipf_audit (token frequency-spectrum power-law audit via
+  // exact moment staging — window-free, no global rank).
+  val expectedQueryCount: Int = 190
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

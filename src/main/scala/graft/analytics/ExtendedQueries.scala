@@ -1440,7 +1440,47 @@ object ExtendedQueries {
       |SELECT 3, count(*), CAST(coalesce(sum(t3 - t2), 0) AS BIGINT) FROM s3
       |ORDER BY step""".stripMargin
 
+  /** q58 — NATIVE EXACT MEDIAN + DETERMINISTIC MODE: the two ordered-
+    * statistic aggregates q18 (manual exact quantiles) and q27 (mergeable
+    * sketch) bracket, exercised through Spark's NATIVE `median` and
+    * `mode(…, deterministic)` functions so the built-ins themselves sit
+    * under the gate: median's even-count interpolation is one IEEE
+    * (a+b)/2 over two exact pass-through doubles (identical in DuckDB's
+    * median), and mode's tie-break is pinned by the `deterministic`
+    * flag (lowest value among the most frequent) — the only mode form a
+    * hash gate can admit, since free-tie mode is nondeterministic under
+    * parallel aggregation. The oracle re-derives the mode from first
+    * principles (count + row_number) rather than trusting DuckDB's own
+    * tie rule.
+    *
+    * Scale shape: both are single-pass aggregates per group — median is
+    * Spark's exact percentile state (per-group value buffer: apt for
+    * bounded per-group cardinality; q27's histogram is the unbounded-
+    * group escape hatch, q18/p19's bucket-histogram selection the exact
+    * one), mode is a bounded per-(group, value) count map. */
+  def q58MedianMode(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("median(value)").as("med_value"),
+        expr("mode(user_id, true)").as("top_user"))
+      .orderBy(col("event_type"))
+
+  val q58Oracle: String =
+    """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, user_id FROM (
+      |    SELECT event_type, user_id,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY cnt DESC, user_id) AS rn
+      |    FROM c) t WHERE rn = 1)
+      |SELECT e.event_type, count(*) AS n_events,
+      |  median(e.value) AS med_value, min(m.user_id) AS top_user
+      |FROM events e JOIN m ON m.event_type = e.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_median_mode" -> (q58MedianMode _),
     "q57_funnel" -> (q57Funnel _),
     "q48_recursive_chain" -> (q48RecursiveChain _),
     "q49_map_functions" -> (q49MapFunctions _),
@@ -1491,6 +1531,7 @@ object ExtendedQueries {
   /** q14 omitted: HLL++ sketch values are engine-specific (rows-only);
     * q24 is its fully-oracle-checked portable twin. */
   val oracles: Map[String, String] = Map(
+    "q58_median_mode" -> q58Oracle,
     "q57_funnel" -> q57Oracle,
     "q46_locf" -> q46Oracle,
     "q47_rolling_wau" -> q47Oracle,

@@ -357,7 +357,60 @@ object FormatQueries {
       |FROM r WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY version, user_id""".stripMargin
 
+  private val f11Ctr = new java.util.concurrent.atomic.AtomicLong()
+
+  /** f11 — CATALOG-BUCKETED TABLE + ZERO-SHUFFLE CO-LOCATED JOIN: the
+    * canonical Spark answer to "this join is the recurring cost of the
+    * warehouse" — write the fact table ONCE with `bucketBy(user_id)` +
+    * in-bucket sort, and every downstream aggregation and self-join on
+    * that key runs with ZERO hash exchanges forever: the bucketed scan
+    * satisfies the hash-clustered distribution that groupBy and
+    * sort-merge join require, so the shuffle is paid at WRITE time, once,
+    * instead of per query. (KeyedMerge/f8 builds the same layout by hand
+    * for its own commit protocol; f11 exercises Spark's CATALOG bucketing
+    * — the form plain `spark.table` consumers get.) The query writes the
+    * events CDC slice bucketed 32 ways, then computes per-user totals and
+    * purchase counts as two aggregations joined back on user_id — the
+    * plan gate (FormatSpec) pins ZERO `Exchange hashpartitioning`
+    * operators anywhere in it.
+    *
+    * Scale shape: at 100 TB the bucketed write is the one-time layout
+    * job; 32 here self-documents the knob (buckets ≈ cluster cores ×
+    * small multiple; the gate-side count must stay fixed so plans are
+    * deterministic). Per-invocation unique table names (the Views
+    * discipline) keep concurrent runs collision-free; the scratch path
+    * keeps the catalog entry's data under the sweeper. The `merge` hint
+    * pins the sort-merge form so the gate proves the BUCKETED join, not
+    * a broadcast that would also pass. */
+  def f11BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val base = Scratch.dir("graft_f11_")
+    val tbl = s"graft_f11_t_${f11Ctr.incrementAndGet()}_${System.nanoTime()}"
+    events(s, d).select(col("user_id"), col("event_type"))
+      .write.format("parquet")
+      .bucketBy(32, "user_id").sortBy("user_id")
+      .option("path", s"$base/t")
+      .saveAsTable(tbl)
+    val t = s.table(tbl)
+    val totals = t.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val purchases = t.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+    totals.hint("merge").join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy(col("user_id"))
+  }
+
+  val f11Oracle: String =
+    """WITH t AS (SELECT user_id, count(*) AS n_events
+      |           FROM events GROUP BY 1),
+      |p AS (SELECT user_id, count(*) AS n_purchases
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT t.user_id, t.n_events,
+      |  CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases
+      |FROM t LEFT JOIN p USING (user_id) ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f11_bucketed_join" -> (f11BucketedJoin _),
     "f8_keyed_merge" -> (f8KeyedMerge _),
     "f9_snapshot_read" -> (f9SnapshotRead _),
     "f10_log_compaction" -> (f10LogCompaction _),
@@ -377,6 +430,7 @@ object FormatQueries {
     // both the mid-history and the current read
     "f10_log_compaction" -> f9Oracle,
     "f7_compaction" -> roundtripOracle,
+    "f11_bucketed_join" -> f11Oracle,
     "f6_clustered_layout" -> f6Oracle,
     "f5_schema_evolution" -> f5Oracle,
     "f4_partitioned_source" -> f4Oracle,

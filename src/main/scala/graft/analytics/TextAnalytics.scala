@@ -1406,7 +1406,84 @@ object TextAnalytics {
   val perplexityFilterOracle: String =
     perplexityLabSql("documents", duck = true) + perplexityFinalSql
 
+  /** t25 — ZIPF FREQUENCY-SPECTRUM AUDIT: does the corpus's token
+    * frequency distribution follow the power law natural text follows?
+    * Synthetic, templated, or mode-collapsed data (the things a
+    * training-data pipeline must detect BEFORE spending compute) shows
+    * up as a bent or truncated spectrum. Rather than the textbook
+    * rank-frequency regression — whose global rank is a single-task
+    * window at 100 TB, the exact defect t24's ntile had — this audits
+    * the FREQUENCY SPECTRUM: bucket every token type by its count's
+    * octave b = ⌊log₂ cnt⌋ (t15's exact bit-length rule), count the
+    * types per (lang, octave), and fit the per-lang OLS slope of
+    * (b, ⌊log₂ n_types⌋) with q39's exact DECIMAL(38,0) moment staging —
+    * under Zipf the spectrum is itself a power law, so log-type-counts
+    * fall linearly in the octave (slope ≈ −(1+1/α); natural text ≈ −1
+    * per octave at α ≈ 1). Integer staging end-to-end; ONE IEEE division
+    * for the reported slope; the exact numerator/denominator pair also
+    * hashes. The driver's corpus is itself templated synthetic text and
+    * the audit flags it: every language's spectrum RISES (positive
+    * slope — small vocabulary, most types high-count), the pin
+    * RoundTwelveOpsSpec locks as the detection working.
+    *
+    * Scale shape: two partial+final aggregations ((lang, token) → cnt,
+    * then (lang, octave) → n_types) and a ≤ ~40-row-per-lang moment
+    * fold — NO window, NO global rank, nothing corpus-sized past the
+    * first fold. */
+  def zipfAudit(s: SparkSession, d: String): DataFrame =
+    Views.sql(s, documents(s, d), "graft_docs_zipf_v",
+      """WITH c AS (SELECT lang, token, count(1) AS cnt
+        |  FROM (SELECT lang, explode(split(lower(text), ' ')) AS token
+        |        FROM graft_docs_zipf_v)
+        |  GROUP BY lang, token),
+        |sp AS (SELECT lang, CAST(length(bin(cnt)) - 1 AS BIGINT) AS octave,
+        |    count(1) AS n_types, sum(cnt) AS n_tokens
+        |  FROM c GROUP BY lang, CAST(length(bin(cnt)) - 1 AS BIGINT)),
+        |l AS (SELECT lang, octave, n_types, n_tokens,
+        |    CAST(octave AS DECIMAL(38,0)) AS x,
+        |    CAST(length(bin(n_types)) - 1 AS DECIMAL(38,0)) AS y
+        |  FROM sp),
+        |g AS (SELECT lang, CAST(count(1) AS DECIMAL(38,0)) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |    sum(n_types) AS vocab, sum(n_tokens) AS total_tokens
+        |  FROM l GROUP BY lang)
+        |SELECT lang, CAST(vocab AS BIGINT) AS vocab,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(n AS BIGINT) AS n_octaves,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS spectrum_slope
+        |FROM g ORDER BY lang""".stripMargin)
+
+  /** t25 oracle — DuckDB replays the identical spectrum + exact moment
+    * staging (length(bin()) bit lengths, HUGEINT sums cast at the end). */
+  val zipfAuditOracle: String =
+    """WITH c AS (SELECT lang, token, count(*) AS cnt
+      |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+      |        FROM documents) t
+      |  GROUP BY lang, token),
+      |sp AS (SELECT lang, CAST(length(bin(cnt)) - 1 AS BIGINT) AS octave,
+      |    count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS n_tokens
+      |  FROM c GROUP BY 1, 2),
+      |l AS (SELECT lang, octave, n_types, n_tokens,
+      |    octave AS x, length(bin(n_types)) - 1 AS y
+      |  FROM sp),
+      |g AS (SELECT lang, count(*) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+      |    sum(n_types) AS vocab, sum(n_tokens) AS total_tokens
+      |  FROM l GROUP BY lang)
+      |SELECT lang, CAST(vocab AS BIGINT) AS vocab,
+      |  CAST(total_tokens AS BIGINT) AS total_tokens,
+      |  CAST(n AS BIGINT) AS n_octaves,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS spectrum_slope
+      |FROM g ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_zipf_audit" -> ((s: SparkSession, d: String) => zipfAudit(s, d)),
     "t22_kn_surprisal" -> ((s: SparkSession, d: String) => knSurprisal(s, d)),
     "t24_perplexity_filter" -> ((s: SparkSession, d: String) => perplexityFilter(s, d)),
     "t21_bpe_merges" -> ((s: SparkSession, d: String) => bpeMerges(s, d)),
@@ -1433,6 +1510,7 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "t25_zipf_audit" -> zipfAuditOracle,
     "t22_kn_surprisal" -> knSurprisalOracle,
     "t24_perplexity_filter" -> perplexityFilterOracle,
     "t21_bpe_merges" -> bpeMergesOracle,

@@ -30,6 +30,21 @@ class FormatSpec extends AnyFunSuite with Matchers with SparkSpec {
     (plan should not).include("text:string")
   }
 
+  test("f11 bucketed layout: aggregations and self-join run with ZERO hash exchanges") {
+    val df = FormatQueries.f11BucketedJoin(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole point of the bucketed write: no shuffle anywhere in the
+    // two aggregations or the join — only the final orderBy's range
+    // exchange may appear
+    (plan should not).include("Exchange hashpartitioning")
+    plan should include("SortMergeJoin")
+    plan should include("Bucketed: true")
+    plan should include("SelectedBucketsCount: 32 out of 32")
+    // the merge hint must have held off a broadcast (a BHJ would also
+    // show zero hash exchanges without proving the bucketed join)
+    (plan should not).include("BroadcastHashJoin")
+  }
+
   test("f4 partitioned re-read prunes to the lang=en directory (PartitionFilters)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val tmp = Files.createTempDirectory("graft-part-spec").toString

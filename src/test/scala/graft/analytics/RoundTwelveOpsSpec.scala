@@ -137,6 +137,71 @@ class RoundTwelveOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.map(_._2) shouldBe got.map(_._2).sorted.reverse
   }
 
+  test("q58 equals a hand-folded median + lowest-tie mode") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = ev.groupBy(_._1).map { case (t, xs) =>
+      val vs = xs.map(_._3).sorted
+      val med = if (vs.length % 2 == 1) vs(vs.length / 2)
+        else (vs(vs.length / 2 - 1) + vs(vs.length / 2)) / 2.0
+      val byUser = xs.groupBy(_._2).view.mapValues(_.length)
+      val top = byUser.toSeq.minBy { case (u, c) => (-c, u) }._1
+      (t, xs.length.toLong, med, top)
+    }.toSeq.sortBy(_._1)
+    val got = ExtendedQueries.q58MedianMode(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    got shouldBe expected
+  }
+
+  test("t25 equals a hand-folded frequency spectrum + exact OLS; flags synthetic text") {
+    def log2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val counts = ds.flatMap(_._2.toLowerCase.split(" ", -1))
+        .groupBy(identity).view.mapValues(_.length.toLong)
+      val spectrum = counts.values.groupBy(log2).view
+        .mapValues(cs => (cs.size.toLong, cs.sum)).toSeq
+      val pts = spectrum.map { case (b, (types, _)) => (b, log2(types)) }
+      val n = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      (lang, counts.size.toLong, spectrum.map(_._2._2).sum, n,
+        n * sxy - sx * sy, n * sxx - sx * sx)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalytics.zipfAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe expected
+    // detection pin: natural text's spectrum FALLS with the octave
+    // (slope ≈ −1 at Zipf α ≈ 1); this driver corpus is TEMPLATED
+    // synthetic text — a small vocabulary where most types are
+    // high-count — so its spectrum RISES, and the audit must flag
+    // exactly that (a positive slope on every language, both here and
+    // at sf0.01). The operator exists to catch this data shape before
+    // training compute is spent on it.
+    got.foreach { case (_, _, _, _, num, den) =>
+      den should be > 0L
+      num should be > 0L
+    }
+  }
+
+  test("f11 equals a hand-folded per-user totals/purchases join") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = ev.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.length.toLong, xs.count(_._2 == "purchase").toLong)
+    }.toSeq.sortBy(_._1)
+    val got = FormatQueries.f11BucketedJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+  }
+
   test("m11 equals an in-memory two-leg replay with floor-arithmetic as-of") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text", "n_chars").collect()
