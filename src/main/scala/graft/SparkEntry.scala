@@ -86,8 +86,13 @@ object SparkEntry {
   // deterministic mode under the gate), f11_bucketed_join (catalog
   // bucketBy layout — zero-hash-exchange aggregations and self-join),
   // and t25_zipf_audit (token frequency-spectrum power-law audit via
-  // exact moment staging — window-free, no global rank).
-  val expectedQueryCount: Int = 190
+  // exact moment staging — window-free, no global rank). Then 190 → 192
+  // (r12, third batch): g3_triangle_count (degree-oriented triangle
+  // census + exact clustering coefficient on the co-purchase backbone
+  // graph, oracle-cross-checked by an independent id-canonical counting
+  // scheme) and q59_assoc_rules (market-basket support/confidence/lift
+  // as staged exact ppm integers, top-20 by lift).
+  val expectedQueryCount: Int = 192
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

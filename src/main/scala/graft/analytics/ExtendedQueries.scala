@@ -1479,7 +1479,74 @@ object ExtendedQueries {
       |FROM events e JOIN m ON m.event_type = e.event_type
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** q59 — ASSOCIATION RULES (market-basket support / confidence / lift):
+    * the frequent-pair mining step behind recommender bootstraps and
+    * catalog analytics — for every part pair co-purchased in ≥ 2 orders,
+    * the classic rule metrics as EXACT parts-per-million integers, top 20
+    * by lift under a full deterministic tie order. Float-free by q17's
+    * precision rule: support = co·10⁶ div N, confidence = co·10⁶ div
+    * cnt(a), and lift is STAGED as (conf_ppm · N) div cnt(b) — the first
+    * factor is ≤ 10⁶ by construction (co ≤ cnt(a) always), so the product
+    * stays in BIGINT for any order count below ~9.2·10¹² (vs the naive
+    * co·N·10⁶ which overflows past N ≈ 3·10⁶). The staged floor order is
+    * the pinned semantics; both engines replay it bit-for-bit.
+    *
+    * Scale shape: the corpus-sized work is the (order, part) distinct and
+    * the pair fold (per-order fanout bounded by basket size, both
+    * partial+final); `po` has three consumers (pair fold, item counts,
+    * order total) so it is persisted once — the g2 discipline. Item
+    * counts re-join the pair table on single part keys (AQE-broadcast:
+    * |parts| rows), and the top-20 is a TakeOrdered, never a global
+    * sort. The ≤ 20-row result is eagerly pinned so the persisted
+    * corpus-sized table releases NOW (the g2/p19 lesson). */
+  def q59AssocRules(s: SparkSession, d: String): DataFrame = {
+    val po = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .persist()
+    val out = Views.withView(po, "graft_q59_po_v") { v =>
+      s.sql(
+        s"""WITH n AS (SELECT count(1) AS n_orders
+          |    FROM (SELECT DISTINCT ok FROM $v)),
+          |ic AS (SELECT pk, count(1) AS cnt FROM $v GROUP BY pk),
+          |pr AS (SELECT a.pk AS part_a, b.pk AS part_b, count(1) AS co_cnt
+          |  FROM $v a JOIN $v b ON a.ok = b.ok AND a.pk < b.pk
+          |  GROUP BY a.pk, b.pk),
+          |r AS (SELECT part_a, part_b, co_cnt,
+          |    (co_cnt * 1000000) div n.n_orders AS supp_ppm,
+          |    (co_cnt * 1000000) div ca.cnt AS conf_ppm,
+          |    (((co_cnt * 1000000) div ca.cnt) * n.n_orders) div cb.cnt
+          |      AS lift_ppm
+          |  FROM pr JOIN ic ca ON ca.pk = pr.part_a
+          |       JOIN ic cb ON cb.pk = pr.part_b CROSS JOIN n
+          |  WHERE co_cnt >= 2)
+          |SELECT part_a, part_b, co_cnt, supp_ppm, conf_ppm, lift_ppm
+          |FROM r ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin)
+    }.localCheckpoint(true)
+    po.unpersist(false)
+    out
+  }
+
+  /** q59 oracle — the identical staged-integer rule chain in DuckDB. */
+  val q59Oracle: String =
+    """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |    FROM lineitem),
+      |n AS (SELECT count(DISTINCT ok) AS n_orders FROM po),
+      |ic AS (SELECT pk, count(*) AS cnt FROM po GROUP BY pk),
+      |pr AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS co_cnt
+      |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+      |r AS (SELECT part_a, part_b, co_cnt,
+      |    (co_cnt * 1000000) // n.n_orders AS supp_ppm,
+      |    (co_cnt * 1000000) // ca.cnt AS conf_ppm,
+      |    (((co_cnt * 1000000) // ca.cnt) * n.n_orders) // cb.cnt
+      |      AS lift_ppm
+      |  FROM pr JOIN ic ca ON ca.pk = pr.part_a
+      |       JOIN ic cb ON cb.pk = pr.part_b CROSS JOIN n
+      |  WHERE co_cnt >= 2)
+      |SELECT part_a, part_b, co_cnt, supp_ppm, conf_ppm, lift_ppm
+      |FROM r ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_assoc_rules" -> (q59AssocRules _),
     "q58_median_mode" -> (q58MedianMode _),
     "q57_funnel" -> (q57Funnel _),
     "q48_recursive_chain" -> (q48RecursiveChain _),
@@ -1531,6 +1598,7 @@ object ExtendedQueries {
   /** q14 omitted: HLL++ sketch values are engine-specific (rows-only);
     * q24 is its fully-oracle-checked portable twin. */
   val oracles: Map[String, String] = Map(
+    "q59_assoc_rules" -> q59Oracle,
     "q58_median_mode" -> q58Oracle,
     "q57_funnel" -> q57Oracle,
     "q46_locf" -> q46Oracle,
