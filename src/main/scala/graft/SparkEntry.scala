@@ -91,8 +91,14 @@ object SparkEntry {
   // census + exact clustering coefficient on the co-purchase backbone
   // graph, oracle-cross-checked by an independent id-canonical counting
   // scheme) and q59_assoc_rules (market-basket support/confidence/lift
-  // as staged exact ppm integers, top-20 by lift).
-  val expectedQueryCount: Int = 192
+  // as staged exact ppm integers, top-20 by lift). Then 192 → 195:
+  // t26_dup_ngram_fraction (Lee-et-al duplicated-8-gram exposure per
+  // source, 60-bit fingerprint shuffle keys), p23_repetition_alloc
+  // (Muennighoff data-constrained epoch allocator — staged Hamilton +
+  // exact geometric-decay yield), e20_incremental_ann (assign-only IVF
+  // append against a frozen base-trained codebook, provenance-flagged
+  // union search — the index-maintenance member of the ANN family).
+  val expectedQueryCount: Int = 195
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

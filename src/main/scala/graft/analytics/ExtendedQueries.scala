@@ -1500,6 +1500,17 @@ object ExtendedQueries {
     * sort. The ≤ 20-row result is eagerly pinned so the persisted
     * corpus-sized table releases NOW (the g2/p19 lesson). */
   def q59AssocRules(s: SparkSession, d: String): DataFrame = {
+    val (out, po) = q59AssocRulesPlan(s, d)
+    val pinned = out.localCheckpoint(true)
+    po.unpersist(false)
+    pinned
+  }
+
+  /** q59's LAZY plan + the persisted (order, part) table — the g2 seam,
+    * so PlanSpec can gate the join shapes (the registered query's eager
+    * checkpoint truncates the inspectable plan to an RDD scan). */
+  private[graft] def q59AssocRulesPlan(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     val po = lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
       .persist()
@@ -1521,9 +1532,8 @@ object ExtendedQueries {
           |  WHERE co_cnt >= 2)
           |SELECT part_a, part_b, co_cnt, supp_ppm, conf_ppm, lift_ppm
           |FROM r ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin)
-    }.localCheckpoint(true)
-    po.unpersist(false)
-    out
+    }
+    (out, po)
   }
 
   /** q59 oracle — the identical staged-integer rule chain in DuckDB. */

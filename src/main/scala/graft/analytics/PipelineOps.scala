@@ -1123,7 +1123,104 @@ object PipelineOps {
        |  FROM lab WHERE bucket <= 2 GROUP BY source),
        |""".stripMargin + p22ScheduleCtes("bb", duck = true)
 
+  /** p23 — DATA-CONSTRAINED REPETITION ALLOCATOR (Muennighoff et al.
+    * 2023, arXiv:2305.16264): when the token DEMAND (here 2× the corpus)
+    * exceeds what a temperature-balanced mix can supply from unique
+    * tokens, sources must be REPEATED — and repeated epochs decay in
+    * value. Per source: unique mass U, a Hamilton allocation of the
+    * global demand by p15's α = 0.5 weights staged as w = ⌊√U⌋, a 4-epoch
+    * repetition cap (the paper's "repeating beyond ~4 epochs is worth
+    * ~zero" finding, one greedy round — surplus is REPORTED, not
+    * silently re-apportioned), and the EFFECTIVE token yield under
+    * geometric half-decay per epoch (e-th view worth 2^{1−e}), staged
+    * exactly in q20 fixed point: f full epochs + partial r give
+    * eff·2²⁰ = U·(2²¹ − 2²¹/2^f) + r·(2²⁰/2^f), every division exact
+    * for f ≤ 4.
+    *
+    * The apportionment uses the staged floor identity
+    * ⌊B·w/tw⌋ = (B div tw)·w + ((B mod tw)·w) div tw (exact — B = q·tw+r
+    * telescopes), so the largest intermediate is (B mod tw)·w < tw·w ≈
+    * Σ√U·√U: safe past 10¹³ corpus tokens where the naive B·w product
+    * overflows BIGINT near 2.7×10¹² (s21's overflow lesson, applied
+    * BEFORE the gate catches it this time).
+    *
+    * Scale shape: ONE corpus-sized partial+final fold to |sources| rows
+    * (identical aggregate subplans → ReuseExchange, p21's shape);
+    * everything after — windows included — runs on ≤ |sources| rows. */
+  def p23RepetitionAlloc(s: SparkSession, d: String): DataFrame =
+    Views.sql(s, documents(s, d), "graft_docs_p23_v",
+      """WITH m AS (SELECT source, sum(size(split(text, ' '))) AS u
+        |    FROM graft_docs_p23_v GROUP BY source),
+        |t AS (SELECT 2 * sum(u) AS b,
+        |    sum(CAST(floor(sqrt(u)) AS BIGINT)) AS tw FROM m),
+        |h AS (SELECT source, u, b, tw,
+        |    (b div tw) * w + ((b % tw) * w) div tw AS fl,
+        |    ((b % tw) * w) % tw AS rem
+        |  FROM (SELECT source, u, CAST(floor(sqrt(u)) AS BIGINT) AS w,
+        |      t.b, t.tw FROM m CROSS JOIN t)),
+        |r AS (SELECT source, u, fl, rem,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk FROM h),
+        |need AS (SELECT max(b) - sum(fl) AS extra FROM h),
+        |c AS (SELECT source, u,
+        |    fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS alloc
+        |  FROM r CROSS JOIN need),
+        |e AS (SELECT source, u, alloc, least(alloc, 4 * u) AS capped,
+        |    alloc - least(alloc, 4 * u) AS surplus,
+        |    CASE WHEN u = 0 THEN 0L ELSE least(alloc, 4 * u) div u END AS f,
+        |    CASE WHEN u = 0 THEN 0L ELSE least(alloc, 4 * u) % u END AS pr
+        |  FROM c),
+        |q AS (SELECT source, u, alloc, capped, surplus, f,
+        |    (u * (2097152 - 2097152 div p2) + pr * (1048576 div p2))
+        |      div 1048576 AS eff
+        |  FROM (SELECT e.*, CASE f WHEN 0 THEN 1L WHEN 1 THEN 2L
+        |      WHEN 2 THEN 4L WHEN 3 THEN 8L ELSE 16L END AS p2 FROM e))
+        |SELECT source, u AS u_tokens, alloc AS alloc_tokens,
+        |  capped AS capped_tokens, surplus AS surplus_tokens,
+        |  f AS full_epochs, eff AS eff_tokens,
+        |  CASE WHEN capped = 0 THEN 0L
+        |       ELSE (eff * 1000000) div capped END AS util_ppm
+        |FROM q ORDER BY source""".stripMargin)
+
+  /** p23 oracle — the identical staged chain (`//` floor division,
+    * HUGEINT sums cast at the edges). */
+  val p23Oracle: String =
+    """WITH m AS (SELECT source,
+      |      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS u
+      |    FROM documents GROUP BY source),
+      |t AS (SELECT CAST(2 * sum(u) AS BIGINT) AS b,
+      |    CAST(sum(CAST(floor(sqrt(u)) AS BIGINT)) AS BIGINT) AS tw FROM m),
+      |h AS (SELECT source, u, b, tw,
+      |    (b // tw) * w + ((b % tw) * w) // tw AS fl,
+      |    ((b % tw) * w) % tw AS rem
+      |  FROM (SELECT source, u, CAST(floor(sqrt(u)) AS BIGINT) AS w,
+      |      t.b, t.tw FROM m CROSS JOIN t)),
+      |r AS (SELECT source, u, fl, rem,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rk FROM h),
+      |need AS (SELECT CAST(max(b) - sum(fl) AS BIGINT) AS extra FROM h),
+      |c AS (SELECT source, u,
+      |    fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS alloc
+      |  FROM r CROSS JOIN need),
+      |e AS (SELECT source, u, alloc, least(alloc, 4 * u) AS capped,
+      |    alloc - least(alloc, 4 * u) AS surplus,
+      |    CASE WHEN u = 0 THEN 0 ELSE least(alloc, 4 * u) // u END AS f,
+      |    CASE WHEN u = 0 THEN 0 ELSE least(alloc, 4 * u) % u END AS pr
+      |  FROM c),
+      |q AS (SELECT source, u, alloc, capped, surplus, f,
+      |    (u * (2097152 - 2097152 // p2) + pr * (1048576 // p2))
+      |      // 1048576 AS eff
+      |  FROM (SELECT e.*, CASE f WHEN 0 THEN 1 WHEN 1 THEN 2
+      |      WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END AS p2 FROM e))
+      |SELECT source, u AS u_tokens, CAST(alloc AS BIGINT) AS alloc_tokens,
+      |  CAST(capped AS BIGINT) AS capped_tokens,
+      |  CAST(surplus AS BIGINT) AS surplus_tokens,
+      |  CAST(f AS BIGINT) AS full_epochs, CAST(eff AS BIGINT) AS eff_tokens,
+      |  CAST(CASE WHEN capped = 0 THEN 0
+      |       ELSE (eff * 1000000) // capped END AS BIGINT) AS util_ppm
+      |FROM q ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p23_repetition_alloc" ->
+      ((s: SparkSession, d: String) => p23RepetitionAlloc(s, d)),
     "p22_curriculum_schedule" -> ((s: SparkSession, d: String) => p22CurriculumSchedule(s, d)),
     "p21_token_budget_alloc" -> ((s: SparkSession, d: String) => p21TokenBudgetAlloc(s, d)),
     "p20_pretrain_pipeline" -> (p20PretrainPipeline _),
@@ -1149,6 +1246,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "p23_repetition_alloc" -> p23Oracle,
     "p22_curriculum_schedule" -> p22Oracle,
     "p21_token_budget_alloc" -> p21Oracle,
     "p20_pretrain_pipeline" -> p20Oracle,

@@ -218,6 +218,115 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** e20 — INCREMENTAL IVF MAINTENANCE (assign-only append): the index
+    * lifecycle operation every production ANN deployment runs daily —
+    * new vectors arrive, and rebuilding the whole index is the one cost
+    * you cannot pay at 100 TB. The newest fifth of the corpus (by id —
+    * appends carry increasing ids) is treated as the DELTA BATCH: the
+    * coarse codebook is trained on the BASE only (e4's deterministic
+    * every-31st rule, restricted below the cutoff), the delta is
+    * assigned in its OWN pass against that FROZEN codebook, and search
+    * spans the union of base and delta posting lists, flagging each hit's
+    * provenance. Because per-row assignment depends only on the (frozen)
+    * codebook, the union provably equals a full rebuild under the same
+    * codebook — the invariant RoundTwelveBOpsSpec pins with an in-memory
+    * one-pass replay, and the property that makes assign-only appends
+    * SAFE to run forever (recall drifts only as the codebook ages, the
+    * e5/e19-style recall audits' job to watch).
+    *
+    * Scale shape: the delta pass scans ONLY delta bytes (the vec_id
+    * cutoff is a pushed parquet filter), which is the entire point: at
+    * steady state the daily cost is |delta| · nCells codegen'd cosines +
+    * a union of narrow (id, cell) tables — the base is never re-read.
+    * Probe-side work is identical to e4 (broadcast codebook, bounded
+    * per-cell candidates). Self-scaling cutoff: T = ⌊4n/5⌋ from one
+    * count aggregate (the e9 discipline); the codebook self-limits to
+    * ids below min(496, T) so centroids always live in the base. */
+  def incrementalIvfTopK(s: SparkSession, d: String, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = withVec(embeddings(s, d), "embedding")
+      .select(col("vec_id"), col("v"))
+    incrementalIvfTopKDf(s, emb, k, nCells, nProbe)
+  }
+
+  /** e20 on an explicit (vec_id, v) frame — spec seam for the
+    * rebuild-equality replay. */
+  private[graft] def incrementalIvfTopKDf(s: SparkSession, emb: DataFrame,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val t = 4L * emb.count() / 5L // append cutoff: newest fifth is delta
+    val centroids = emb
+      .filter(col("vec_id") % 31 === 0 &&
+        col("vec_id") < math.min(31L * nCells, t))
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    val assignScore = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cell_id"))
+    def assign(part: DataFrame): DataFrame = part.join(broadcast(centroids))
+      .withColumn("cscore", cosine("v", "cv"))
+      .withColumn("crk", row_number().over(assignScore))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("cell_id"))
+    // the maintenance op: base posting lists + a SEPARATE delta-only
+    // assignment pass against the frozen codebook, unioned
+    val assigned = assign(emb.filter(col("vec_id") < t))
+      .unionByName(assign(emb.filter(col("vec_id") >= t)))
+    val probeScore = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cscore").desc, col("cell_id"))
+    val probeCells = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .join(broadcast(centroids))
+      .withColumn("cscore", cosine("pv", "cv"))
+      .withColumn("crk", row_number().over(probeScore))
+      .filter(col("crk") <= nProbe)
+      .select(col("probe_id"), col("pv"), col("cell_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(probeCells)
+      .join(assigned, "cell_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosine("pv", "v"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        (col("vec_id") >= t).cast("long").as("from_delta"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** e20 oracle — DuckDB re-derives cutoff, base-trained codebook, and
+    * search; it assigns all vectors in ONE pass, which equals the
+    * engine's base∪delta union because per-row assignment depends only
+    * on the frozen codebook — the rebuild-equality invariant itself. */
+  val incrementalIvfOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm FROM e),
+      |c0 AS (SELECT (4 * count(*)) // 5 AS t FROM e),
+      |cent AS (SELECT vec_id AS cell_id, v AS cv, vnorm AS cnorm
+      |         FROM n CROSS JOIN c0
+      |         WHERE vec_id % 31 = 0 AND vec_id < least(496, t)),
+      |assigned AS (SELECT vec_id, cell_id FROM (
+      |    SELECT n.vec_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) / (n.vnorm * c.cnorm) DESC,
+      |        c.cell_id) AS crk
+      |    FROM n, cent c) WHERE crk = 1),
+      |pcells AS (SELECT probe_id, cell_id FROM (
+      |    SELECT n.vec_id AS probe_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) / (n.vnorm * c.cnorm) DESC,
+      |        c.cell_id) AS crk
+      |    FROM n, cent c WHERE n.vec_id < 8) WHERE crk <= 4)
+      |SELECT probe_id, neighbor_id, rank, from_delta FROM (
+      |  SELECT p.probe_id, s.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) / (a.vnorm * b.vnorm) DESC,
+      |      s.vec_id) AS rank,
+      |    CAST(CASE WHEN s.vec_id >= c0.t THEN 1 ELSE 0 END AS BIGINT) AS from_delta
+      |  FROM pcells p JOIN assigned s ON s.cell_id = p.cell_id
+      |       JOIN n a ON a.vec_id = p.probe_id
+      |       JOIN n b ON b.vec_id = s.vec_id
+      |       CROSS JOIN c0
+      |  WHERE s.vec_id <> p.probe_id)
+      |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   /** e7 — MUTUAL k-NN GRAPH construction: every vector's top-k cosine
     * neighbors among its IVF cell-mates (the e4 codebook/assignment,
     * reused verbatim), kept only where the preference is RECIPROCAL
@@ -2034,6 +2143,8 @@ object Similarity {
     "e2_ann_lsh_topk" -> ((s: SparkSession, d: String) => lshCosineTopK(s, d)),
     "e3_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d, bits0 = 16)),
     "e4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfCosineTopK(s, d)),
+    "e20_incremental_ann" ->
+      ((s: SparkSession, d: String) => incrementalIvfTopK(s, d)),
     "e5_ann_recall" -> (annRecall _),
     // e9 is gated SELF-SCALING: side derives from count(*) via an exact
     // integer rule the oracle replays, so the gate covers the production
@@ -2067,6 +2178,7 @@ object Similarity {
     "e2_ann_lsh_topk" -> lshCosineOracle,
     "e3_embedding_neardup" -> embeddingNearDupOracle,
     "e4_ann_ivf_topk" -> ivfCosineOracle,
+    "e20_incremental_ann" -> incrementalIvfOracle,
     "e5_ann_recall" -> annRecallOracle,
     "e8_mmr_rerank" -> mmrRerankOracle,
     "e9_knn_graph_2level" -> knnGraphTwoLevelOracle,

@@ -1482,7 +1482,72 @@ object TextAnalytics {
       |    / CAST(n * sxx - sx * sx AS DOUBLE) AS spectrum_slope
       |FROM g ORDER BY lang""".stripMargin
 
+  /** t26 — DUPLICATED-8-GRAM EXPOSURE audit: per source, the fraction of
+    * word-8-gram INSTANCES whose gram text occurs in ≥ 2 distinct
+    * documents corpus-wide — the memorization-risk statistic of Lee et
+    * al. 2021 (arXiv:2107.06499 §4: near-duplicate trains measured by
+    * shared 8-gram mass) reported at the granularity a curation pipeline
+    * acts on (per source, in exact ppm). d11 answers WHERE text repeats
+    * (winnowing fingerprints, char windows); t26 answers HOW EXPOSED each
+    * source's token stream is to verbatim repetition, the number that
+    * decides which source needs substring dedup at all.
+    *
+    * Scale shape: each gram is folded to a 60-bit md5-prefix BIGINT (d1's
+    * fingerprint discipline) BEFORE any exchange, so the corpus-sized
+    * shuffle carries 8-byte keys, never gram text. The (sig, source) fold
+    * is partial+final; the global doc-frequency table re-aggregates that
+    * SAME exchange (d12's ReuseExchange shape); their equi-join runs on
+    * already-aggregated |distinct grams| rows, and the final fold is
+    * |sources| rows. No window, no crossJoin, nothing corpus-sized past
+    * the first fold. The oracle groups by the raw 15-hex prefix — conv to
+    * BIGINT is injective on fixed-width hex, so the grouping is
+    * identical. */
+  def dupNgramFraction(s: SparkSession, d: String): DataFrame =
+    Views.sql(s, documents(s, d), "graft_docs_t26_v",
+      """WITH w AS (SELECT doc_id, source, split(lower(text), ' ') AS ws
+        |    FROM graft_docs_t26_v),
+        |g AS (SELECT doc_id, source,
+        |    explode(transform(sequence(1, size(ws) - 7),
+        |      i -> CAST(conv(substring(md5(concat_ws(' ',
+        |        slice(ws, i, 8))), 1, 15), 16, 10) AS BIGINT))) AS sig
+        |  FROM w WHERE size(ws) >= 8),
+        |a AS (SELECT sig, source, count(1) AS inst,
+        |    count(DISTINCT doc_id) AS nd
+        |  FROM g GROUP BY sig, source),
+        |t AS (SELECT sig, sum(nd) AS ndocs FROM a GROUP BY sig)
+        |SELECT a.source, sum(a.inst) AS n_grams,
+        |  sum(CASE WHEN t.ndocs >= 2 THEN a.inst ELSE 0 END) AS n_dup_grams,
+        |  (sum(CASE WHEN t.ndocs >= 2 THEN a.inst ELSE 0 END) * 1000000)
+        |    div sum(a.inst) AS dup_ppm
+        |FROM a JOIN t ON t.sig = a.sig
+        |GROUP BY a.source ORDER BY a.source""".stripMargin)
+
+  /** t26 oracle — identical fold over the 15-hex md5 prefix (injective
+    * image of the Spark-side BIGINT key, so groups coincide). */
+  val dupNgramFractionOracle: String =
+    """WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+      |    FROM documents),
+      |ix AS (SELECT doc_id, source, ws,
+      |    unnest(generate_series(1, len(ws) - 7)) AS i
+      |  FROM w WHERE len(ws) >= 8),
+      |g AS (SELECT doc_id, source,
+      |    substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15) AS sig
+      |  FROM ix),
+      |a AS (SELECT sig, source, count(*) AS inst,
+      |    count(DISTINCT doc_id) AS nd
+      |  FROM g GROUP BY sig, source),
+      |t AS (SELECT sig, CAST(sum(nd) AS BIGINT) AS ndocs FROM a GROUP BY sig)
+      |SELECT a.source, CAST(sum(a.inst) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN t.ndocs >= 2 THEN a.inst ELSE 0 END) AS BIGINT)
+      |    AS n_dup_grams,
+      |  CAST((sum(CASE WHEN t.ndocs >= 2 THEN a.inst ELSE 0 END) * 1000000)
+      |    // sum(a.inst) AS BIGINT) AS dup_ppm
+      |FROM a JOIN t ON t.sig = a.sig
+      |GROUP BY a.source ORDER BY a.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_dup_ngram_fraction" ->
+      ((s: SparkSession, d: String) => dupNgramFraction(s, d)),
     "t25_zipf_audit" -> ((s: SparkSession, d: String) => zipfAudit(s, d)),
     "t22_kn_surprisal" -> ((s: SparkSession, d: String) => knSurprisal(s, d)),
     "t24_perplexity_filter" -> ((s: SparkSession, d: String) => perplexityFilter(s, d)),
@@ -1510,6 +1575,7 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "t26_dup_ngram_fraction" -> dupNgramFractionOracle,
     "t25_zipf_audit" -> zipfAuditOracle,
     "t22_kn_surprisal" -> knSurprisalOracle,
     "t24_perplexity_filter" -> perplexityFilterOracle,

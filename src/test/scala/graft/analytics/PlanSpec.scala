@@ -77,7 +77,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       // this set; t22's chain BNLJ is gated through its lazy override
       // below. p22 keeps its OWN 1-row budget/weight totals cross joins
       // in the registered step-2 plan.
-      "p22_curriculum_schedule")
+      "p22_curriculum_schedule",
+      // r12 third batch: e20 composes e4's sanctioned broadcast-codebook
+      // assignment (twice — base and delta passes); q59 crosses in its
+      // 1-row order-count total; p23 its 1-row budget/weight totals; g3
+      // its three 1-row census totals (nodes/edges/triangles) over the
+      // checkpointed ≤5000-row backbone — all bounded by construction,
+      // and the assertion still requires them broadcast.
+      "e20_incremental_ann", "q59_assoc_rules", "p23_repetition_alloc",
+      "g3_triangle_count")
     // queries that eagerly checkpoint their (small) result so their
     // corpus-sized caches release promptly (r9): the registered plan is an
     // RDD scan — gate the LAZY builder instead, releasing its cache after
@@ -99,6 +107,9 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
         released(df, Seq(c)) }),
       "g2_type_cooccurrence" -> (() => {
         val (df, c) = GraphOps.typeCooccurrencePlan(spark, sfDir)
+        released(df, Seq(c)) }),
+      "q59_assoc_rules" -> (() => {
+        val (df, c) = ExtendedQueries.q59AssocRulesPlan(spark, sfDir)
         released(df, Seq(c)) }),
       // r12: the registered t22 reads its staged parquet; the chain —
       // whose sanctioned 1-row bigram-type-total BNLJ this gate pins —

@@ -14,6 +14,16 @@ import graft.SparkSpec
   * - q59's staged rule metrics must equal a hand-folded basket count
   *   with the exact floor-staging order, and confidence must dominate
   *   support on every emitted rule (co ≤ cnt(a) ⇒ conf ≥ supp).
+  * - t26's exposure must equal a replay that groups by the RAW gram
+  *   text (no md5) — pinning that the 60-bit fingerprint fold changes
+  *   nothing semantically — and dup_ppm must respect its 0..10⁶ bound.
+  * - p23's allocation must equal a replayed staged Hamilton + decay
+  *   chain, allocations must sum EXACTLY to the demand, and effective
+  *   tokens can never exceed the capped allocation.
+  * - e20's incremental search must equal a from-scratch ONE-PASS
+  *   replay (assign all, search probed cells) — the rebuild-equality
+  *   property that makes assign-only appends safe — with provenance
+  *   flags exactly at the cutoff.
   */
 class RoundTwelveBOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
 
@@ -67,5 +77,98 @@ class RoundTwelveBOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.toSeq shouldBe expect
     // co ≤ cnt(a) by construction ⇒ confidence dominates support
     got.foreach { case (_, _, _, supp, conf, _) => conf should be >= supp }
+  }
+
+  private lazy val docs: Seq[(Long, String, String)] = spark.read
+    .parquet(s"$sf/documents.parquet").select("doc_id", "source", "text")
+    .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  test("t26 equals a raw-gram-text replay; exposure respects its ppm bound") {
+    val grams = docs.flatMap { case (id, src, text) =>
+      val ws = text.toLowerCase.split(" ", -1)
+      if (ws.length < 8) Seq.empty
+      else ws.sliding(8).map(g => (id, src, g.mkString(" "))).toSeq
+    }
+    val gramDocs = grams.groupBy(_._3).map { case (g, xs) =>
+      g -> xs.map(_._1).distinct.size
+    }
+    val expect = grams.groupBy(_._2).map { case (src, xs) =>
+      val dup = xs.count(x => gramDocs(x._3) >= 2).toLong
+      (src, xs.size.toLong, dup, dup * 1000000L / xs.size)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalytics.dupNgramFraction(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.toSeq shouldBe expect
+    got.foreach { case (_, _, _, ppm) =>
+      ppm should be >= 0L; ppm should be <= 1000000L
+    }
+  }
+
+  test("p23 equals a replayed staged Hamilton + decay chain; sums are exact") {
+    val u = docs.groupBy(_._2).map { case (src, xs) =>
+      src -> xs.map(_._3.split(" ", -1).length.toLong).sum
+    }
+    val b = 2L * u.values.sum
+    val tw = u.values.map(x => math.floor(math.sqrt(x.toDouble)).toLong).sum
+    val staged = u.map { case (src, us) =>
+      val w = math.floor(math.sqrt(us.toDouble)).toLong
+      (src, us, (b / tw) * w + ((b % tw) * w) / tw, ((b % tw) * w) % tw)
+    }.toSeq
+    val extra = b - staged.map(_._3).sum
+    val ranked = staged.sortBy { case (src, _, _, rem) => (-rem, src) }
+      .zipWithIndex
+    val expect = ranked.map { case ((src, us, fl, _), i) =>
+      val alloc = fl + (if (i < extra) 1L else 0L)
+      val capped = math.min(alloc, 4 * us)
+      val f = if (us == 0) 0L else capped / us
+      val pr = if (us == 0) 0L else capped % us
+      val p2 = 1L << f.toInt
+      val eff = (us * (2097152L - 2097152L / p2) + pr * (1048576L / p2)) / 1048576L
+      (src, us, alloc, capped, alloc - capped, f, eff,
+        if (capped == 0) 0L else eff * 1000000L / capped)
+    }.sortBy(_._1)
+    val got = PipelineOps.p23RepetitionAlloc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    got.toSeq shouldBe expect
+    got.map(_._3).sum shouldBe b // allocations sum EXACTLY to the demand
+    got.foreach { case (_, _, _, capped, _, _, eff, _) =>
+      eff should be <= capped
+    }
+  }
+
+  private lazy val emb: Map[Long, Array[Double]] = spark.read
+    .parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    .collect()
+    .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("e20 equals a one-pass rebuild replay; provenance flags the cutoff") {
+    val t = 4L * emb.size / 5L
+    val cents = emb.keys.filter(id => id % 31 == 0 && id < math.min(496L, t))
+      .toSeq.sorted
+    def bestCells(v: Array[Double], n: Int): Seq[Long] =
+      cents.map(c => (c, cos(v, emb(c)))).sortBy { case (c, sc) => (-sc, c) }
+        .take(n).map(_._1)
+    val assigned = emb.map { case (id, v) => id -> bestCells(v, 1).head }
+    val expect = emb.keys.filter(_ < 8).toSeq.sorted.flatMap { p =>
+      val cells = bestCells(emb(p), 4).toSet
+      emb.keys.filter(id => id != p && cells(assigned(id))).toSeq
+        .map(id => (id, cos(emb(p), emb(id))))
+        .sortBy { case (id, sc) => (-sc, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) =>
+          (p, id, i + 1L, if (id >= t) 1L else 0L)
+        }
+    }
+    val got = Similarity.incrementalIvfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.toSeq shouldBe expect
   }
 }
