@@ -98,7 +98,13 @@ object SparkEntry {
   // exact geometric-decay yield), e20_incremental_ann (assign-only IVF
   // append against a frozen base-trained codebook, provenance-flagged
   // union search — the index-maintenance member of the ANN family).
-  val expectedQueryCount: Int = 195
+  // Then 195 → 198: d14_cross_source_dup (source×source duplication
+  // matrix — where duplicated text FLOWS between sources),
+  // e21_codebook_drift (recall decay of e20's frozen codebook vs e4's
+  // full rebuild against brute truth — the when-to-retrain audit),
+  // q60_percentile_native (SQL:2003 percentile_cont/percentile_disc
+  // WITHIN GROUP under the gate, first-principles oracle).
+  val expectedQueryCount: Int = 198
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

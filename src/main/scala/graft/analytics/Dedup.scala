@@ -705,7 +705,74 @@ object Dedup {
       |  CAST(sum(dup_o * ntok) AS DOUBLE) / sum(o * ntok) AS dup_token_ratio
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d14 — CROSS-SOURCE DUPLICATION MATRIX: for every source pair, how
+    * many distinct (normalized) texts they SHARE, plus each side's
+    * distinct-text count and the shared fraction of the smaller side in
+    * exact ppm — the provenance statistic that tells a curation pipeline
+    * WHICH sources are mirrors/aggregators of which (d1 says how much is
+    * duplicated; d14 says where it flows between sources). The corpus has
+    * no natural cross-source copies at any SF, so every third document is
+    * mirrored into a synthetic aggregator source (the d1 planted-dupe
+    * discipline): the matrix then has one nonzero row per original
+    * source, all oracle-checked.
+    *
+    * Scale shape: texts fold to xxhash64 signatures pre-shuffle (d1's
+    * rule — only (source, hash) pairs cross the wire), the distinct is
+    * partial+final, and the pair join runs on the DEDUPED (source, hash)
+    * table where per-hash fanout is bounded by |sources| — never a
+    * text-keyed or corpus×corpus join. Per-source totals re-join
+    * broadcast. The ≤ |sources|²-row result is eagerly pinned so the
+    * persisted signature table releases NOW (the g2 discipline). The
+    * oracle groups by normalized text itself — values never surface, so
+    * engine-specific hashing stays gate-checkable (the d1 trick). */
+  def crossSourceDupMatrix(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val mirrored = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        lit("xmirror").as("source"), col("text"))
+    val sigs = docs.unionByName(mirrored)
+      .select(col("source"), xxhash64(normText).as("h")).distinct()
+      .persist()
+    val counts = sigs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val out = sigs.select(col("source").as("src_a"), col("h"))
+      .join(sigs.select(col("source").as("src_b"), col("h")), "h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_texts"))
+      .join(broadcast(counts.select(col("source").as("src_a"),
+        col("n").as("n_a"))), "src_a")
+      .join(broadcast(counts.select(col("source").as("src_b"),
+        col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("shared_texts"),
+        expr("(shared_texts * 1000000) div least(n_a, n_b)")
+          .as("containment_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+      .localCheckpoint(true)
+    sigs.unpersist(false)
+    out
+  }
+
+  val crossSourceDupMatrixOracle: String =
+    """WITH ad AS (SELECT doc_id, source, text FROM documents
+      |  UNION ALL SELECT doc_id + 2000000, 'xmirror', text
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |sigs AS (SELECT DISTINCT source,
+      |    regexp_replace(lower(text), '\s+', ' ', 'g') AS nt FROM ad),
+      |c AS (SELECT source, count(*) AS n FROM sigs GROUP BY source),
+      |p AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    count(*) AS shared_texts
+      |  FROM sigs a JOIN sigs b ON a.nt = b.nt AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, ca.n AS n_a, cb.n AS n_b, shared_texts,
+      |  CAST((shared_texts * 1000000) // least(ca.n, cb.n) AS BIGINT)
+      |    AS containment_ppm
+      |FROM p JOIN c ca ON ca.source = src_a JOIN c cb ON cb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_cross_source_dup" ->
+      ((s: SparkSession, d: String) => crossSourceDupMatrix(s, d)),
     "d12_cdc_chunk_dedup" -> ((s: SparkSession, d: String) => cdcChunkDedup(s, d)),
     "d11_substring_dedup" -> (substringDedup _),
     "d10_incremental_dedup" -> (incrementalDedup _),
@@ -719,6 +786,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "d14_cross_source_dup" -> crossSourceDupMatrixOracle,
     "d12_cdc_chunk_dedup" -> cdcChunkDedupOracle,
     "d11_substring_dedup" -> substringDedupOracle,
     "d10_incremental_dedup" -> incrementalDedupOracle,

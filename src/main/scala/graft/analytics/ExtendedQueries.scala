@@ -1555,7 +1555,67 @@ object ExtendedQueries {
       |SELECT part_a, part_b, co_cnt, supp_ppm, conf_ppm, lift_ppm
       |FROM r ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  /** q60 — NATIVE ORDERED-SET AGGREGATES (`percentile_cont` /
+    * `percentile_disc` WITHIN GROUP): the SQL:2003 ordered-set surface,
+    * exercised through Spark's native implementations so the built-ins
+    * themselves sit under the gate (q58's discipline for median/mode;
+    * q18/q27/p19 bracket the same statistics with manual derivations).
+    * Hash-safety: the input is INTEGRAL (quantities cast to BIGINT), the
+    * percentiles are dyadic (0.25/0.75), and n < 2⁵⁰ — so the cont
+    * interpolation lo + (hi−lo)·frac is EXACT in IEEE doubles in any
+    * association order, and the engines cannot diverge by a ULP. The
+    * disc leg's oracle replicates Spark's cume_dist ≥ p rule by the
+    * same double comparison (rank/n ≥ 0.9) rather than a ceil(p·n)
+    * rank — 0.9 is NOT dyadic, and at an exact boundary (0.9·n
+    * integral) the ceil form rounds to a DIFFERENT row than the
+    * comparison form; replaying the comparison replays the engine.
+    *
+    * Scale shape: Spark's exact percentile state is a per-group value
+    * buffer — apt here because groups are few and bounded; q27's
+    * mergeable histogram and q18/p19's bucket-histogram selection remain
+    * the documented unbounded-group escape hatches. */
+  def q60PercentileNative(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY q)").as("p25"),
+        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY q)").as("p75"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY q)")
+          .cast("long").as("p90_disc"))
+      .orderBy(col("l_returnflag"))
+
+  /** q60 oracle — both statistics re-derived from first principles
+    * (row_number + the exact interpolation / comparison rules), never
+    * trusting DuckDB's own quantile functions. */
+  val q60Oracle: String =
+    """WITH v AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS q
+      |    FROM lineitem),
+      |o AS (SELECT rf, q,
+      |    row_number() OVER (PARTITION BY rf ORDER BY q) - 1 AS rn,
+      |    count(*) OVER (PARTITION BY rf) AS n FROM v),
+      |pc AS (SELECT rf, max(n) AS n,
+      |    min(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT)
+      |        THEN q END) AS lo25,
+      |    min(CASE WHEN rn = CAST(ceil(0.25 * (n - 1)) AS BIGINT)
+      |        THEN q END) AS hi25,
+      |    min(0.25 * (n - 1) - floor(0.25 * (n - 1))) AS f25,
+      |    min(CASE WHEN rn = CAST(floor(0.75 * (n - 1)) AS BIGINT)
+      |        THEN q END) AS lo75,
+      |    min(CASE WHEN rn = CAST(ceil(0.75 * (n - 1)) AS BIGINT)
+      |        THEN q END) AS hi75,
+      |    min(0.75 * (n - 1) - floor(0.75 * (n - 1))) AS f75,
+      |    min(CASE WHEN CAST(rn + 1 AS DOUBLE) / n >= 0.9
+      |        THEN q END) AS p90d
+      |  FROM o GROUP BY rf)
+      |SELECT rf AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  lo25 + (hi25 - lo25) * f25 AS p25,
+      |  lo75 + (hi75 - lo75) * f75 AS p75,
+      |  CAST(p90d AS BIGINT) AS p90_disc
+      |FROM pc ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_percentile_native" -> (q60PercentileNative _),
     "q59_assoc_rules" -> (q59AssocRules _),
     "q58_median_mode" -> (q58MedianMode _),
     "q57_funnel" -> (q57Funnel _),
@@ -1608,6 +1668,7 @@ object ExtendedQueries {
   /** q14 omitted: HLL++ sketch values are engine-specific (rows-only);
     * q24 is its fully-oracle-checked portable twin. */
   val oracles: Map[String, String] = Map(
+    "q60_percentile_native" -> q60Oracle,
     "q59_assoc_rules" -> q59Oracle,
     "q58_median_mode" -> q58Oracle,
     "q57_funnel" -> q57Oracle,

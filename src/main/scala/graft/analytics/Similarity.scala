@@ -327,6 +327,50 @@ object Similarity {
       |  WHERE s.vec_id <> p.probe_id)
       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
+  /** e21 — CODEBOOK-DRIFT RECALL AUDIT: recall@5 against brute truth for
+    * the FULL-corpus-trained codebook (e4) vs e20's FROZEN base-trained
+    * codebook, per probe — the number an incremental-index deployment
+    * watches to decide WHEN to retrain: e20's rebuild-equality makes
+    * appends safe, and this audit quantifies the only cost left, recall
+    * decay as the codebook ages past its training distribution. Closes
+    * the recall-gate pattern over the maintenance member exactly as
+    * e5/e12/e16/e19 do for their index families.
+    *
+    * Pure composition of three registered plans; top-k sets are tiny
+    * (8 probes × 5), so the audit joins are broadcast-sized no matter
+    * the corpus. */
+  def codebookDriftRecall(s: SparkSession, d: String): DataFrame = {
+    val brute = bruteCosineTopK(s, d).select(col("probe_id"), col("neighbor_id"))
+    val full = ivfCosineTopK(s, d).select(col("probe_id"), col("neighbor_id"),
+      lit(1).as("fhit"))
+    val frozen = incrementalIvfTopK(s, d).select(col("probe_id"),
+      col("neighbor_id"), lit(1).as("zhit"))
+    brute
+      .join(full, Seq("probe_id", "neighbor_id"), "left")
+      .join(frozen, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("fhit")).as("full_hits"), count(col("zhit")).as("frozen_hits"))
+      .withColumn("drift", col("full_hits") - col("frozen_hits"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** e21 oracle — the e1/e4/e20 oracles verbatim as CTEs (the e5
+    * pattern), so the audit inherits their independent re-derivations. */
+  def codebookDriftRecallOracle: String =
+    s"""WITH brute AS ($bruteCosineOracle),
+      |ivf AS ($ivfCosineOracle),
+      |inc AS ($incrementalIvfOracle)
+      |SELECT b.probe_id,
+      |  count(f.probe_id) AS full_hits,
+      |  count(z.probe_id) AS frozen_hits,
+      |  count(f.probe_id) - count(z.probe_id) AS drift
+      |FROM brute b
+      |LEFT JOIN ivf f ON f.probe_id = b.probe_id
+      |  AND f.neighbor_id = b.neighbor_id
+      |LEFT JOIN inc z ON z.probe_id = b.probe_id
+      |  AND z.neighbor_id = b.neighbor_id
+      |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
+
   /** e7 — MUTUAL k-NN GRAPH construction: every vector's top-k cosine
     * neighbors among its IVF cell-mates (the e4 codebook/assignment,
     * reused verbatim), kept only where the preference is RECIPROCAL
@@ -2145,6 +2189,8 @@ object Similarity {
     "e4_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfCosineTopK(s, d)),
     "e20_incremental_ann" ->
       ((s: SparkSession, d: String) => incrementalIvfTopK(s, d)),
+    "e21_codebook_drift" ->
+      ((s: SparkSession, d: String) => codebookDriftRecall(s, d)),
     "e5_ann_recall" -> (annRecall _),
     // e9 is gated SELF-SCALING: side derives from count(*) via an exact
     // integer rule the oracle replays, so the gate covers the production
@@ -2179,6 +2225,7 @@ object Similarity {
     "e3_embedding_neardup" -> embeddingNearDupOracle,
     "e4_ann_ivf_topk" -> ivfCosineOracle,
     "e20_incremental_ann" -> incrementalIvfOracle,
+    "e21_codebook_drift" -> codebookDriftRecallOracle,
     "e5_ann_recall" -> annRecallOracle,
     "e8_mmr_rerank" -> mmrRerankOracle,
     "e9_knn_graph_2level" -> knnGraphTwoLevelOracle,

@@ -171,4 +171,69 @@ class RoundTwelveBOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     got.toSeq shouldBe expect
   }
+
+  test("d14 equals a planted-mirror replay over normalized text") {
+    val planted = docs ++ docs.collect {
+      case (id, _, text) if id % 3 == 0 => (id + 2000000L, "xmirror", text)
+    }
+    val sigs = planted.map { case (_, src, text) =>
+      (src, text.toLowerCase.replaceAll("\\s+", " "))
+    }.distinct
+    val n = sigs.groupBy(_._1).map { case (s0, xs) => s0 -> xs.size.toLong }
+    val byText = sigs.groupBy(_._2).values.filter(_.size > 1)
+    val expect = byText.flatMap { grp =>
+      val ss = grp.map(_._1).sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.size) yield (ss(i), ss(j))
+    }.groupBy(identity).map { case ((a, b), xs) =>
+      val shared = xs.size.toLong
+      (a, b, n(a), n(b), shared, shared * 1000000L / math.min(n(a), n(b)))
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Dedup.crossSourceDupMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    got.toSeq shouldBe expect
+    // in this corpus all cross-source flow goes through the mirror
+    got.foreach { case (_, b, _, _, _, ppm) =>
+      b shouldBe "xmirror"; ppm should be <= 1000000L
+    }
+  }
+
+  test("e21 equals plain-Scala intersections of the legs; drift is the gap") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteCosineTopK(spark, sf))
+    val full = pairs(Similarity.ivfCosineTopK(spark, sf))
+    val frozen = pairs(Similarity.incrementalIvfTopK(spark, sf))
+    val got = Similarity.codebookDriftRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (p, fh, zh, drift) =>
+      fh shouldBe brute.filter(_._1 == p).count(full)
+      zh shouldBe brute.filter(_._1 == p).count(frozen)
+      drift shouldBe fh - zh
+    }
+    got.map(_._1).toSeq shouldBe got.map(_._1).toSeq.sorted
+  }
+
+  test("q60 equals hand-folded interpolation and the cume_dist disc rule") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong))
+    val expect = li.groupBy(_._1).map { case (rf, xs) =>
+      val q = xs.map(_._2).sorted
+      val n = q.length
+      def cont(p: Double): Double = {
+        val pos = p * (n - 1)
+        val lo = q(math.floor(pos).toInt).toDouble
+        val hi = q(math.ceil(pos).toInt).toDouble
+        lo + (hi - lo) * (pos - math.floor(pos))
+      }
+      val disc = q(q.indices.find(i => (i + 1).toDouble / n >= 0.9).get)
+      (rf, n.toLong, cont(0.25), cont(0.75), disc)
+    }.toSeq.sortBy(_._1)
+    val got = ExtendedQueries.q60PercentileNative(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    got.toSeq shouldBe expect
+  }
 }
