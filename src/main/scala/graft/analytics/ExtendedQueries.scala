@@ -1491,49 +1491,48 @@ object ExtendedQueries {
     * co·N·10⁶ which overflows past N ≈ 3·10⁶). The staged floor order is
     * the pinned semantics; both engines replay it bit-for-bit.
     *
-    * Scale shape: the corpus-sized work is the (order, part) distinct and
-    * the pair fold (per-order fanout bounded by basket size, both
-    * partial+final); `po` has three consumers (pair fold, item counts,
-    * order total) so it is persisted once — the g2 discipline. Item
-    * counts re-join the pair table on single part keys (AQE-broadcast:
-    * |parts| rows), and the top-20 is a TakeOrdered, never a global
-    * sort. The ≤ 20-row result is eagerly pinned so the persisted
-    * corpus-sized table releases NOW (the g2/p19 lesson). */
+    * Scale shape: the corpus-sized work is ONE basket fold
+    * ([[GraphOps.coPurchaseBaskets]]: a single shuffle on the order key,
+    * map-side collect_set dedup) feeding both the bounded-fanout pair
+    * generator and the item counts; the basket table is persisted and
+    * its eager count() doubles as the order total — a driver-side
+    * literal, so NO 1-row total rides a broadcast build thread (the
+    * naive formulation recomputed a corpus-sized distinct inside the
+    * 300 s-capped broadcast thread — found at the sf10 slope check).
+    * Item counts re-join the pair table on single part keys
+    * (AQE-broadcast: |parts| rows), and the top-20 is a TakeOrdered,
+    * never a global sort. The ≤ 20-row result is eagerly pinned so the
+    * persisted basket table releases NOW (the g2/p19 lesson). */
   def q59AssocRules(s: SparkSession, d: String): DataFrame = {
-    val (out, po) = q59AssocRulesPlan(s, d)
+    val (out, baskets) = q59AssocRulesPlan(s, d)
     val pinned = out.localCheckpoint(true)
-    po.unpersist(false)
+    baskets.unpersist(false)
     pinned
   }
 
-  /** q59's LAZY plan + the persisted (order, part) table — the g2 seam,
-    * so PlanSpec can gate the join shapes (the registered query's eager
+  /** q59's LAZY plan + the persisted basket table — the g2 seam, so
+    * PlanSpec can gate the join shapes (the registered query's eager
     * checkpoint truncates the inspectable plan to an RDD scan). */
   private[graft] def q59AssocRulesPlan(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
-    val po = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      .persist()
-    val out = Views.withView(po, "graft_q59_po_v") { v =>
-      s.sql(
-        s"""WITH n AS (SELECT count(1) AS n_orders
-          |    FROM (SELECT DISTINCT ok FROM $v)),
-          |ic AS (SELECT pk, count(1) AS cnt FROM $v GROUP BY pk),
-          |pr AS (SELECT a.pk AS part_a, b.pk AS part_b, count(1) AS co_cnt
-          |  FROM $v a JOIN $v b ON a.ok = b.ok AND a.pk < b.pk
-          |  GROUP BY a.pk, b.pk),
-          |r AS (SELECT part_a, part_b, co_cnt,
-          |    (co_cnt * 1000000) div n.n_orders AS supp_ppm,
-          |    (co_cnt * 1000000) div ca.cnt AS conf_ppm,
-          |    (((co_cnt * 1000000) div ca.cnt) * n.n_orders) div cb.cnt
-          |      AS lift_ppm
-          |  FROM pr JOIN ic ca ON ca.pk = pr.part_a
-          |       JOIN ic cb ON cb.pk = pr.part_b CROSS JOIN n
-          |  WHERE co_cnt >= 2)
-          |SELECT part_a, part_b, co_cnt, supp_ppm, conf_ppm, lift_ppm
-          |FROM r ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin)
-    }
-    (out, po)
+    val baskets = GraphOps.coPurchaseBaskets(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOrders = baskets.count() // materializes the cache AND the total
+    val pr = GraphOps.basketPairs(baskets)
+    val ic = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val out = Views.sqlN(s, Seq(pr -> "prv", ic -> "icv"),
+      s"""WITH r AS (SELECT pa AS part_a, pb AS part_b, w AS co_cnt,
+        |    (w * 1000000) div $nOrders AS supp_ppm,
+        |    (w * 1000000) div ca.cnt AS conf_ppm,
+        |    (((w * 1000000) div ca.cnt) * $nOrders) div cb.cnt
+        |      AS lift_ppm
+        |  FROM prv JOIN icv ca ON ca.pk = prv.pa
+        |       JOIN icv cb ON cb.pk = prv.pb
+        |  WHERE w >= 2)
+        |SELECT part_a, part_b, co_cnt, supp_ppm, conf_ppm, lift_ppm
+        |FROM r ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin)
+    (out, baskets)
   }
 
   /** q59 oracle — the identical staged-integer rule chain in DuckDB. */

@@ -73,8 +73,22 @@ object GraphOps {
     eventPagerankDf(s, events(s, d))
 
   /** g1 on an explicit events frame — spec seam for hand-built chains with
-    * known stationary distributions. */
-  private[graft] def eventPagerankDf(s: SparkSession, ev: DataFrame): DataFrame =
+    * known stationary distributions. The |types|-row result is eagerly
+    * pinned so the persisted edge/node tables release NOW (the g2
+    * discipline; before r12's Views cache fix their persists were
+    * silently evicted at view-drop and each of the 10 iterations re-ran
+    * the corpus window pass). */
+  private[graft] def eventPagerankDf(s: SparkSession, ev: DataFrame): DataFrame = {
+    val (out, caches) = eventPagerankPlan(s, ev)
+    val pinned = out.localCheckpoint(true)
+    caches.foreach(_.unpersist(false))
+    pinned
+  }
+
+  /** g1's LAZY plan + its persisted edge/node tables — the PlanSpec seam
+    * (the registered query's eager checkpoint truncates the plan). */
+  private[graft] def eventPagerankPlan(s: SparkSession,
+      ev: DataFrame): (DataFrame, Seq[DataFrame]) =
     Views.withView(ev, "graft_pr_events_v") { evv =>
       val p = s.sql(
         """WITH trans AS (SELECT
@@ -90,9 +104,11 @@ object GraphOps {
         .persist()
       val nodes = s.sql(
         s"SELECT DISTINCT event_type AS etype FROM $evv").persist()
-      Views.withViews(Seq(p -> "graft_pr_p_v", nodes -> "graft_pr_nodes_v")) { names =>
+      val out = Views.withViews(
+        Seq(p -> "graft_pr_p_v", nodes -> "graft_pr_nodes_v")) { names =>
         s.sql(rankSql("div", names(1), names(0), iters = 10))
       }
+      (out, Seq(p, nodes))
     }
 
   /** g1 oracle — the identical exact-integer chain in DuckDB (`//` floor
@@ -204,20 +220,40 @@ object GraphOps {
     * id-canonical a<b<c triple join instead — an independent counting
     * scheme that must agree exactly.
     *
-    * Scale shape: the only corpus-sized work is the (order, part)
-    * distinct + the pair fold — per-order fanout is bounded by basket
-    * size, both aggregations partial+final. Backbone selection is a
-    * TakeOrdered (per-partition top-k, no global sort), and the census
-    * then runs on ≤ maxEdges rows eagerly pinned by localCheckpoint so
-    * the corpus lineage releases before the 3-consumer census plan. */
+    * Scale shape: the only corpus-sized work is the basket fold (ONE
+    * shuffle on the order key, [[coPurchaseBaskets]]) + the pair fold —
+    * per-order fanout is bounded by basket size, both aggregations
+    * partial+final. Backbone selection is a TakeOrdered (per-partition
+    * top-k, no global sort), and the census then runs on ≤ maxEdges rows
+    * eagerly pinned by localCheckpoint so the corpus lineage releases
+    * before the 3-consumer census plan. */
+  /** Distinct parts per order as a SORTED basket array — ONE corpus
+    * shuffle (on the order key, map-side `collect_set` dedup), replacing
+    * the naive distinct + self-join formulation that shuffles and sorts
+    * the corpus twice more and pays a sort-merge join (measured 4–13×
+    * slower at sf10, where the extra exchanges hit the disk wall). Basket
+    * arrays are bounded by order size (data contract: tens of items, the
+    * TPC-H shape) — the boundedness that makes both the state and the
+    * pair generator safe at 100 TB. */
+  private[analytics] def coPurchaseBaskets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+
+  /** Canonical (pa < pb) co-purchase pair counts off the baskets — the
+    * pair generator is a per-row higher-order expression (C(basket, 2)
+    * pairs, no join, no extra corpus shuffle before the pair fold). */
+  private[analytics] def basketPairs(baskets: DataFrame): DataFrame = baskets
+    .select(explode(expr(
+      "flatten(transform(ps, (x, i) -> " +
+        "transform(slice(ps, i + 2, size(ps)), y -> " +
+        "struct(x AS pa, y AS pb))))")).as("pr"))
+    .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+    .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
+
   def triangleCount(s: SparkSession, d: String, maxEdges: Int = 5000): DataFrame = {
     import org.apache.spark.sql.functions._
-    val po = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val backbone = po.select(col("ok"), col("pk").as("pa"))
-      .join(po.select(col("ok"), col("pk").as("pb")), "ok")
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
+    val backbone = basketPairs(coPurchaseBaskets(s, d))
       .orderBy(col("w").desc, col("pa"), col("pb")).limit(maxEdges)
       .localCheckpoint(true)
     Views.sql(s, backbone, "graft_g3_bb_v",

@@ -30,7 +30,16 @@ object Views {
     }
     try body(names)
     finally dfs.zip(names).foreach { case ((df, _), n) =>
-      df.sparkSession.catalog.dropTempView(n); ()
+      // Drop the NAME BINDING only, via the low-level SessionCatalog.
+      // The public catalog.dropTempView additionally UNCACHES the view's
+      // plan — and a temp view created from a DataFrame shares that
+      // DataFrame's plan, so dropping the name would silently evict the
+      // caller's persist(): every registered consumer then re-executes
+      // the corpus-sized subtree per reference (found at the sf10 slope
+      // check, round 12 — q59's 1-row total re-ran a 60M-row distinct
+      // inside the 300 s broadcast thread). Cache lifetime belongs to
+      // the df's owner (persist/unpersist pairs), not to view naming.
+      df.sparkSession.sessionState.catalog.dropTempView(n); ()
     }
   }
 

@@ -79,12 +79,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       // in the registered step-2 plan.
       "p22_curriculum_schedule",
       // r12 third batch: e20 composes e4's sanctioned broadcast-codebook
-      // assignment (twice — base and delta passes); q59 crosses in its
-      // 1-row order-count total; p23 its 1-row budget/weight totals; g3
-      // its three 1-row census totals (nodes/edges/triangles) over the
-      // checkpointed ≤5000-row backbone — all bounded by construction,
-      // and the assertion still requires them broadcast.
-      "e20_incremental_ann", "q59_assoc_rules", "p23_repetition_alloc",
+      // assignment (twice — base and delta passes); p23 crosses in its
+      // 1-row budget/weight totals; g3 its three 1-row census totals
+      // (nodes/edges/triangles) over the checkpointed ≤5000-row backbone
+      // — all bounded by construction, and the assertion still requires
+      // them broadcast. (q59 left this set when its order total became a
+      // driver literal off the cached basket count — no BNLJ remains.)
+      "e20_incremental_ann", "p23_repetition_alloc",
       "g3_triangle_count")
     // queries that eagerly checkpoint their (small) result so their
     // corpus-sized caches release promptly (r9): the registered plan is an

@@ -215,6 +215,27 @@ class RoundTwelveBOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.map(_._1).toSeq shouldBe got.map(_._1).toSeq.sorted
   }
 
+  test("Views name-drop preserves the caller's cache (the r12 eviction fix)") {
+    // dropTempView via the public catalog would evict the persisted plan
+    // (a view shares its source df's plan); Views must drop the NAME only.
+    // Pin the two production victims: their lazy plans must read the
+    // cache, not re-derive the corpus-sized subtree per consumer.
+    val (q59, baskets) = ExtendedQueries.q59AssocRulesPlan(spark, sf)
+    val q59Plan = q59.queryExecution.executedPlan.toString
+    baskets.unpersist(false)
+    withClue(q59Plan.take(2000)) {
+      // both consumers (pair generator, item counts) read the cache
+      "InMemoryTableScan".r.findAllIn(q59Plan).length should be >= 2
+    }
+    val (g1, caches) = GraphOps.eventPagerankPlan(spark,
+      graft.analytics.Tables.events(spark, sf))
+    val g1Plan = g1.queryExecution.executedPlan.toString
+    caches.foreach(_.unpersist(false))
+    withClue(g1Plan.take(2000)) {
+      g1Plan should include("InMemoryTableScan")
+    }
+  }
+
   test("q60 equals hand-folded interpolation and the cume_dist disc rule") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_returnflag", "l_quantity").collect()
