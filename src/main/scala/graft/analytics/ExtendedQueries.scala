@@ -1494,34 +1494,30 @@ object ExtendedQueries {
     * Scale shape: the corpus-sized work is ONE basket fold
     * ([[GraphOps.coPurchaseBaskets]]: a single shuffle on the order key,
     * map-side collect_set dedup) feeding both the bounded-fanout pair
-    * generator and the item counts; the basket table is persisted and
-    * its eager count() doubles as the order total — a driver-side
-    * literal, so NO 1-row total rides a broadcast build thread (the
-    * naive formulation recomputed a corpus-sized distinct inside the
-    * 300 s-capped broadcast thread — found at the sf10 slope check).
-    * Item counts re-join the pair table on single part keys
-    * (AQE-broadcast: |parts| rows), and the top-20 is a TakeOrdered,
-    * never a global sort. The ≤ 20-row result is eagerly pinned so the
-    * persisted basket table releases NOW (the g2/p19 lesson). */
+    * generator and the item counts — and since r13 the REGISTERED query
+    * reads that fold from [[GraphOps.coPurchaseStageDir]], the stage
+    * SHARED with g3, so a sweep pays the 270 M-pair fold once, not
+    * twice (VERDICT r12 #2). The order total is a bounded driver read
+    * of the staged 1-row table, so NO 1-row total rides a broadcast
+    * build thread (the naive formulation recomputed a corpus-sized
+    * distinct inside the 300 s-capped broadcast thread — found at the
+    * sf10 slope check). Item counts re-join the pair table on single
+    * part keys (AQE-broadcast: |parts| rows), and the top-20 is a
+    * TakeOrdered, never a global sort. */
   def q59AssocRules(s: SparkSession, d: String): DataFrame = {
-    val (out, baskets) = q59AssocRulesPlan(s, d)
-    val pinned = out.localCheckpoint(true)
-    baskets.unpersist(false)
-    pinned
+    val dir = GraphOps.coPurchaseStageDir(s, d)
+    val nOrders = GraphOps.coPurchaseOrderTotal(s, d)
+    q59RuleChain(s, s.read.parquet(s"$dir/pairs"),
+      s.read.parquet(s"$dir/items"), nOrders)
   }
 
-  /** q59's LAZY plan + the persisted basket table — the g2 seam, so
-    * PlanSpec can gate the join shapes (the registered query's eager
-    * checkpoint truncates the inspectable plan to an RDD scan). */
-  private[graft] def q59AssocRulesPlan(s: SparkSession,
-      d: String): (DataFrame, DataFrame) = {
-    val baskets = GraphOps.coPurchaseBaskets(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nOrders = baskets.count() // materializes the cache AND the total
-    val pr = GraphOps.basketPairs(baskets)
-    val ic = baskets.select(explode(col("ps")).as("pk"))
-      .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
-    val out = Views.sqlN(s, Seq(pr -> "prv", ic -> "icv"),
+  /** The bounded rule chain over an (already aggregated) pair table —
+    * shared between the staged registered query and the unstaged
+    * plan-gate builder, so the pinned staged-integer semantics cannot
+    * fork between the two. */
+  private def q59RuleChain(s: SparkSession, pr: DataFrame, ic: DataFrame,
+      nOrders: Long): DataFrame =
+    Views.sqlN(s, Seq(pr -> "prv", ic -> "icv"),
       s"""WITH r AS (SELECT pa AS part_a, pb AS part_b, w AS co_cnt,
         |    (w * 1000000) div $nOrders AS supp_ppm,
         |    (w * 1000000) div ca.cnt AS conf_ppm,
@@ -1532,7 +1528,21 @@ object ExtendedQueries {
         |  WHERE w >= 2)
         |SELECT part_a, part_b, co_cnt, supp_ppm, conf_ppm, lift_ppm
         |FROM r ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin)
-    (out, baskets)
+
+  /** q59's UNSTAGED lazy plan + the persisted basket table — the g2
+    * seam, so PlanSpec / RoundTwelveBOpsSpec can gate the join shapes
+    * and the cache-read discipline of the underlying fold (the
+    * registered query reads the staged parquet instead — the t22
+    * precedent). */
+  private[graft] def q59AssocRulesPlan(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val baskets = GraphOps.coPurchaseBaskets(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOrders = baskets.count() // materializes the cache AND the total
+    val pr = GraphOps.basketPairs(baskets)
+    val ic = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    (q59RuleChain(s, pr, ic, nOrders), baskets)
   }
 
   /** q59 oracle — the identical staged-integer rule chain in DuckDB. */
@@ -1563,11 +1573,17 @@ object ExtendedQueries {
     * percentiles are dyadic (0.25/0.75), and n < 2⁵⁰ — so the cont
     * interpolation lo + (hi−lo)·frac is EXACT in IEEE doubles in any
     * association order, and the engines cannot diverge by a ULP. The
-    * disc leg's oracle replicates Spark's cume_dist ≥ p rule by the
-    * same double comparison (rank/n ≥ 0.9) rather than a ceil(p·n)
-    * rank — 0.9 is NOT dyadic, and at an exact boundary (0.9·n
-    * integral) the ceil form rounds to a DIFFERENT row than the
-    * comparison form; replaying the comparison replays the engine.
+    * disc leg: Spark 4.1.2's non-legacy `PercentileDisc.getPercentile`
+    * computes `ceil(n·p)` in IEEE doubles and binary-searches the
+    * cumulative counts for the first value whose running count reaches
+    * that rank. The oracle replays it as the `cume_dist ≥ p` double
+    * comparison (rank/n ≥ 0.9), which for the pinned p = 0.9 is
+    * numerically equivalent to `rank ≥ ceil(0.9·n)` — the double
+    * products 0.9·n and rank/n land on the same side of every boundary
+    * for n < 2⁵⁰ (verified against the catalyst implementation).
+    * 0.9 is NOT dyadic, so if NEW percentiles are added here, keep them
+    * dyadic or re-verify the two forms coincide for that p before
+    * trusting the comparison-form oracle.
     *
     * Scale shape: Spark's exact percentile state is a per-group value
     * buffer — apt here because groups are few and bounded; q27's

@@ -306,10 +306,9 @@ object FormatQueries {
   def f10LogCompaction(s: SparkSession, d: String): DataFrame =
     versionedAsOf3And5(s, d, compactFirst = true)
 
-  /** Shared f9/f10 body: commit the event CDC stream as 6 event-time
-    * deltas, optionally compact 0..3 into one base, read as-of 3 and 5. */
-  private def versionedAsOf3And5(s: SparkSession, d: String,
-      compactFirst: Boolean): DataFrame = {
+  /** Shared f9/f10/f12 build: commit the event CDC stream as 6
+    * event-time-ordered append-only deltas; returns the table dir. */
+  private def buildVersionedLog(s: SparkSession, d: String): String = {
     val dir = s"${Scratch.dir("graft-versioned")}/table"
     val ev = events(s, d)
     val ch = ev.select(col("user_id"),
@@ -326,6 +325,14 @@ object FormatQueries {
         col("tsu") < (if (i == nBatches - 1) hi else lo + (i + 1) * span))
       VersionedTable.appendDelta(dir, b, i.toLong)
     }
+    dir
+  }
+
+  /** Shared f9/f10 body: build the 6-delta log, optionally compact
+    * 0..3 into one base, read as-of 3 and 5. */
+  private def versionedAsOf3And5(s: SparkSession, d: String,
+      compactFirst: Boolean): DataFrame = {
+    val dir = buildVersionedLog(s, d)
     if (compactFirst)
       VersionedTable.compactUpTo(s, dir, 3L,
         Seq("user_id"), Seq("tsu", "event_id"))
@@ -337,6 +344,91 @@ object FormatQueries {
         col("last_value"))
       .orderBy(col("version"), col("user_id"))
   }
+
+  /** f12 — SNAPSHOT DIFF (change data feed): "what changed between
+    * version 3 and version 5" over f9's versioned log — per key, the
+    * `added` / `deleted` / `updated` classification with the old and
+    * new visible values, the Delta-CDF / Iceberg-changelog capability
+    * an incremental training pipeline consumes ("retrain on what
+    * changed", audit a refresh, invalidate downstream caches by key).
+    * `updated` means the VISIBLE row differs — a re-upsert carrying an
+    * identical (type, value) pair is a non-change and must NOT appear;
+    * a key tombstoned before v3 and re-inserted by v5 is `added`; one
+    * absent at BOTH versions (inserted and deleted inside the window,
+    * or tombstoned at both) emits nothing.
+    *
+    * Scale shape — the trick is ONE scan and ZERO joins: both LWW
+    * winners come out of a single key-partitioned partial+final
+    * aggregate via conditional struct-argmax (`max(when(delta <= 3,
+    * struct(...)))` next to `max(struct(...))`), so the diff costs
+    * exactly one as-of read — not two reads plus a full-outer join on
+    * the key (the naive CDF formulation, which pays a second corpus
+    * scan AND a second shuffle). The delta filter still prunes
+    * partitions (`delta` is a partition column); the classification
+    * and sentinel projection run on |keys| aggregated rows. The oracle
+    * IS the naive two-snapshot full-outer-join form in DuckDB — the
+    * independent derivation the one-scan plan must match. */
+  def f12SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val dir = buildVersionedLog(s, d)
+    val op = VersionedTable.OpCol
+    val fields = Seq(col("tsu"), col("event_id"), col(op),
+      col("last_type"), col("last_value"))
+    val w = s.read.parquet(dir).filter(col("delta") <= 5)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("delta") <= 3, struct(fields: _*))).as("w3"),
+        max(struct(fields: _*)).as("w5"))
+    val p3 = col("w3").isNotNull && col(s"w3.$op") === "u"
+    val p5 = col(s"w5.$op") === "u" // w5 is never null: every key has rows
+    val visDiff = col("w3.last_type") =!= col("w5.last_type") ||
+      col("w3.last_value") =!= col("w5.last_value")
+    w.select(
+        when(!p3 && p5, lit("added"))
+          .when(p3 && !p5, lit("deleted"))
+          .when(p3 && p5 && visDiff, lit("updated")).as("change"),
+        col("user_id"),
+        when(p3, col("w3.last_type")).otherwise(lit("")).as("old_type"),
+        when(p3, col("w3.last_value")).otherwise(lit(0.0)).as("old_value"),
+        when(p5, col("w5.last_type")).otherwise(lit("")).as("new_type"),
+        when(p5, col("w5.last_value")).otherwise(lit(0.0)).as("new_value"))
+      .filter(col("change").isNotNull)
+      .orderBy(col("change"), col("user_id"))
+  }
+
+  /** f12 oracle — the INDEPENDENT naive form: two LWW snapshots (the
+    * f9 cutoff rule verbatim) full-outer-joined on the key. */
+  private[analytics] val f12Oracle: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+      |    event_type AS last_type, value AS last_value FROM events),
+      |prm AS (SELECT min(tsu) AS lo, max(tsu) + 1 AS hi,
+      |    greatest(1, (max(tsu) + 1 - min(tsu) + 5) // 6) AS span FROM c),
+      |r3 AS (SELECT user_id, op, last_type, last_value FROM (
+      |    SELECT c.*, row_number() OVER (PARTITION BY c.user_id
+      |      ORDER BY c.tsu DESC, c.event_id DESC) AS rn
+      |    FROM c, prm p WHERE c.tsu < p.lo + 4 * p.span) t WHERE rn = 1),
+      |r5 AS (SELECT user_id, op, last_type, last_value FROM (
+      |    SELECT c.*, row_number() OVER (PARTITION BY c.user_id
+      |      ORDER BY c.tsu DESC, c.event_id DESC) AS rn FROM c) t
+      |  WHERE rn = 1),
+      |j AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
+      |    coalesce(a.op = 'u', FALSE) AS p3,
+      |    coalesce(b.op = 'u', FALSE) AS p5,
+      |    a.last_type AS ot, a.last_value AS ov,
+      |    b.last_type AS nt, b.last_value AS nv
+      |  FROM r3 a FULL JOIN r5 b ON a.user_id = b.user_id),
+      |d AS (SELECT user_id,
+      |    CASE WHEN NOT p3 AND p5 THEN 'added'
+      |         WHEN p3 AND NOT p5 THEN 'deleted'
+      |         WHEN p3 AND p5 AND (ot <> nt OR ov <> nv) THEN 'updated'
+      |    END AS change,
+      |    CASE WHEN p3 THEN ot ELSE '' END AS old_type,
+      |    CASE WHEN p3 THEN ov ELSE 0.0 END AS old_value,
+      |    CASE WHEN p5 THEN nt ELSE '' END AS new_type,
+      |    CASE WHEN p5 THEN nv ELSE 0.0 END AS new_value
+      |  FROM j)
+      |SELECT change, user_id, old_type, old_value, new_type, new_value
+      |FROM d WHERE change IS NOT NULL ORDER BY change, user_id""".stripMargin
 
   private[analytics] val f9Oracle: String =
     """WITH c AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
@@ -410,6 +502,7 @@ object FormatQueries {
       |FROM t LEFT JOIN p USING (user_id) ORDER BY user_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f12_snapshot_diff" -> (f12SnapshotDiff _),
     "f11_bucketed_join" -> (f11BucketedJoin _),
     "f8_keyed_merge" -> (f8KeyedMerge _),
     "f9_snapshot_read" -> (f9SnapshotRead _),
@@ -424,6 +517,7 @@ object FormatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "f12_snapshot_diff" -> f12Oracle,
     "f8_keyed_merge" -> f8Oracle,
     "f9_snapshot_read" -> f9Oracle,
     // f10 shares f9's oracle VERBATIM: compaction must be invisible to

@@ -223,10 +223,12 @@ object GraphOps {
     * Scale shape: the only corpus-sized work is the basket fold (ONE
     * shuffle on the order key, [[coPurchaseBaskets]]) + the pair fold —
     * per-order fanout is bounded by basket size, both aggregations
-    * partial+final. Backbone selection is a TakeOrdered (per-partition
-    * top-k, no global sort), and the census then runs on ≤ maxEdges rows
-    * eagerly pinned by localCheckpoint so the corpus lineage releases
-    * before the 3-consumer census plan. */
+    * partial+final — and since r13 that fold is SHARED with q59 through
+    * [[coPurchaseStageDir]], so a sweep pays it once, not twice.
+    * Backbone selection is a TakeOrdered (per-partition top-k, no global
+    * sort) over the staged pair table, and the census then runs on
+    * ≤ maxEdges rows eagerly pinned by localCheckpoint so the staged
+    * scan releases before the 3-consumer census plan. */
   /** Distinct parts per order as a SORTED basket array — ONE corpus
     * shuffle (on the order key, map-side `collect_set` dedup), replacing
     * the naive distinct + self-join formulation that shuffles and sorts
@@ -251,9 +253,51 @@ object GraphOps {
     .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
     .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
 
+  /** Shared co-purchase STAGE (VERDICT r12 #2): g3 and q59 each embed
+    * the same basket fold + pair fold — at sf30 the suite's two heaviest
+    * entries (190 + 214 s), the SAME 270 M-generated-pair disk-bound
+    * fold twice. This stages it once per (JVM, dataset) in [[StageCache]]
+    * (the t22/e9 discipline: the registered queries read the staged
+    * parquet; the unstaged builders remain the plan-gate surface):
+    *   - `pairs`  — (pa, pb, w) aggregated canonical pair counts,
+    *   - `items`  — (pk, cnt) per-part basket frequencies,
+    *   - `norders` — the 1-row order total (q59's driver literal, so no
+    *     corpus work ever rides a broadcast build thread — the r12 fix).
+    * All three are small OUTPUTS of the corpus-sized fold (aggregated
+    * pair/item tables, a scalar), never the corpus; parquet round-trips
+    * the longs bit-exactly so the oracles are unchanged. The basket
+    * table is persisted for the build's two consumers and released
+    * before the stage completes. */
+  private[analytics] def coPurchaseStageDir(s: SparkSession, d: String): String =
+    StageCache.getOrBuildDir(s"copurchase:$d") { dir =>
+      val baskets = coPurchaseBaskets(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = baskets.count() // materializes the cache AND the total
+        basketPairs(baskets).write.parquet(s"$dir/pairs")
+        baskets.select(explode(col("ps")).as("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+          .write.parquet(s"$dir/items")
+        import s.implicits._
+        Seq(n).toDF("n_orders").write.parquet(s"$dir/norders")
+      } finally { baskets.unpersist(false); () }
+    }
+
+  /** The staged (pa, pb, w) pair table. */
+  private[analytics] def coPurchasePairs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${coPurchaseStageDir(s, d)}/pairs")
+
+  /** The staged (pk, cnt) item-frequency table. */
+  private[analytics] def coPurchaseItems(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${coPurchaseStageDir(s, d)}/items")
+
+  /** The staged order total (bounded: a 1-row driver read). */
+  private[analytics] def coPurchaseOrderTotal(s: SparkSession, d: String): Long =
+    s.read.parquet(s"${coPurchaseStageDir(s, d)}/norders").head().getLong(0)
+
   def triangleCount(s: SparkSession, d: String, maxEdges: Int = 5000): DataFrame = {
     import org.apache.spark.sql.functions._
-    val backbone = basketPairs(coPurchaseBaskets(s, d))
+    val backbone = coPurchasePairs(s, d)
       .orderBy(col("w").desc, col("pa"), col("pb")).limit(maxEdges)
       .localCheckpoint(true)
     Views.sql(s, backbone, "graft_g3_bb_v",

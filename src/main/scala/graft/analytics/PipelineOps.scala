@@ -1137,12 +1137,27 @@ object PipelineOps {
     * eff·2²⁰ = U·(2²¹ − 2²¹/2^f) + r·(2²⁰/2^f), every division exact
     * for f ≤ 4.
     *
-    * The apportionment uses the staged floor identity
-    * ⌊B·w/tw⌋ = (B div tw)·w + ((B mod tw)·w) div tw (exact — B = q·tw+r
-    * telescopes), so the largest intermediate is (B mod tw)·w < tw·w ≈
-    * Σ√U·√U: safe past 10¹³ corpus tokens where the naive B·w product
-    * overflows BIGINT near 2.7×10¹² (s21's overflow lesson, applied
-    * BEFORE the gate catches it this time).
+    * EVERY multiply-then-divide here is staged (s21's overflow lesson,
+    * applied BEFORE the gate catches it — ADVICE r12 tightened the eff
+    * and util legs this round):
+    *  - apportionment: ⌊B·w/tw⌋ = (B div tw)·w + ((B mod tw)·w) div tw
+    *    (exact — B = q·tw+r telescopes), largest intermediate
+    *    (B mod tw)·w < tw·w ≈ Σ√U·√U: safe past 10¹³ corpus tokens
+    *    where the naive B·w wraps near 2.7×10¹².
+    *  - eff: the naive U·2²¹ wraps at U ≈ 4.4×10¹² per source, so both
+    *    products are limb-split against the 2²⁰ divisor:
+    *    (U·A + r·B) div 2²⁰ = (U div 2²⁰)·A + (r div 2²⁰)·B +
+    *    ((U mod 2²⁰)·A + (r mod 2²⁰)·B) div 2²⁰ (exact — both quotient
+    *    terms factor out 2²⁰); intermediates < 2⁴², quotient terms
+    *    ≤ 2U → safe to U ≈ 2.3×10¹⁸.
+    *  - util_ppm: eff·10⁶ wraps at eff ≈ 9.2×10¹², and mulDiv's limb
+    *    envelope needs c = capped < 2⁴³, so instead the CONSTANT splits:
+    *    ⌊eff·10⁶/c⌋ = ⌊(eff·1000)·1000/c⌋ = (x div c)·1000 +
+    *    ((x mod c)·1000) div c with x = eff·1000 (exact — x = q·c+r
+    *    telescopes); intermediates < max(eff, capped)·1000 → safe to
+    *    U ≈ 2.3×10¹⁵ per source. Spark (non-ANSI) wraps SILENTLY where
+    *    DuckDB raises, so past these bounds the engine would be wrong
+    *    without the gate noticing — hence the staging, not just a note.
     *
     * Scale shape: ONE corpus-sized partial+final fold to |sources| rows
     * (identical aggregate subplans → ReuseExchange, p21's shape);
@@ -1169,16 +1184,22 @@ object PipelineOps {
         |    CASE WHEN u = 0 THEN 0L ELSE least(alloc, 4 * u) div u END AS f,
         |    CASE WHEN u = 0 THEN 0L ELSE least(alloc, 4 * u) % u END AS pr
         |  FROM c),
-        |q AS (SELECT source, u, alloc, capped, surplus, f,
-        |    (u * (2097152 - 2097152 div p2) + pr * (1048576 div p2))
-        |      div 1048576 AS eff
+        |ab AS (SELECT pe.*, 2097152 - 2097152 div p2 AS av,
+        |    1048576 div p2 AS bv
         |  FROM (SELECT e.*, CASE f WHEN 0 THEN 1L WHEN 1 THEN 2L
-        |      WHEN 2 THEN 4L WHEN 3 THEN 8L ELSE 16L END AS p2 FROM e))
+        |      WHEN 2 THEN 4L WHEN 3 THEN 8L ELSE 16L END AS p2 FROM e) pe),
+        |q AS (SELECT source, u, alloc, capped, surplus, f,
+        |    (u div 1048576) * av + (pr div 1048576) * bv
+        |      + ((u % 1048576) * av + (pr % 1048576) * bv) div 1048576
+        |      AS eff
+        |  FROM ab)
         |SELECT source, u AS u_tokens, alloc AS alloc_tokens,
         |  capped AS capped_tokens, surplus AS surplus_tokens,
         |  f AS full_epochs, eff AS eff_tokens,
         |  CASE WHEN capped = 0 THEN 0L
-        |       ELSE (eff * 1000000) div capped END AS util_ppm
+        |       ELSE ((eff * 1000) div capped) * 1000
+        |            + (((eff * 1000) % capped) * 1000) div capped
+        |  END AS util_ppm
         |FROM q ORDER BY source""".stripMargin)
 
   /** p23 oracle — the identical staged chain (`//` floor division,
@@ -1205,17 +1226,23 @@ object PipelineOps {
       |    CASE WHEN u = 0 THEN 0 ELSE least(alloc, 4 * u) // u END AS f,
       |    CASE WHEN u = 0 THEN 0 ELSE least(alloc, 4 * u) % u END AS pr
       |  FROM c),
-      |q AS (SELECT source, u, alloc, capped, surplus, f,
-      |    (u * (2097152 - 2097152 // p2) + pr * (1048576 // p2))
-      |      // 1048576 AS eff
+      |ab AS (SELECT pe.*, 2097152 - 2097152 // p2 AS av,
+      |    1048576 // p2 AS bv
       |  FROM (SELECT e.*, CASE f WHEN 0 THEN 1 WHEN 1 THEN 2
-      |      WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END AS p2 FROM e))
+      |      WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END AS p2 FROM e) pe),
+      |q AS (SELECT source, u, alloc, capped, surplus, f,
+      |    (u // 1048576) * av + (pr // 1048576) * bv
+      |      + ((u % 1048576) * av + (pr % 1048576) * bv) // 1048576
+      |      AS eff
+      |  FROM ab)
       |SELECT source, u AS u_tokens, CAST(alloc AS BIGINT) AS alloc_tokens,
       |  CAST(capped AS BIGINT) AS capped_tokens,
       |  CAST(surplus AS BIGINT) AS surplus_tokens,
       |  CAST(f AS BIGINT) AS full_epochs, CAST(eff AS BIGINT) AS eff_tokens,
       |  CAST(CASE WHEN capped = 0 THEN 0
-      |       ELSE (eff * 1000000) // capped END AS BIGINT) AS util_ppm
+      |       ELSE ((eff * 1000) // capped) * 1000
+      |            + (((eff * 1000) % capped) * 1000) // capped
+      |  END AS BIGINT) AS util_ppm
       |FROM q ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1492,16 +1492,24 @@ object TextAnalytics {
     * source's token stream is to verbatim repetition, the number that
     * decides which source needs substring dedup at all.
     *
-    * Scale shape: each gram is folded to a 60-bit md5-prefix BIGINT (d1's
-    * fingerprint discipline) BEFORE any exchange, so the corpus-sized
-    * shuffle carries 8-byte keys, never gram text. The (sig, source) fold
-    * is partial+final; the global doc-frequency table re-aggregates that
-    * SAME exchange (d12's ReuseExchange shape); their equi-join runs on
-    * already-aggregated |distinct grams| rows, and the final fold is
-    * |sources| rows. No window, no crossJoin, nothing corpus-sized past
-    * the first fold. The oracle groups by the raw 15-hex prefix — conv to
-    * BIGINT is injective on fixed-width hex, so the grouping is
-    * identical. */
+    * Scale shape: each gram is folded to a FULL 64-bit md5-prefix BIGINT
+    * (d1's full-width fingerprint discipline — ADVICE r12: the earlier
+    * 60-bit prefix had a ~2% birthday chance of ≥1 collision at sf30's
+    * ~225M distinct grams, and a collision silently marks a unique gram
+    * duplicated in a way the gate folds away; 64 bits puts that at
+    * ~0.14%, and the bound quarters for every 2 bits, matching d1)
+    * BEFORE any exchange, so the corpus-sized shuffle carries 8-byte
+    * keys, never gram text. `conv(hex16, 16, -10)` interprets the 16 hex
+    * digits as a SIGNED 64-bit value — exact and injective on the full
+    * width, where the unsigned form would overflow the BIGINT cast. The
+    * (sig, source) fold is partial+final; the global doc-frequency table
+    * re-aggregates that SAME exchange (d12's ReuseExchange shape); their
+    * equi-join runs on already-aggregated |distinct grams| rows, and the
+    * final fold is |sources| rows. No window, no crossJoin, nothing
+    * corpus-sized past the first fold. The oracle groups by the raw
+    * 16-hex prefix string — an injective image of the Spark-side signed
+    * BIGINT, and `sig` never reaches the output, so the groupings
+    * coincide. */
   def dupNgramFraction(s: SparkSession, d: String): DataFrame =
     Views.sql(s, documents(s, d), "graft_docs_t26_v",
       """WITH w AS (SELECT doc_id, source, split(lower(text), ' ') AS ws
@@ -1509,7 +1517,7 @@ object TextAnalytics {
         |g AS (SELECT doc_id, source,
         |    explode(transform(sequence(1, size(ws) - 7),
         |      i -> CAST(conv(substring(md5(concat_ws(' ',
-        |        slice(ws, i, 8))), 1, 15), 16, 10) AS BIGINT))) AS sig
+        |        slice(ws, i, 8))), 1, 16), 16, -10) AS BIGINT))) AS sig
         |  FROM w WHERE size(ws) >= 8),
         |a AS (SELECT sig, source, count(1) AS inst,
         |    count(DISTINCT doc_id) AS nd
@@ -1522,8 +1530,9 @@ object TextAnalytics {
         |FROM a JOIN t ON t.sig = a.sig
         |GROUP BY a.source ORDER BY a.source""".stripMargin)
 
-  /** t26 oracle — identical fold over the 15-hex md5 prefix (injective
-    * image of the Spark-side BIGINT key, so groups coincide). */
+  /** t26 oracle — identical fold over the full 16-hex md5 prefix
+    * (injective image of the Spark-side signed BIGINT key, so groups
+    * coincide; the key itself never reaches the output). */
   val dupNgramFractionOracle: String =
     """WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ws
       |    FROM documents),
@@ -1531,7 +1540,7 @@ object TextAnalytics {
       |    unnest(generate_series(1, len(ws) - 7)) AS i
       |  FROM w WHERE len(ws) >= 8),
       |g AS (SELECT doc_id, source,
-      |    substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15) AS sig
+      |    substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 16) AS sig
       |  FROM ix),
       |a AS (SELECT sig, source, count(*) AS inst,
       |    count(DISTINCT doc_id) AS nd

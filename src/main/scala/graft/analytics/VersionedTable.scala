@@ -36,6 +36,22 @@ object VersionedTable {
   /** 'u' = upsert, 'd' = delete; required on every delta batch. */
   val OpCol: String = KeyedMerge.OpCol
 
+  /** Chaos seam (VERDICT r12 #4): CompactionCrashSpec's spawned JVM
+    * halts at a NAMED point inside the real commit/compaction protocol
+    * — `commit:pre-publish` (delta parquet durable in the hidden temp
+    * dir, publish rename pending), `compact:snapshot-durable` (phase-1
+    * snapshot + marker landed, no delta retired yet),
+    * `compact:retired:<v>` (mid-phase-2, after retiring delta v),
+    * `compact:pre-publish` (log retired, publish rename pending) — so
+    * the crash-window claims in [[commitDelta]]/[[compactUpTo]]'s
+    * scaladoc are proved against the REAL code, not a replica. Null in
+    * production: one volatile read per point. */
+  @volatile private[graft] var crashHook: String => Unit = null
+  private def hook(point: String): Unit = {
+    val h = crashHook
+    if (h != null) h(point)
+  }
+
   /** Commit `batch` as version `k`. Immutable: fails if `k` exists. */
   def appendDelta(dir: String, batch: DataFrame, k: Long): Unit = {
     require(!batch.columns.contains("delta"), "'delta' is reserved")
@@ -72,6 +88,7 @@ object VersionedTable {
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.tmp_delta_$k")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     batch.write.mode("errorifexists").parquet(tmp.toString)
+    hook("commit:pre-publish")
     if (!fs.rename(tmp, target)) {
       // lost a publish race: a concurrent committer must have won
       fs.delete(tmp, true)
@@ -139,14 +156,16 @@ object VersionedTable {
       winners(s, dir, keyCols, seqCols, k)
         .write.mode("errorifexists").parquet(tmp.toString)
     }
+    hook("compact:snapshot-durable")
     // phase 2 — retire the compacted range (includes the old delta=k);
     // crash-safe: every row is already in the durable snapshot, and a
     // re-run skips phase 1 on the marker and finishes the deletes.
     val st = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
     st.map(_.getPath).filter(_.getName.startsWith("delta=")).foreach { p =>
       val v = p.getName.stripPrefix("delta=").toLong
-      if (v <= k) { fs.delete(p, true); () }
+      if (v <= k) { fs.delete(p, true); hook(s"compact:retired:$v"); () }
     }
+    hook("compact:pre-publish")
     // phase 3 — publish: one atomic rename. After a completed prior run
     // the target already exists and the tmp is gone, so both branches
     // are no-op-safe.

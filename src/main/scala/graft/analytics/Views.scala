@@ -21,6 +21,18 @@ import org.apache.spark.sql.DataFrame
 object Views {
   private val ctr = new AtomicLong()
 
+  /** Test-only eviction guard (VERDICT r12 #5): when enabled, every
+    * name-drop verifies it did NOT change the registered DataFrame's
+    * cache level — the invariant the r12 `dropTempView` incident broke
+    * (the public catalog drop uncaches the view's plan, and a view
+    * created from a DataFrame shares that DataFrame's plan, so a
+    * persisted input silently lost its cache and every consumer
+    * re-executed the corpus-sized subtree). The guard is volatile-off
+    * in production (zero lookups); CacheEvictionGateSpec enables it and
+    * sweeps the ENTIRE registered surface, so ANY future operator that
+    * persists + wraps in a view is gated, not just the two r12 victims. */
+  @volatile private[graft] var cacheGuard: Boolean = false
+
   /** Register each df under `prefix_<n>` for the duration of `body`. */
   def withViews[A](dfs: Seq[(DataFrame, String)])(body: Seq[String] => A): A = {
     val names = dfs.map { case (df, prefix) =>
@@ -39,7 +51,18 @@ object Views {
       // check, round 12 — q59's 1-row total re-ran a 60M-row distinct
       // inside the 300 s broadcast thread). Cache lifetime belongs to
       // the df's owner (persist/unpersist pairs), not to view naming.
-      df.sparkSession.sessionState.catalog.dropTempView(n); ()
+      val before = if (cacheGuard) df.storageLevel else null
+      df.sparkSession.sessionState.catalog.dropTempView(n)
+      if (cacheGuard) {
+        val after = df.storageLevel
+        if (before != after)
+          throw new AssertionError(
+            s"Views name-drop of '$n' changed the registered df's cache " +
+              s"level $before -> $after — the r12 dropTempView eviction " +
+              "regressed (cache lifetime belongs to persist/unpersist " +
+              "pairs, never to view naming)")
+      }
+      ()
     }
   }
 

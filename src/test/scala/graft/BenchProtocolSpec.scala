@@ -52,6 +52,46 @@ class BenchProtocolSpec extends AnyFunSuite with Matchers {
     over shouldBe 1
   }
 
+  test("settledTotal: per-entry min(inrun, isolated); failures excluded") {
+    val results = Seq(
+      "a" -> (10.0, 12.0), // isolated exonerates: settles to 2.0
+      "b" -> (3.0, 3.5), // not isolated: settles to its in-run min
+      "c" -> (-1.0, -1.0), // failed everywhere: excluded, never a timing
+      "d" -> (-1.0, -1.0), // failed in-run, isolated succeeded: 4.0
+      "e" -> (1.0, 1.0)) // isolated SLOWER than in-run: keep 1.0
+    val iso = Map("a" -> 2.0, "d" -> 4.0, "e" -> 5.0)
+    Bench.settledTotal(results, iso) shouldBe 10.0 +- 1e-9
+    // no isolation pass at all -> settled == in-run total over good rows
+    Bench.settledTotal(results, Map.empty) shouldBe 14.0 +- 1e-9
+  }
+
+  test("tmpfsFits: conservative 24x-plus-headroom guard") {
+    // sf0.1-shaped: 17 MiB input, 126 GiB free -> stage
+    Bench.tmpfsFits(17L << 20, 126L << 30) shouldBe true
+    // sf30-shaped: ~5.2 GiB input needs >126 GiB headroom -> refuse
+    Bench.tmpfsFits(5200L << 20, 126L << 30) shouldBe false
+    // zero-byte dir (missing sf path) never stages a pointless tree
+    Bench.tmpfsFits(0L, 1L << 30) shouldBe false
+  }
+
+  test("copyTree replicates a nested directory byte-for-byte") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ct-src")
+    val sub = java.nio.file.Files.createDirectories(src.resolve("a/b"))
+    java.nio.file.Files.write(sub.resolve("f.bin"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(src.resolve("top.txt"), "hi".getBytes("UTF-8"))
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft-ct-dst")
+    val dst = dstRoot.resolve("copy")
+    Bench.copyTree(src.toFile, dst.toFile)
+    java.nio.file.Files.readAllBytes(dst.resolve("a/b/f.bin")).toSeq shouldBe
+      Seq[Byte](1, 2, 3)
+    new String(java.nio.file.Files.readAllBytes(dst.resolve("top.txt")),
+      "UTF-8") shouldBe "hi"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    rm(src.toFile); rm(dstRoot.toFile)
+  }
+
   test("the committed bench.json (prior round) parses to a full query map") {
     // the live baseline the next round's Bench will flag against: if a
     // format change ever breaks the parser, this fails HERE, not as a
