@@ -47,6 +47,26 @@ object Bench {
     val over = good.count { case (mn, mx) => mn > 0 && mx / mn > 1.5 }
     (totalMin, totalMax, over)
   }
+  /** Adaptive per-query sampling (VERDICT r12 #1, second round): at a
+    * fixed min-of-2, sub-300 ms queries wear one GC pause or scheduler
+    * burst as a 1.5-5× "regression" and two boots' settled totals
+    * diverged 1.17× with zero code differences. Rule: always take
+    * `minRuns` samples; then keep sampling (to `maxRuns`) WHILE the
+    * latest sample still improves the running best by >3% — noisy cheap
+    * entries converge to their floor in 3-6 cheap samples, expensive
+    * stable entries stop at `minRuns` exactly as before. A failed last
+    * sample never extends; the first success after failures takes one
+    * confirming sample. */
+  def shouldContinue(times: Seq[Double], minRuns: Int, maxRuns: Int): Boolean = {
+    val n = times.size
+    if (n < minRuns) return true
+    if (n >= maxRuns) return false
+    val last = times.last
+    if (last < 0) return false
+    val prevGood = times.init.filter(_ >= 0)
+    prevGood.isEmpty || last < prevGood.min * 0.97
+  }
+
   /** Settled total (VERDICT r12 #1): the headline the in-run sweep CANNOT
     * inflate. Per entry, the settled time is the minimum of its in-run
     * min and (when the isolation pass re-ran it) its quiesced isolated
@@ -209,17 +229,20 @@ object Bench {
     // and reported as the MIN (this rig shows 2-4x single-run variance —
     // VERDICT r3 item 6); the max lands in "queries_max" for honesty.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val maxRuns = math.max(runs,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "6").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (shouldContinue(times.toSeq, runs, maxRuns)) {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        times += (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
       val good = times.filter(_ >= 0)
       // between-query scratch sweep: a 148-query rehearsal otherwise

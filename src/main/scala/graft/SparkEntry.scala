@@ -104,7 +104,7 @@ object SparkEntry {
   // full rebuild against brute truth — the when-to-retrain audit),
   // q60_percentile_native (SQL:2003 percentile_cont/percentile_disc
   // WITHIN GROUP under the gate, first-principles oracle).
-  val expectedQueryCount: Int = 198
+  val expectedQueryCount: Int = 201
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

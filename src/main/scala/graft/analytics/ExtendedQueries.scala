@@ -1504,12 +1504,9 @@ object ExtendedQueries {
     * sf10 slope check). Item counts re-join the pair table on single
     * part keys (AQE-broadcast: |parts| rows), and the top-20 is a
     * TakeOrdered, never a global sort. */
-  def q59AssocRules(s: SparkSession, d: String): DataFrame = {
-    val dir = GraphOps.coPurchaseStageDir(s, d)
-    val nOrders = GraphOps.coPurchaseOrderTotal(s, d)
-    q59RuleChain(s, s.read.parquet(s"$dir/pairs"),
-      s.read.parquet(s"$dir/items"), nOrders)
-  }
+  def q59AssocRules(s: SparkSession, d: String): DataFrame =
+    q59RuleChain(s, GraphOps.coPurchasePairs2(s, d),
+      GraphOps.coPurchaseItems(s, d), GraphOps.coPurchaseOrderTotal(s, d))
 
   /** The bounded rule chain over an (already aggregated) pair table —
     * shared between the staged registered query and the unstaged

@@ -258,34 +258,55 @@ object GraphOps {
     * entries (190 + 214 s), the SAME 270 M-generated-pair disk-bound
     * fold twice. This stages it once per (JVM, dataset) in [[StageCache]]
     * (the t22/e9 discipline: the registered queries read the staged
-    * parquet; the unstaged builders remain the plan-gate surface):
-    *   - `pairs`  — (pa, pb, w) aggregated canonical pair counts,
-    *   - `items`  — (pk, cnt) per-part basket frequencies,
+    * parquet; the unstaged builders remain the plan-gate surface).
+    *
+    * The staged artifacts are ONLY the small reductions both consumers
+    * actually need — the first r13 attempt wrote the FULL aggregated
+    * pair table and measured 933 s at sf30, 2.3× the combined cost it
+    * was meant to halve: parquet-encoding ~260 M high-entropy (pa, pb,
+    * w) rows is far more expensive than the fold itself, and NEITHER
+    * consumer needs those rows (q59 filters w ≥ 2, g3 takes the top-5k).
+    * Instead the aggregated pairs are PERSISTED once (columnar,
+    * memory-speed, no encode) and drained by two bounded consumers:
+    *   - `backbone` — g3's top-`maxEdges` pairs by (w desc, pa, pb),
+    *     over the FULL pair set (at tiny SFs w = 1 ties legitimately
+    *     enter the backbone, so it cannot derive from the w ≥ 2 slice);
+    *   - `pairs2`  — the w ≥ 2 pairs (q59's own support floor, the
+    *     filter Catalyst pushed onto the fold in the unstaged plan);
+    *   - `items`   — (pk, cnt) per-part basket frequencies;
     *   - `norders` — the 1-row order total (q59's driver literal, so no
     *     corpus work ever rides a broadcast build thread — the r12 fix).
-    * All three are small OUTPUTS of the corpus-sized fold (aggregated
-    * pair/item tables, a scalar), never the corpus; parquet round-trips
-    * the longs bit-exactly so the oracles are unchanged. The basket
-    * table is persisted for the build's two consumers and released
-    * before the stage completes. */
-  private[analytics] def coPurchaseStageDir(s: SparkSession, d: String): String =
+    * Parquet round-trips the longs bit-exactly so the oracles are
+    * unchanged; the basket and pair caches release before the stage
+    * completes. */
+  private[analytics] def coPurchaseStageDir(s: SparkSession, d: String,
+      maxEdges: Int = 5000): String =
     StageCache.getOrBuildDir(s"copurchase:$d") { dir =>
       val baskets = coPurchaseBaskets(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = basketPairs(baskets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val n = baskets.count() // materializes the cache AND the total
-        basketPairs(baskets).write.parquet(s"$dir/pairs")
+        val n = baskets.count() // materializes the basket cache AND the total
+        pairs
+          .orderBy(col("w").desc, col("pa"), col("pb")).limit(maxEdges)
+          .write.parquet(s"$dir/backbone") // TakeOrdered materializes `pairs`
+        pairs.filter(col("w") >= 2).write.parquet(s"$dir/pairs2")
         baskets.select(explode(col("ps")).as("pk"))
           .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
           .write.parquet(s"$dir/items")
         import s.implicits._
         Seq(n).toDF("n_orders").write.parquet(s"$dir/norders")
-      } finally { baskets.unpersist(false); () }
+      } finally { pairs.unpersist(false); baskets.unpersist(false); () }
     }
 
-  /** The staged (pa, pb, w) pair table. */
-  private[analytics] def coPurchasePairs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"${coPurchaseStageDir(s, d)}/pairs")
+  /** The staged top-5000 co-purchase backbone (g3's edge set). */
+  private[analytics] def coPurchaseBackbone(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${coPurchaseStageDir(s, d)}/backbone")
+
+  /** The staged w ≥ 2 (pa, pb, w) pair table (q59's support floor). */
+  private[analytics] def coPurchasePairs2(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${coPurchaseStageDir(s, d)}/pairs2")
 
   /** The staged (pk, cnt) item-frequency table. */
   private[analytics] def coPurchaseItems(s: SparkSession, d: String): DataFrame =
@@ -297,7 +318,9 @@ object GraphOps {
 
   def triangleCount(s: SparkSession, d: String, maxEdges: Int = 5000): DataFrame = {
     import org.apache.spark.sql.functions._
-    val backbone = coPurchasePairs(s, d)
+    require(maxEdges <= 5000,
+      "the shared stage materializes the top-5000 backbone; a wider census needs its own fold")
+    val backbone = coPurchaseBackbone(s, d)
       .orderBy(col("w").desc, col("pa"), col("pb")).limit(maxEdges)
       .localCheckpoint(true)
     Views.sql(s, backbone, "graft_g3_bb_v",

@@ -2174,7 +2174,125 @@ object Similarity {
       |LEFT JOIN bqref r ON r.probe_id = b.probe_id AND r.neighbor_id = b.neighbor_id
       |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
 
+  /** e22 — EXACT RANGE (radius) SEARCH with provable IVF cell pruning:
+    * "every vector within cosine ≥ τ of the probe" — the retrieval
+    * primitive top-k cannot express (dedup sweeps, policy screens, and
+    * recall-complete retrieval want ALL matches above a similarity bar,
+    * not the best k). The suite's ANN family is top-k throughout; this
+    * closes the range primitive — and unlike the LSH/PQ entries it is
+    * EXACT by construction, with the oracle being the naive brute-force
+    * scan the pruning must equal row-for-row.
+    *
+    * The pruning law (unit-sphere triangle inequality, derived purely
+    * from cosines — normalized vectors are never materialized): on the
+    * unit sphere d(a,b) = √(2−2·cos(a,b)), so a member x of cell c with
+    * cos(x,c) ≥ cmin_c has d(x̂,ĉ) ≤ rad_c = √(2−2·cmin_c), and any hit
+    * cos(p,x) ≥ τ needs d(p̂,ĉ) ≤ √(2−2τ) + rad_c. Cells failing that
+    * (with 1e-9 admission slack, which only ever ADMITS more cells, so
+    * exactness is one-sided-safe) are never scanned. The final
+    * membership test is the e1-form raw cosine — the identical double
+    * chain as the oracle, the family's established bit-compatibility.
+    *
+    * Scale shape: assignment is the e4 broadcast-codebook pass (n ·
+    * nCells codegen'd cosines, one argmax — reusing the cscore it
+    * already computes for the radius fold, so the radii are FREE); the
+    * per-cell radius is a |cells|-row partial+final min; probe-side
+    * admission is |probes| × |cells| against a broadcast; only admitted
+    * cells' posting lists are scanned. Output is a per-probe integer
+    * CHECKSUM of the hit set (count / sum / xor / min / max — exact
+    * BIGINTs; sum stays under 2⁶³ through 10⁹-vector corpora), so the
+    * artifact stays 8 rows while pinning the exact membership of an
+    * arbitrarily large range. */
+  def rangeSearch(s: SparkSession, d: String, nCells: Int = 16): DataFrame = {
+    // τ calibrated to the synthetic corpus (near-random 64-dim vectors:
+    // max probe cosine ≈ 0.39-0.49 across SFs, so 0.8 would be vacuous);
+    // 0.3 yields 29/33/111 hits at sf0.001/0.01/0.1 and the nearest
+    // cosine sits 4.5e-4 from the boundary — 11 orders beyond any
+    // engine-rounding divergence, so the threshold compare is hash-safe
+    val tau = 0.3
+    val emb = withVec(embeddings(s, d), "embedding")
+      .select(col("vec_id"), col("v"))
+    val centroids = emb
+      .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    val assignScore = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cell_id"))
+    val assigned = emb.join(broadcast(centroids))
+      .withColumn("cscore", cosine("v", "cv"))
+      .withColumn("crk", row_number().over(assignScore))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("cell_id"), col("cscore"))
+    // every join below is a SELF-join on lineage shared through
+    // `centroids`/`assigned` — the key columns are explicitly re-aliased
+    // (fresh exprIds) on one side, because the analyzer's automatic
+    // self-join deduplication resolved them inconsistently across
+    // sessions here (one boot paired radii with the WRONG centroids —
+    // under-admission that silently dropped true hits, caught by the
+    // brute-force oracle)
+    val cells = assigned.groupBy(col("cell_id"))
+      .agg(min(col("cscore")).as("cmin"))
+      .select(col("cell_id").as("rad_cell_id"), col("cmin"))
+    val cellMeta = centroids
+      .join(cells, col("cell_id") === col("rad_cell_id"))
+      .select(col("cell_id"), col("cv"), col("cmin"))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    // the 2−2·cos arguments are CLAMPED at zero: a vector's cosine with
+    // itself computes to 1+ulp in doubles (centroids are corpus members,
+    // so self-pairs occur), and an unclamped sqrt(negative) is NaN in
+    // Spark — the comparison silently fails and the singleton cell is
+    // never admitted, dropping its true hits (caught by the brute oracle
+    // at sf0.01: 30 vs 33)
+    def d2(c: Column): Column =
+      sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * c))
+    val admissible = probes
+      .join(broadcast(cellMeta))
+      .withColumn("pc", cosine("pv", "cv"))
+      .filter(d2(col("pc")) <=
+        sqrt(lit(2.0) - lit(2.0) * lit(tau)) + d2(col("cmin")) + lit(1e-9))
+      .select(col("probe_id").as("a_probe_id"), col("pv"),
+        col("cell_id").as("a_cell_id"))
+    val hits = broadcast(admissible)
+      .join(assigned, col("a_cell_id") === col("cell_id"))
+      .filter(col("vec_id") =!= col("a_probe_id"))
+      .filter(cosine("pv", "v") >= tau)
+      .select(col("a_probe_id"), col("vec_id").as("nid"))
+    val sums = hits.groupBy(col("a_probe_id")).agg(
+      count(lit(1)).as("n_in_range"), sum(col("nid")).as("sum_ids"),
+      expr("bit_xor(nid)").as("xor_ids"), min(col("nid")).as("min_id"),
+      max(col("nid")).as("max_id"))
+    probes.select(col("probe_id"))
+      .join(sums, col("probe_id") === col("a_probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_in_range"), lit(0L)).as("n_in_range"),
+        coalesce(col("sum_ids"), lit(0L)).as("sum_ids"),
+        coalesce(col("xor_ids"), lit(0L)).as("xor_ids"),
+        coalesce(col("min_id"), lit(-1L)).as("min_id"),
+        coalesce(col("max_id"), lit(-1L)).as("max_id"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** e22 oracle — the NAIVE brute-force range scan (no cells, no
+    * pruning): the independent derivation the pruned plan must equal. */
+  val rangeSearchOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) vnorm FROM e),
+      |p AS (SELECT vec_id, v, vnorm FROM n WHERE vec_id < 8),
+      |hit AS (SELECT p.vec_id AS probe_id, b.vec_id AS nid
+      |  FROM p JOIN n b ON b.vec_id != p.vec_id
+      |  WHERE list_sum(list_transform(generate_series(1, 64), i -> p.v[i] * b.v[i]))
+      |        / (p.vnorm * b.vnorm) >= 0.3)
+      |SELECT pp.vec_id AS probe_id,
+      |  CAST(count(h.nid) AS BIGINT) AS n_in_range,
+      |  CAST(coalesce(sum(h.nid), 0) AS BIGINT) AS sum_ids,
+      |  CAST(coalesce(bit_xor(h.nid), 0) AS BIGINT) AS xor_ids,
+      |  CAST(coalesce(min(h.nid), -1) AS BIGINT) AS min_id,
+      |  CAST(coalesce(max(h.nid), -1) AS BIGINT) AS max_id
+      |FROM p pp LEFT JOIN hit h ON h.probe_id = pp.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e22_range_search" -> ((s: SparkSession, d: String) => rangeSearch(s, d)),
     "d8_semantic_decontaminate" -> ((s: SparkSession, d: String) => semanticDecontaminate(s, d)),
     "e6_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
     "c1_kmeans" -> ((s: SparkSession, d: String) => kmeansClusters(s, d)),
@@ -2216,6 +2334,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "e22_range_search" -> rangeSearchOracle,
     "d8_semantic_decontaminate" -> semanticDecontaminateOracle,
     "e6_pq_adc" -> pqAdcOracle,
     "c1_kmeans" -> kmeansOracle,

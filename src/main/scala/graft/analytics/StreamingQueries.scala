@@ -1434,7 +1434,157 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** s24 — STREAMING CHANGE-DATA-FEED EMISSION: f12's streaming twin
+    * and the Delta-CDF "emit the changes WHILE merging" capability — a
+    * long-running CDC ingest that, per incoming drop, appends the
+    * added/deleted/updated classification of every key whose VISIBLE
+    * state actually changed, before applying the drop to the keyed
+    * state table. Downstream consumers (cache invalidation, incremental
+    * retraining, audit) read the feed instead of diffing snapshots.
+    *
+    * Determinism contract: a change FEED — unlike s20/s22's converged
+    * state — is batching-DEPENDENT (two upserts of one key in one drop
+    * emit one transition; across two drops, two), so the stream ingests
+    * six DETERMINISTIC event-time drops (f9's cutoff rule, one file per
+    * drop moved atomically into the watched dir, one AvailableNow round
+    * each → batchId = drop index), exactly the granularity the oracle
+    * replays. That mirrors production reality: CDF granularity IS
+    * commit granularity.
+    *
+    * Classification against the RAW state (tombstones + sequence
+    * numbers retained): the drop's per-key winner must BEAT the stored
+    * winner under (tsu, event_id) LWW or nothing is emitted — a late
+    * drop carrying an older event for a deleted key must not emit a
+    * phantom `added` (the f8 resurrection rule, applied to the feed);
+    * a re-upsert with an identical visible (type, value) pair emits
+    * nothing. Induction gives feed-at-k ≡ diff(LWW≤k−1, LWW≤k), which
+    * is what the oracle derives per version via window lag.
+    *
+    * Scale shape: per drop, work = the drop itself (per-key argmax) +
+    * one state lookup join + the batch-sized feed append + s20's
+    * touched-bucket merge. The state is never rescanned corpus-wide;
+    * at 100 TB the lookup join rides the state table's bucketed layout
+    * (f11's discipline — the key-equi join prunes to touched buckets).
+    * The oracle's 6× corpus blowup (every version × every row) is
+    * oracle-only. */
+  def s24StreamChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tempDir("graft_s24_")
+    val drops = s"$base/drops"; val state = s"$base/state"
+    val feed = s"$base/feed"; val ckpt = s"$base/ckpt"
+    new java.io.File(drops).mkdirs()
+    val op = KeyedMerge.OpCol
+    val ch0 = Tables.events(spark, sfDir).select(col("user_id"),
+      expr("ts div 1000").as("tsu"), col("event_id"),
+      when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+        .as(op),
+      col("event_type").as("last_type"), col("value").as("last_value"))
+    val mm = ch0.agg(min(col("tsu")), max(col("tsu"))).head()
+    val lo = mm.getLong(0); val hi = mm.getLong(1) + 1
+    val span = math.max(1L, (hi - lo + 5) / 6)
+    val schema = ch0.schema
+    (0 until 6).foreach { k =>
+      val stage = s"$base/stage$k"
+      ch0.filter(col("tsu") >= lo + k * span &&
+          col("tsu") < (if (k == 5) hi else lo + (k + 1) * span))
+        .coalesce(1).write.parquet(stage)
+      // one atomic rename per drop: the file stream must never list a
+      // half-written file, and ONE file per drop pins one micro-batch
+      // per round (the determinism contract above)
+      val part = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(drops, f"drop-$k%02d.parquet"))
+      val q = spark.readStream.schema(schema).parquet(drops)
+        .writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val s = b.sparkSession // the cloned micro-batch session
+          val bw = b.groupBy(col("user_id"))
+            .agg(max(struct(col("tsu"), col("event_id"), col(op),
+              col("last_type"), col("last_value"))).as("w"))
+            .select(col("user_id"), col("w.tsu").as("btsu"),
+              col("w.event_id").as("beid"), col(s"w.$op").as("bop"),
+              col("w.last_type").as("btype"), col("w.last_value").as("bval"))
+          val stPath = new org.apache.hadoop.fs.Path(state)
+          val fs = stPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val old =
+            if (fs.exists(stPath))
+              s.read.parquet(state).select(col("user_id"),
+                col("tsu").as("otsu"), col("event_id").as("oeid"),
+                col(op).as("oop"), col("last_type").as("otype"),
+                col("last_value").as("oval"))
+            else bw.select(col("user_id"), col("btsu").as("otsu"),
+              col("beid").as("oeid"), col("bop").as("oop"),
+              col("btype").as("otype"), col("bval").as("oval")).limit(0)
+          val j = bw.join(old, Seq("user_id"), "left")
+          val newWins = col("oop").isNull || col("btsu") > col("otsu") ||
+            (col("btsu") === col("otsu") && col("beid") > col("oeid"))
+          val oldVis = coalesce(col("oop") === "u", lit(false))
+          val newVis = col("bop") === "u"
+          val visDiff = col("otype") =!= col("btype") ||
+            col("oval") =!= col("bval")
+          j.select(lit(batchId).as("version"),
+              when(newWins && !oldVis && newVis, lit("added"))
+                .when(newWins && oldVis && !newVis, lit("deleted"))
+                .when(newWins && oldVis && newVis && visDiff, lit("updated"))
+                .as("change"),
+              col("user_id"),
+              when(oldVis, col("otype")).otherwise(lit("")).as("old_type"),
+              when(oldVis, col("oval")).otherwise(lit(0.0)).as("old_value"),
+              when(newVis, col("btype")).otherwise(lit("")).as("new_type"),
+              when(newVis, col("bval")).otherwise(lit(0.0)).as("new_value"))
+            .filter(col("change").isNotNull)
+            .write.mode("append").parquet(feed)
+          KeyedMerge.applyChanges(spark, state, b, Seq("user_id"),
+            Seq("tsu", "event_id"), numBuckets = 64)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(feed)
+      .orderBy(col("version"), col("user_id"))
+  }
+
+  val s24Oracle: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+      |    event_type AS last_type, value AS last_value FROM events),
+      |prm AS (SELECT min(tsu) AS lo, max(tsu) + 1 AS hi,
+      |    greatest(1, (max(tsu) + 1 - min(tsu) + 5) // 6) AS span FROM c),
+      |v AS (SELECT unnest(generate_series(0, 5)) AS version),
+      |cut AS (SELECT v.version,
+      |    CASE WHEN v.version >= 5 THEN p.hi
+      |         ELSE p.lo + (v.version + 1) * p.span END AS cutoff
+      |  FROM v, prm p),
+      |s AS (SELECT cut.version, c.user_id, c.op, c.last_type, c.last_value,
+      |    row_number() OVER (PARTITION BY cut.version, c.user_id
+      |      ORDER BY c.tsu DESC, c.event_id DESC) AS rn
+      |  FROM c JOIN cut ON c.tsu < cut.cutoff),
+      |w AS (SELECT version, user_id, (op = 'u') AS pres, last_type,
+      |    last_value FROM s WHERE rn = 1),
+      |f AS (SELECT version, user_id, pres, last_type, last_value,
+      |    lag(pres) OVER (PARTITION BY user_id ORDER BY version) AS ppres,
+      |    lag(last_type) OVER (PARTITION BY user_id ORDER BY version) AS ptype,
+      |    lag(last_value) OVER (PARTITION BY user_id ORDER BY version) AS pval
+      |  FROM w),
+      |d AS (SELECT version, user_id,
+      |    CASE WHEN NOT coalesce(ppres, FALSE) AND pres THEN 'added'
+      |         WHEN coalesce(ppres, FALSE) AND NOT pres THEN 'deleted'
+      |         WHEN coalesce(ppres, FALSE) AND pres
+      |              AND (ptype <> last_type OR pval <> last_value)
+      |           THEN 'updated' END AS change,
+      |    CASE WHEN coalesce(ppres, FALSE) THEN ptype ELSE '' END AS old_type,
+      |    CASE WHEN coalesce(ppres, FALSE) THEN pval ELSE 0.0 END AS old_value,
+      |    CASE WHEN pres THEN last_type ELSE '' END AS new_type,
+      |    CASE WHEN pres THEN last_value ELSE 0.0 END AS new_value
+      |  FROM f)
+      |SELECT CAST(version AS BIGINT) AS version, change, user_id,
+      |  old_type, old_value, new_type, new_value
+      |FROM d WHERE change IS NOT NULL ORDER BY version, user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_stream_change_feed" -> (s24StreamChangeFeed _),
     "s23_stream_compacted_ingest" -> (s23StreamCompactedIngest _),
     "s22_stream_versioned_ingest" -> (s22StreamVersionedIngest _),
     "s20_stream_keyed_merge" -> (s20StreamKeyedMerge _),
@@ -1461,6 +1611,7 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s24_stream_change_feed" -> s24Oracle,
     // s20 shares f8's oracle VERBATIM: the streamed incremental apply
     // must converge to the one-window batch replay regardless of
     // micro-batch boundaries and arrival order

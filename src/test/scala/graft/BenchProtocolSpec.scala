@@ -52,6 +52,25 @@ class BenchProtocolSpec extends AnyFunSuite with Matchers {
     over shouldBe 1
   }
 
+  test("shouldContinue: adaptive sampling converges and is bounded") {
+    // always reach minRuns
+    Bench.shouldContinue(Seq(1.0), 2, 6) shouldBe true
+    // stable pair -> stop at minRuns (the pre-r13 cost for heavy entries)
+    Bench.shouldContinue(Seq(1.0, 0.99), 2, 6) shouldBe false
+    // still descending >3% -> keep sampling
+    Bench.shouldContinue(Seq(1.0, 0.5), 2, 6) shouldBe true
+    Bench.shouldContinue(Seq(1.0, 0.5, 0.4), 2, 6) shouldBe true
+    Bench.shouldContinue(Seq(1.0, 0.5, 0.4, 0.395), 2, 6) shouldBe false
+    // hard cap regardless of descent
+    Bench.shouldContinue(Seq(5.0, 4.0, 3.0, 2.0, 1.0, 0.5), 2, 6) shouldBe
+      false
+    // a failed last sample never extends the loop
+    Bench.shouldContinue(Seq(1.0, -1.0), 2, 6) shouldBe false
+    // first success after failures takes one confirming sample
+    Bench.shouldContinue(Seq(-1.0, 0.8), 2, 6) shouldBe true
+    Bench.shouldContinue(Seq(-1.0, 0.8, 0.81), 2, 6) shouldBe false
+  }
+
   test("settledTotal: per-entry min(inrun, isolated); failures excluded") {
     val results = Seq(
       "a" -> (10.0, 12.0), // isolated exonerates: settles to 2.0

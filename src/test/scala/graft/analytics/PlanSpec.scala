@@ -86,7 +86,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       // them broadcast. (q59 left this set when its order total became a
       // driver literal off the cached basket count — no BNLJ remains.)
       "e20_incremental_ann", "p23_repetition_alloc",
-      "g3_triangle_count")
+      "g3_triangle_count",
+      // r13: e22 composes e4's sanctioned broadcast-codebook pattern
+      // twice (corpus×centroids assignment, probes×cellMeta admission) —
+      // both against ≤16-row broadcast tables, bounded by construction
+      "e22_range_search")
     // queries that eagerly checkpoint their (small) result so their
     // corpus-sized caches release promptly (r9): the registered plan is an
     // RDD scan — gate the LAZY builder instead, releasing its cache after

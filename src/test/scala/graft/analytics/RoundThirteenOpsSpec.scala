@@ -67,6 +67,74 @@ class RoundThirteenOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("s24 change feed equals an in-memory running-state replay") {
+    // replay: per event-time drop k, per-user drop winner classified
+    // against the running LWW state BEFORE the drop applies
+    var state = Map.empty[Long, (Long, Long, String, String, Double)]
+    val expect = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, String, Double, String, Double)]
+    (0L to 5L).foreach { k =>
+      val drop = rows.filter(_._2 == k)
+      val bw = drop.groupBy(_._1).map { case (u, xs) =>
+        val w = xs.maxBy { case (_, _, tsu, eid, _, _, _) => (tsu, eid) }
+        u -> (w._3, w._4, w._5, w._6, w._7) // (tsu, eid, op, type, value)
+      }
+      bw.toSeq.sortBy(_._1).foreach { case (u, (tsu, eid, op, et, v)) =>
+        val old = state.get(u)
+        val newWins = old.forall(o =>
+          Ordering[(Long, Long)].gt((tsu, eid), (o._1, o._2)))
+        val oldVis = old.exists(_._3 == "u")
+        val newVis = op == "u"
+        val (ot, ov) = if (oldVis) (old.get._4, old.get._5) else ("", 0.0)
+        val (nt, nv) = if (newVis) (et, v) else ("", 0.0)
+        val change =
+          if (newWins && !oldVis && newVis) Some("added")
+          else if (newWins && oldVis && !newVis) Some("deleted")
+          else if (newWins && oldVis && newVis && (ot != nt || ov != nv))
+            Some("updated")
+          else None
+        change.foreach(c => expect += ((k, c, u, ot, ov, nt, nv)))
+        if (newWins) state = state.updated(u, (tsu, eid, op, et, v))
+      }
+    }
+    val got = StreamingQueries.s24StreamChangeFeed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getString(5), r.getDouble(6)))
+    got.toSeq shouldBe expect.toSeq
+      .sortBy { case (ver, _, u, _, _, _, _) => (ver, u) }
+    // non-degenerate: the feed must exercise all three transition kinds
+    got.map(_._2).distinct.sorted shouldBe Seq("added", "deleted", "updated")
+  }
+
+  test("e22 equals a hand brute-force range scan (pruning is exact)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = emb.keys.filter(_ < 8).toSeq.sorted.map { p =>
+      val hits = emb.keys.filter(n => n != p && cos(emb(p), emb(n)) >= 0.3)
+        .toSeq.sorted
+      (p, hits.size.toLong, hits.sum,
+        hits.foldLeft(0L)(_ ^ _),
+        if (hits.isEmpty) -1L else hits.min,
+        if (hits.isEmpty) -1L else hits.max)
+    }
+    val got = Similarity.rangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    got.toSeq shouldBe expect
+    // the range statistic is non-degenerate on this corpus: at least one
+    // probe has hits, else the spec proves nothing about the pruning
+    expect.map(_._2).sum should be > 0L
+  }
+
   test("g3/q59 share ONE staged co-purchase fold per (JVM, dataset)") {
     StageCache.invalidate()
     // first toucher builds the stage; the sibling must NOT rebuild —
