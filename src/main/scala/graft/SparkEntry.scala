@@ -103,8 +103,16 @@ object SparkEntry {
   // e21_codebook_drift (recall decay of e20's frozen codebook vs e4's
   // full rebuild against brute truth — the when-to-retrain audit),
   // q60_percentile_native (SQL:2003 percentile_cont/percentile_disc
-  // WITHIN GROUP under the gate, first-principles oracle).
-  val expectedQueryCount: Int = 201
+  // WITHIN GROUP under the gate, first-principles oracle). Then
+  // 198 → 202 (r13): f12_snapshot_diff (change data feed between two
+  // table versions — one scan, zero joins via conditional double
+  // struct-argmax), s24_stream_change_feed (its streaming twin: CDF
+  // rows emitted against the raw keyed state while merging),
+  // e22_range_search (exact radius search with triangle-inequality IVF
+  // cell pruning, brute-force-oracle-gated), d15_lsh_calibration
+  // (empirical MinHash banding S-curve per Jaccard decile over a fixed
+  // calibration window).
+  val expectedQueryCount: Int = 202
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

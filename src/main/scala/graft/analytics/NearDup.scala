@@ -627,7 +627,109 @@ object NearDup {
       |LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** d15 — LSH S-CURVE CALIBRATION AUDIT: the measurement that tells an
+    * operator whether the MinHash banding parameters actually deliver
+    * the collision curve the math promises — the "when to trust your
+    * LSH" number, completing the audit-gate pattern the ANN family got
+    * in e5/e12/e16/e19/e21. Over a FIXED calibration window (doc_id <
+    * 256 — constant in corpus size: a calibration probe, not a corpus
+    * sweep), each pair's EXACT 3-gram Jaccard lands in a decile bucket
+    * and the empirical band-collision rate of a simulated 16-perm ×
+    * (4 bands × 4 rows) MinHash is reported per bucket in exact ppm.
+    * Theory says P(collide | J=s) = 1 − (1 − s⁴)⁴; the spec pins the
+    * curve shape (monotone, starved at the bottom, saturated at the
+    * top), the oracle pins every count bit-for-bit.
+    *
+    * Pair construction: raw doc×doc pairs on this corpus are BIMODAL
+    * (measured: 32,636 pairs at J < 0.1, four at J ≥ 0.9, nothing
+    * between — calibrating nothing), so each doc is instead paired with
+    * its own p-tenths PREFIX for p = 1..9: prefix shingle sets are
+    * NESTED in the full set, so exact Jaccard tracks the truncation
+    * fraction and the whole curve populates with ~|window| pairs per
+    * decile — graded ground-truth similarity derived from the corpus
+    * itself, no synthetic text.
+    *
+    * The simulated perms are ENGINE-NEUTRAL by construction (min over
+    * md5(k || '|' || shingle) 15-hex prefixes — the n5-portable
+    * discipline), precisely so DuckDB can replay the signatures
+    * verbatim; the production n1 path keeps its faster xxhash64 perms,
+    * whose CURVE this audit calibrates (same shingles, same band
+    * geometry as a 16-perm slice).
+    *
+    * Scale shape: the window is O(1) rows (256 docs × 9 truncations),
+    * signatures are per-row HOF folds — nothing corpus-sized anywhere. */
+  def lshCalibration(s: SparkSession, d: String): DataFrame = {
+    def shingle(arr: String): String =
+      s"array_distinct(transform(sequence(1, size($arr) - 2), " +
+        s"i -> concat_ws(' ', slice($arr, i, 3))))"
+    def sig(sh: String): String =
+      s"transform(sequence(0, 15), k -> array_min(transform($sh, " +
+        "x -> CAST(conv(substring(md5(CAST(concat(CAST(k AS STRING), '|', x) " +
+        "AS BINARY)), 1, 15), 16, 10) AS BIGINT))))"
+    Views.sql(s, documents(s, d), "graft_docs_d15_v",
+      s"""WITH w AS (SELECT doc_id,
+        |    split(regexp_replace(lower(text), '\\\\s+', ' '), ' ') AS ws
+        |  FROM graft_docs_d15_v WHERE doc_id < 256),
+        |t AS (SELECT doc_id, p,
+        |    ${shingle("slice(ws, 1, greatest(3, CAST(floor((size(ws) * p) / 10.0) AS INT)))")} AS sha,
+        |    ${shingle("ws")} AS shb
+        |  FROM w LATERAL VIEW explode(sequence(1, 9)) ex AS p
+        |  WHERE size(ws) >= 3),
+        |g AS (SELECT doc_id, p, sha, shb,
+        |    ${sig("sha")} AS siga,
+        |    ${sig("shb")} AS sigb
+        |  FROM t WHERE size(sha) > 0 AND size(shb) > 0),
+        |pr AS (SELECT
+        |    CAST(least(9, floor((CAST(size(array_intersect(sha, shb)) AS DOUBLE)
+        |      / size(array_distinct(concat(sha, shb)))) * 10)) AS BIGINT)
+        |      AS bucket,
+        |    CASE WHEN exists(sequence(0, 3), bb ->
+        |        slice(siga, bb * 4 + 1, 4) = slice(sigb, bb * 4 + 1, 4))
+        |      THEN 1 ELSE 0 END AS coll
+        |  FROM g)
+        |SELECT bucket, count(1) AS n_pairs,
+        |  CAST(sum(coll) AS BIGINT) AS n_collide,
+        |  (CAST(sum(coll) AS BIGINT) * 1000000) div count(1) AS collide_ppm
+        |FROM pr GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  /** d15 oracle — the identical truncation-pair + simulated-perm chain
+    * in DuckDB (md5 is the shared portable hash; list slicing is
+    * 1-based inclusive on both sides for the band compare). */
+  val lshCalibrationOracle: String = {
+    def shingle(arr: String): String =
+      s"list_distinct(list_transform(generate_series(1, len($arr) - 2), " +
+        s"i -> $arr[i] || ' ' || $arr[i+1] || ' ' || $arr[i+2]))"
+    def sig(sh: String): String =
+      s"list_transform(generate_series(0, 15), k -> list_min(list_transform($sh, " +
+        "x -> CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || x), 1, 15)) AS BIGINT))))"
+    s"""WITH w AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents WHERE doc_id < 256),
+      |t AS (SELECT doc_id, p,
+      |    ${shingle("(ws[1:greatest(3, CAST(floor((len(ws) * p) / 10.0) AS BIGINT))])")} AS sha,
+      |    ${shingle("ws")} AS shb
+      |  FROM w, (SELECT unnest(generate_series(1, 9)) AS p) px
+      |  WHERE len(ws) >= 3),
+      |g AS (SELECT doc_id, p, sha, shb,
+      |    ${sig("sha")} AS siga,
+      |    ${sig("shb")} AS sigb
+      |  FROM t WHERE len(sha) > 0 AND len(shb) > 0),
+      |pr AS (SELECT
+      |    CAST(least(9, floor((CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+      |      / len(list_distinct(sha || shb))) * 10)) AS BIGINT) AS bucket,
+      |    CASE WHEN len(list_filter(generate_series(0, 3), bb ->
+      |        siga[bb*4+1:bb*4+4] = sigb[bb*4+1:bb*4+4])) > 0
+      |      THEN 1 ELSE 0 END AS coll
+      |  FROM g)
+      |SELECT bucket, count(*) AS n_pairs,
+      |  CAST(sum(coll) AS BIGINT) AS n_collide,
+      |  CAST((sum(coll) * 1000000) // count(*) AS BIGINT) AS collide_ppm
+      |FROM pr GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_lsh_calibration" -> (lshCalibration _),
     "d13_softdedup_weights" -> (softDedupWeights _),
     "n5_simhash_portable" -> (simhashPortable _),
     "n7_cluster_rep" -> (clusterRepresentative _),
@@ -641,6 +743,7 @@ object NearDup {
 
   /** n3 omitted: simhash values are engine-specific (rows-only check). */
   val oracles: Map[String, String] = Map(
+    "d15_lsh_calibration" -> lshCalibrationOracle,
     "n5_simhash_portable" -> simhashPortableOracle,
     "n1_minhash_neardup" -> minhashOracle,
     "n2_ngram_jaccard_top1" -> ngramJaccardOracle,

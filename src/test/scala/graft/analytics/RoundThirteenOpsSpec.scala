@@ -135,6 +135,55 @@ class RoundThirteenOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     expect.map(_._2).sum should be > 0L
   }
 
+  test("d15 equals an in-memory md5-minhash replay; the S-curve has shape") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("doc_id < 256").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(ws: Seq[String]): Set[String] =
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else Set.empty
+    def h(k: Int, x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((k + "|" + x).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def sig(sh: Set[String]): IndexedSeq[Long] =
+      (0 until 16).map(k => sh.iterator.map(x => h(k, x)).min)
+    val buckets = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    for {
+      (_, text) <- docs
+      ws = text.toLowerCase.replaceAll("\\s+", " ").split(" ", -1).toSeq
+      if ws.length >= 3
+      p <- 1 to 9
+    } {
+      val cut = math.max(3, math.floor(ws.length * p / 10.0).toInt)
+      val sha = shingles(ws.take(cut))
+      val shb = shingles(ws)
+      if (sha.nonEmpty && shb.nonEmpty) {
+        val j = (sha & shb).size.toDouble / (sha | shb).size
+        val b = math.min(9L, math.floor(j * 10).toLong)
+        val sa = sig(sha); val sb = sig(shb)
+        val coll = (0 until 4).exists(bb =>
+          sa.slice(bb * 4, bb * 4 + 4) == sb.slice(bb * 4, bb * 4 + 4))
+        val (n, c) = buckets(b)
+        buckets(b) = (n + 1, c + (if (coll) 1L else 0L))
+      }
+    }
+    val expect = buckets.toSeq.sortBy(_._1).map { case (b, (n, c)) =>
+      (b, n, c, c * 1000000L / n)
+    }
+    val got = NearDup.lshCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.toSeq shouldBe expect
+    // curve shape: graded truncation populates most deciles, and the
+    // collision rate climbs from starved to saturated across them
+    got.length should be >= 6
+    got.head._4 should be < 100000L // bottom decile: LSH nearly never fires
+    got.last._4 should be > 900000L // top decile: effectively certain
+  }
+
   test("g3/q59 share ONE staged co-purchase fold per (JVM, dataset)") {
     StageCache.invalidate()
     // first toucher builds the stage; the sibling must NOT rebuild —
