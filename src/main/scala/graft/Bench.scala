@@ -27,13 +27,56 @@ object Bench {
     * 116.9 s vs r10's 64.9 s with zero real regressions); every
     * apparent regression now re-runs alone on a quiesced rig so the
     * artifact carries the stable per-entry number alongside the noisy
-    * in-run one. Entries new this round (absent from the baseline) or
-    * failed in-run (-1) are not ratio-flagged. */
+    * in-run one. Entries failed in-run (-1) are not ratio-flagged (the
+    * failure list owns them); entries ABSENT from the baseline are
+    * flagged by [[newEntries]], not here. */
   def flaggedForIsolation(current: Map[String, Double],
       prior: Map[String, Double], threshold: Double): Seq[String] =
     current.collect {
       case (n, t) if t >= 0 && prior.get(n).exists(p => p > 0 && t > threshold * p) => n
     }.toSeq.sorted
+
+  /** First-round entries (VERDICT r13 #1a): a query absent from the
+    * baseline has no ratio to flag on, so its very first number — taken
+    * from the noisy sequential sweep — used to stand unexamined in the
+    * settled total AND become the next round's baseline prior (r13:
+    * s24's 13.0 s in-run vs ~2 s isolated). New entries are therefore
+    * flagged for isolation UNCONDITIONALLY. With no baseline at all
+    * (first round, missing file) nothing is "new" — the time budget
+    * alone would otherwise isolate the entire surface twice. */
+  def newEntries(current: Map[String, Double],
+      prior: Map[String, Double]): Seq[String] =
+    if (prior.isEmpty) Seq.empty
+    else current.collect {
+      case (n, t) if t >= 0 && !prior.contains(n) => n
+    }.toSeq.sorted
+
+  /** Time-budgeted isolation queue (VERDICT r13 #1b): the old fixed
+    * entry-count cap (48) dropped whichever flagged entries sorted past
+    * it — this round that was s15/s21/s11/s19, the very entries
+    * DOMINATING the settled total, while sub-second entries burned the
+    * budget. Order by in-run cost DESCENDING (the expensive entries are
+    * the ones whose inflated values distort the headline most) and
+    * admit while the estimated re-run cost (2 quiesced runs + per-entry
+    * sweep overhead) fits the budget; cheaper entries later in the
+    * order may still fit after an expensive one is refused. The single
+    * most expensive entry is ALWAYS taken — a budget smaller than one
+    * entry must degrade to "isolate the worst one", never to nothing.
+    * Returns (taken-in-run-order, dropped). */
+  def isolationQueue(flagged: Seq[String], inRun: Map[String, Double],
+      budgetSec: Double, overheadSec: Double = 0.5): (Seq[String], Seq[String]) = {
+    val ordered = flagged.distinct
+      .sortBy(n => (-math.max(0.0, inRun.getOrElse(n, 0.0)), n))
+    var cum = 0.0
+    val taken = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+    ordered.foreach { n =>
+      val cost = 2.0 * math.max(0.0, inRun.getOrElse(n, 0.0)) + overheadSec
+      if (taken.isEmpty || cum + cost <= budgetSec) { taken += n; cum += cost }
+      else dropped += n
+    }
+    (taken.toSeq, dropped.toSeq)
+  }
 
   /** Sweep-dispersion index over the per-query (min, max) pairs: the
     * two totals, their ratio, and how many entries individually spread
@@ -67,22 +110,37 @@ object Bench {
     prevGood.isEmpty || last < prevGood.min * 0.97
   }
 
-  /** Settled total (VERDICT r12 #1): the headline the in-run sweep CANNOT
-    * inflate. Per entry, the settled time is the minimum of its in-run
-    * min and (when the isolation pass re-ran it) its quiesced isolated
-    * min — the best evidence available for what the query actually
-    * costs on this rig. Entries with no successful run anywhere are
-    * excluded (they are first-class in `failed_queries`, never a
-    * timing). The r12 ledger already exonerated every apparent
-    * regression entry-by-entry (median ratio vs HEAD 1.01 while the raw
-    * in-run total read 2×); this folds that exoneration into ONE number
-    * so the artifact's headline is reproducible across boots instead of
-    * wearing the boot's page-cache/GC burst noise. */
-  def settledTotal(results: Seq[(String, (Double, Double))],
-      isolated: Map[String, Double]): Double =
+  /** Per-entry settled time: min of the in-run min and (when the
+    * isolation pass re-ran the entry) its quiesced isolated min — the
+    * best evidence available for what the query costs on this rig.
+    * Entries with no successful run anywhere settle to -1 (they are
+    * first-class in `failed_queries`, never a timing). */
+  def settledPerEntry(results: Seq[(String, (Double, Double))],
+      isolated: Map[String, Double]): Seq[(String, Double)] =
     results.map { case (name, (mn, _)) =>
       val cands = (Seq(mn) ++ isolated.get(name)).filter(_ >= 0)
-      if (cands.isEmpty) 0.0 else cands.min
+      name -> (if (cands.isEmpty) -1.0 else cands.min)
+    }
+
+  /** Settled total (VERDICT r12 #1): the headline number, robust to
+    * in-run sweep noise UP TO THE ISOLATION BUDGET — an entry the
+    * budget dropped (or a boot where the flag set outran the budget)
+    * still contributes its in-run value, so the artifact names every
+    * dropped entry and carries `iso_budget_sec` in the same header
+    * (ADVICE r13: the old docstring claimed "CANNOT be inflated", which
+    * was only true for entries the pass actually re-ran). With the
+    * r14 protocol — new entries always flagged, the queue ordered by
+    * in-run cost and budgeted by TIME — the dropped remainder is the
+    * cheap tail, bounding the leak to a few percent of the total. The
+    * r12 ledger already exonerated every apparent regression
+    * entry-by-entry (median ratio vs HEAD 1.01 while the raw in-run
+    * total read 2×); this folds that exoneration into ONE number so
+    * the headline is reproducible across boots instead of wearing the
+    * boot's page-cache/GC burst noise. */
+  def settledTotal(results: Seq[(String, (Double, Double))],
+      isolated: Map[String, Double]): Double =
+    settledPerEntry(results, isolated).collect {
+      case (_, t) if t >= 0 => t
     }.sum
 
   /** Recursive copy for tmpfs staging. Destination must not exist. */
@@ -185,6 +243,27 @@ object Bench {
       }
     val sfDir = staged.map(r => new java.io.File(r, "sf").getAbsolutePath)
       .getOrElse(sfDirOrig)
+    // ADVICE r13: System.setProperty("java.io.tmpdir") only takes effect
+    // if the JDK's TempDirectory static hasn't been initialized by an
+    // earlier temp-file use — otherwise Scratch/StageCache would silently
+    // land back on disk while the artifact stamps tmpfs. Probe it: create
+    // one temp file NOW and verify it landed under the staged scratch
+    // root; the result is a first-class artifact field, never an
+    // assumption.
+    val scratchProbeOk: Boolean = staged.exists { r =>
+      try {
+        val probe = java.io.File.createTempFile("graft-tmpfs-probe", ".tmp")
+        val ok = probe.getCanonicalPath.startsWith(
+          new java.io.File(r, "scratch").getCanonicalPath)
+        probe.delete()
+        if (!ok) System.err.println(
+          "[bench] tmpdir probe: temp files are NOT landing under the tmpfs " +
+            s"scratch root (java.io.tmpdir was cached before staging); got ${probe.getParent}")
+        ok
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] tmpdir probe failed: ${t.getMessage}"); false
+      }
+    }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -263,10 +342,13 @@ object Bench {
     // operator IS a large scratch write: f6 21.6-41 s in-run vs
     // 9.9-12.3 s isolated at sf10; e9 18.7-50 vs 23.5; f8 same class)
     // UNION every entry whose in-run min exceeded 1.4x its time in the
-    // previous round's committed bench.json. Overrides:
-    // SPARK_GRAFT_BENCH_ISOLATED (comma list, empty disables the static
-    // set), SPARK_GRAFT_BENCH_BASELINE (prior artifact path),
-    // SPARK_GRAFT_BENCH_ISO_THRESHOLD.
+    // previous round's committed bench.json UNION every FIRST-ROUND
+    // entry (VERDICT r13 #1a). The pass is bounded by a TIME budget
+    // ranked by in-run cost, not an entry count (VERDICT r13 #1b).
+    // Overrides: SPARK_GRAFT_BENCH_ISOLATED (comma list, empty disables
+    // the static set), SPARK_GRAFT_BENCH_BASELINE (prior artifact
+    // path), SPARK_GRAFT_BENCH_ISO_THRESHOLD, SPARK_GRAFT_BENCH_ISO_BUDGET
+    // (seconds).
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "bench.json")
     val baseline: Map[String, Double] =
@@ -285,13 +367,18 @@ object Bench {
         "f8_keyed_merge"))
     val inRunMin: Map[String, Double] = results.map { case (k, (mn, _)) => k -> mn }.toMap
     val ratioFlagged = flaggedForIsolation(inRunMin, baseline, isoThreshold)
-    // cap the re-run budget on a pathologically noisy boot, but NEVER
-    // silently: anything dropped is named in the artifact
-    val isoCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_CAP", "48").toInt
-    val allFlagged = (staticIso ++ ratioFlagged).distinct
+    // first-round entries: no ratio exists, so they are flagged
+    // unconditionally (VERDICT r13 #1a — s24's unexamined 13.0 s first
+    // number stood in the settled total AND became the next baseline)
+    val firstRound = newEntries(inRunMin, baseline)
+    // bound the re-run pass by TIME, ranked by in-run cost, but NEVER
+    // silently: anything dropped is named in the artifact (VERDICT r13
+    // #1b — the old 48-entry cap dropped the entries dominating the
+    // settled total while isolating sub-second ones)
+    val isoBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_BUDGET", "900").toDouble
+    val allFlagged = (staticIso ++ ratioFlagged ++ firstRound).distinct
       .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
-    val (isolatedNames, isoDropped) = (allFlagged.take(isoCap),
-      allFlagged.drop(isoCap))
+    val (isolatedNames, isoDropped) = isolationQueue(allFlagged, inRunMin, isoBudget)
     val isolated: Seq[(String, Double)] = isolatedNames.map { name =>
       graft.analytics.Scratch.sweep()
       System.gc()
@@ -357,7 +444,7 @@ object Bench {
     // fully-isolated one
     val settled = r4(settledTotal(results, isoMap))
     val headerTag =
-      s""""settled_total":$settled,"inrun_total":$total,"iso_cap":$isoCap,"isolated_dropped_count":${isoDropped.size},"tmpfs":${staged.isDefined}"""
+      s""""settled_total":$settled,"inrun_total":$total,"iso_budget_sec":$isoBudget,"isolated_dropped_count":${isoDropped.size},"tmpfs":${staged.isDefined},"tmpfs_scratch":$scratchProbeOk"""
     val fullLine =
       s"""{"metric":"total","value":$settled,$headerTag,"unit":"sec","queries":$qs,"queries_max":$qsMax,"isolated":$isoJson,"flagged":$flaggedJson,"isolated_dropped":$isoDroppedJson,"dispersion":$dispersionJson,$baselineTag,"failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDirOrig"}"""
     // The harness records only a 2000-char stdout TAIL; at 148×2 map entries
@@ -376,10 +463,15 @@ object Bench {
     // and the subset lands under its own "queries_slowest" key.
     if (fullLine.length <= 1800) println(fullLine)
     else {
-      val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(25)
-      val qsSlow = slowest.map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }
+      // the tail prints SETTLED per-entry values (VERDICT r13 #1c: the
+      // in-run values here showed f6=39.3 s against its own 1.68 s
+      // settled — anyone reading the stdout tail saw fake regressions
+      // the artifact itself refutes)
+      val slowest = settledPerEntry(results, isoMap)
+        .filter(_._2 >= 0).sortBy(-_._2).take(25)
+      val qsSlow = slowest.map { case (k, t) => s"\"" + k + "\":" + r4(t) }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":$settled,$headerTag,"unit":"sec","queries":null,"queries_slowest":$qsSlow,"queries_shown":"slowest ${slowest.size} of ${results.size}","queries_file":"$outFile","dispersion":$dispersionJson,"flagged_count":${isolatedNames.size},"failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDirOrig"}""")
+      println(s"""{"metric":"total","value":$settled,$headerTag,"unit":"sec","queries":null,"queries_slowest":$qsSlow,"queries_shown":"slowest ${slowest.size} of ${results.size} (settled)","queries_file":"$outFile","dispersion":$dispersionJson,"flagged_count":${isolatedNames.size},"failed_queries":$failedJson,"runs":$runs$filteredTag,"sf":"$sfDirOrig"}""")
     }
     spark.stop()
     if (failedNames.nonEmpty) {

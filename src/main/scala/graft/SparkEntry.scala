@@ -112,7 +112,7 @@ object SparkEntry {
   // cell pruning, brute-force-oracle-gated), d15_lsh_calibration
   // (empirical MinHash banding S-curve per Jaccard decile over a fixed
   // calibration window).
-  val expectedQueryCount: Int = 202
+  val expectedQueryCount: Int = 203
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -129,6 +129,104 @@ object KeyedMerge {
     }
   }
 
+  /** One-pass MERGE + CHANGE-DATA-FEED (VERDICT r13 #2): apply a change
+    * batch exactly like [[applyChanges]] AND hand the caller the per-key
+    * old↔new transition frame from the SAME state read — the "emit the
+    * changes WHILE merging" shape (Delta CDF inside MERGE). The r13 s24
+    * paid two state reads + two LWW resolutions per batch (one for the
+    * classification join, one inside the merge); at 100 TB the state
+    * scan is the commit's dominant cost, so halving it is the operator,
+    * not a micro-optimization.
+    *
+    * Protocol (crash-window order is load-bearing):
+    *   1. per-key batch winners via the [[applyChanges]] struct-argmax
+    *      (argmax is associative per key, so merging the winners is
+    *      equivalent to merging the raw batch);
+    *   2. full-outer join winners ↔ touched base buckets, decorated
+    *      with `__has_old`/`__has_new`/`__new_wins` (lexicographic
+    *      seq-struct compare — the applyChanges LWW rule; ties keep the
+    *      stored row, which only byte-identical replays can produce);
+    *   3. the join is MATERIALIZED (eager localCheckpoint — the local
+    *      stand-in for a reliable checkpoint dir) so neither consumer
+    *      can lazily re-read state after step 5 overwrites it;
+    *   4. `withDiff(transitions)` runs BEFORE the merged write: a
+    *      change-feed consumer must publish idempotently (e.g.
+    *      [[VersionedTable.commitDelta]]) so that a crash AFTER the
+    *      merge replays into a no-op skip — the diff recomputed against
+    *      already-merged state is empty, and an unconditional rewrite
+    *      here would clobber the committed feed;
+    *   5. winners (new side where `__new_wins`, stored row otherwise —
+    *      tombstones retained) overwrite exactly the touched buckets,
+    *      same bucket-aligned layout discipline as [[applyChanges]].
+    *
+    * Transition columns handed to `withDiff`: `keyCols` (coalesced),
+    * `__has_old`/`__has_new`/`__new_wins`, and `__old_<c>`/`__new_<c>`
+    * for every non-key data column `c` (null on an absent side). */
+  def applyChangesWithDiff(dir: String, changes: DataFrame,
+      keyCols: Seq[String], seqCols: Seq[String], numBuckets: Int)(
+      withDiff: DataFrame => Unit): Unit = {
+    val s = changes.sparkSession
+    val dataCols = changes.columns.toSeq.filterNot(_ == BucketCol)
+    require(keyCols.forall(dataCols.contains), s"missing key cols in $dataCols")
+    require(dataCols.contains(OpCol), s"changes must carry $OpCol ('u'|'d')")
+    val seqK = seqCols.filterNot(keyCols.contains)
+    require(seqK.nonEmpty, "at least one non-key sequence column required")
+    val nonKey = dataCols.filterNot(keyCols.contains)
+    val ordered = (seqK ++ nonKey.filterNot(seqCols.contains)).distinct
+
+    val bw = changes.withColumn(BucketCol, bucketOf(keyCols, numBuckets))
+      .groupBy((keyCols :+ BucketCol).map(col): _*)
+      .agg(max(struct(ordered.map(col): _*)).as("__w"))
+      .select((keyCols :+ BucketCol).map(col) ++
+        ordered.map(c => col(s"__w.$c")): _*)
+      .cache()
+    val touched = bw.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) { bw.unpersist(); return }
+    val prefixed = ordered :+ BucketCol
+    val newSide = bw.select(keyCols.map(col) ++
+      prefixed.map(c => col(c).as(s"__new_$c")): _*)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val baseExists = fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.startsWith(s"$BucketCol="))
+    val oldSide =
+      if (baseExists)
+        s.read.parquet(dir)
+          .filter(col(BucketCol).isin(touched.map(Integer.valueOf).toSeq: _*))
+          .select(keyCols.map(col) ++
+            prefixed.map(c => col(c).as(s"__old_$c")): _*)
+      else newSide.select(keyCols.map(col) ++
+        prefixed.map(c => col(s"__new_$c").as(s"__old_$c")): _*).limit(0)
+    val hasNew = col(s"__new_$BucketCol").isNotNull
+    val hasOld = col(s"__old_$BucketCol").isNotNull
+    val newWins = hasNew && (!hasOld ||
+      struct(seqK.map(c => col(s"__new_$c")): _*) >
+        struct(seqK.map(c => col(s"__old_$c")): _*))
+    val jc = newSide.join(oldSide, keyCols, "full_outer")
+      .withColumn("__has_new", hasNew)
+      .withColumn("__has_old", hasOld)
+      .withColumn("__new_wins", newWins)
+      .localCheckpoint(true)
+    bw.unpersist()
+    try {
+      withDiff(jc)
+      val winners = jc.select(keyCols.map(col) ++
+        prefixed.map(c => when(col("__new_wins"), col(s"__new_$c"))
+          .otherwise(col(s"__old_$c")).as(c)): _*)
+        .repartition(math.min(touched.length, 4096), col(BucketCol))
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try winners.write.mode("overwrite").partitionBy(BucketCol).parquet(dir)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    } finally jc.unpersist()
+    ()
+  }
+
   /** The merged live table: tombstones and internal columns dropped. */
   def read(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(dir).filter(col(OpCol) =!= "d").drop(OpCol, BucketCol)

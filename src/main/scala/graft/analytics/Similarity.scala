@@ -2203,13 +2203,28 @@ object Similarity {
     * BIGINTs; sum stays under 2⁶³ through 10⁹-vector corpora), so the
     * artifact stays 8 rows while pinning the exact membership of an
     * arbitrarily large range. */
-  def rangeSearch(s: SparkSession, d: String, nCells: Int = 16): DataFrame = {
+  def rangeSearch(s: SparkSession, d: String, nCells0: Int = -1): DataFrame = {
     // τ calibrated to the synthetic corpus (near-random 64-dim vectors:
     // max probe cosine ≈ 0.39-0.49 across SFs, so 0.8 would be vacuous);
     // 0.3 yields 29/33/111 hits at sf0.001/0.01/0.1 and the nearest
     // cosine sits 4.5e-4 from the boundary — 11 orders beyond any
     // engine-rounding divergence, so the threshold compare is hash-safe
     val tau = 0.3
+    // cell-count resolve order (VERDICT r13 #4 — the quadratic-law
+    // convention from knnGraph/semanticDedup): explicit arg → session
+    // conf → K = cellsFor(n) ≈ √n. The range scan is
+    // O(admitted_cells · n/nCells): a pinned constant stops the pruning
+    // paying as n grows, so only the ORACLE-GATED entry pins 16 (the e4
+    // convention — exactness holds at ANY cell count, so the pin is
+    // purely for a stable gated plan); the unconfigured default derives
+    // from the corpus. Centroids are the vec_id % 31 == 0 stride, so
+    // tiny corpora (n < 31·K) simply get fewer, still-exact cells.
+    val nCells =
+      if (nCells0 > 0) nCells0
+      else s.conf.getOption("spark.graft.range.cells") match {
+        case Some(v) => v.toInt
+        case None => cellsFor(embeddings(s, d).count())
+      }
     val emb = withVec(embeddings(s, d), "embedding")
       .select(col("vec_id"), col("v"))
     val centroids = emb
@@ -2292,7 +2307,7 @@ object Similarity {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e22_range_search" -> ((s: SparkSession, d: String) => rangeSearch(s, d)),
+    "e22_range_search" -> ((s: SparkSession, d: String) => rangeSearch(s, d, nCells0 = 16)),
     "d8_semantic_decontaminate" -> ((s: SparkSession, d: String) => semanticDecontaminate(s, d)),
     "e6_pq_adc" -> ((s: SparkSession, d: String) => pqAdcTopK(s, d)),
     "c1_kmeans" -> ((s: SparkSession, d: String) => kmeansClusters(s, d)),

@@ -32,13 +32,47 @@ class BenchProtocolSpec extends AnyFunSuite with Matchers {
       "a" -> 1.39, // under 1.4x — not flagged
       "b" -> 1.41, // over — flagged
       "c" -> -1.0, // failed in-run — the failure list owns it, not iso
-      "new" -> 99.0) // no baseline — new entries are not ratio-flagged
+      "new" -> 99.0) // no prior ratio — newEntries owns it (below)
     Bench.flaggedForIsolation(current, prior, 1.4) shouldBe Seq("b")
     // a zero/negative prior can never flag (division-free rule)
     Bench.flaggedForIsolation(Map("z" -> 5.0), Map("z" -> 0.0), 1.4) shouldBe
       empty
     // no baseline at all -> nothing ratio-flagged (static set still runs)
     Bench.flaggedForIsolation(current, Map.empty, 1.4) shouldBe empty
+  }
+
+  test("newEntries: first-round entries are flagged unconditionally (VERDICT r13 #1a)") {
+    val prior = Map("a" -> 1.0, "b" -> 1.0)
+    val current = Map(
+      "a" -> 0.5, // known entry — ratio rules own it
+      "s24" -> 13.0, // absent from the baseline — ALWAYS isolated
+      "z9" -> 0.01, // new and cheap — still isolated (its first number
+      // becomes the next round's prior either way)
+      "bad" -> -1.0) // failed in-run — the failure list owns it
+    Bench.newEntries(current, prior) shouldBe Seq("s24", "z9")
+    // no baseline at all: nothing is "new" — the whole surface is, and
+    // the time budget alone must not re-run it twice
+    Bench.newEntries(current, Map.empty) shouldBe empty
+  }
+
+  test("isolationQueue: time-budgeted, ranked by in-run cost descending (VERDICT r13 #1b)") {
+    val inRun = Map("heavy" -> 10.0, "mid" -> 4.0, "cheap1" -> 0.2,
+      "cheap2" -> 0.1, "failed" -> -1.0)
+    // budget fits heavy (2*10+0.5=20.5) + mid (8.5) + cheap1 (0.9) = 29.9
+    // but not cheap2 on top (30.6 > 30): the drop is the CHEAP tail
+    val (taken, dropped) = Bench.isolationQueue(
+      Seq("cheap2", "cheap1", "mid", "heavy"), inRun, budgetSec = 30.0)
+    taken shouldBe Seq("heavy", "mid", "cheap1")
+    dropped shouldBe Seq("cheap2")
+    // the single most expensive entry is ALWAYS taken, even over budget —
+    // a tiny budget degrades to "isolate the worst one", never to nothing
+    val (t2, d2) = Bench.isolationQueue(Seq("heavy", "mid"), inRun, 1.0)
+    t2 shouldBe Seq("heavy")
+    d2 shouldBe Seq("mid")
+    // a failed entry re-runs at overhead-only estimated cost (the re-run
+    // is the diagnosis — ADVICE r10) and never poisons the ordering
+    val (t3, _) = Bench.isolationQueue(Seq("failed", "cheap1"), inRun, 30.0)
+    t3 shouldBe Seq("cheap1", "failed")
   }
 
   test("dispersionIndex: totals over good entries, 1.5x spread count") {
@@ -82,6 +116,10 @@ class BenchProtocolSpec extends AnyFunSuite with Matchers {
     Bench.settledTotal(results, iso) shouldBe 10.0 +- 1e-9
     // no isolation pass at all -> settled == in-run total over good rows
     Bench.settledTotal(results, Map.empty) shouldBe 14.0 +- 1e-9
+    // the per-entry view (what the compact stdout tail prints — VERDICT
+    // r13 #1c): same min rule, -1 sentinel for never-succeeded entries
+    Bench.settledPerEntry(results, iso).toMap shouldBe Map(
+      "a" -> 2.0, "b" -> 3.0, "c" -> -1.0, "d" -> 4.0, "e" -> 1.0)
   }
 
   test("tmpfsFits: conservative 24x-plus-headroom guard") {

@@ -46,6 +46,24 @@ class SelfScalingSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.getLong(1) shouldBe nOrig
   }
 
+  test("e22 resolve order: explicit arg → conf → cellsFor(n); exact at every cell count") {
+    // conf knob selects the cell count (rehearsal back-compat)
+    val viaConf = try {
+      spark.conf.set("spark.graft.range.cells", "16")
+      Similarity.rangeSearch(spark, sfDir).collect().toSeq
+    } finally spark.conf.unset("spark.graft.range.cells")
+    val viaArg = Similarity.rangeSearch(spark, sfDir, nCells0 = 16).collect().toSeq
+    viaConf shouldBe viaArg
+    // unconfigured default derives K = cellsFor(n) — and because e22 is
+    // EXACT by construction (triangle-inequality pruning only ever skips
+    // cells that cannot hold a hit), the self-scaled result must equal
+    // the pinned-16 gated result row-for-row at ANY cell count
+    spark.conf.getOption("spark.graft.range.cells") shouldBe None
+    val selfScaled = Similarity.rangeSearch(spark, sfDir).collect().toSeq
+    selfScaled shouldBe viaArg
+    selfScaled should not be empty
+  }
+
   test("registered surface never shrinks below the floor; every oracle gates a registered query") {
     SparkEntry.queries.size should be >= SparkEntry.expectedQueryCount
     (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet) shouldBe empty
