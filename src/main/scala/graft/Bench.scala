@@ -1,22 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** Parse the per-query min map out of a prior bench artifact line
-    * (the committed `bench.json` from the previous round). Regex over
-    * the machine-generated flat `"name":sec` object — no JSON library
-    * dependency, returns empty on any shape mismatch (a missing or
-    * unparseable baseline disables ratio-flagging, never fails the
+  /** One flat `"key":{"name":sec,...}` object out of a prior bench
+    * artifact line. Regex over the machine-generated format — no JSON
+    * library dependency, returns empty on any shape mismatch (a missing
+    * or unparseable baseline disables ratio-flagging, never fails the
     * bench). */
-  def parseBaselineQueries(text: String): Map[String, Double] = {
-    val start = text.indexOf("\"queries\":{")
+  private[graft] def parseBaselineMap(text: String, key: String): Map[String, Double] = {
+    val start = text.indexOf(s""""$key":{""")
     if (start < 0) Map.empty
     else {
-      val body = text.substring(start + "\"queries\":{".length)
+      val body = text.substring(start + s""""$key":{""".length)
       val end = body.indexOf('}')
       if (end < 0) Map.empty
       else "\"([^\"]+)\":(-?[0-9][0-9.]*)".r
         .findAllMatchIn(body.substring(0, end))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** Per-query PRIOR map from the committed `bench.json`: the min of
+    * each entry's in-run value and (when the prior round isolated it)
+    * its quiesced isolated value. Using only the in-run map let an
+    * INFLATED prior mask a real regression (r14 found g1 at 11.5 s
+    * in-run, 2× its r13 isolated 5.6 s, unflagged because the r13
+    * in-run prior was a noisy 23.3 s); the prior must be the best
+    * evidence the artifact carries, exactly like the settled rule. A
+    * -1 isolated sentinel (failed re-run) never becomes a prior. */
+  def parseBaselineQueries(text: String): Map[String, Double] = {
+    val inRun = parseBaselineMap(text, "queries")
+    val iso = parseBaselineMap(text, "isolated")
+    inRun.map { case (n, t) =>
+      n -> iso.get(n).filter(_ >= 0).map(math.min(t, _)).getOrElse(t)
     }
   }
 

@@ -19,6 +19,19 @@ class BenchProtocolSpec extends AnyFunSuite with Matchers {
       "q1_agg" -> 0.5611, "d7_x" -> 2.9239, "f6_y" -> 1.2)
   }
 
+  test("baseline priors take min(inrun, isolated) per entry — inflated in-run priors must not mask regressions") {
+    // r14 lesson: g1 read 11.5 s in-run (2x its r13 isolated 5.6 s) and
+    // went unflagged because the r13 IN-RUN prior was a noisy 23.3 s.
+    // The prior is the artifact's best evidence: isolated where present
+    // and successful, in-run otherwise. A -1 isolated (failed re-run)
+    // never becomes a prior; the nested per-entry "isolated" fields
+    // inside the "flagged" ledger must not confuse the parser (the
+    // top-level map comes first in the line format).
+    val line = """{"metric":"total","value":50.0,"queries":{"g1":23.28,"ok":1.0,"bad":2.0},"queries_max":{"g1":30.0},"isolated":{"g1":5.61,"bad":-1.0},"flagged":{"g1":{"prior":20.0,"inrun":23.28,"isolated":5.61}},"runs":2}"""
+    Bench.parseBaselineQueries(line) shouldBe Map(
+      "g1" -> 5.61, "ok" -> 1.0, "bad" -> 2.0)
+  }
+
   test("parseBaselineQueries never throws on malformed input — empty map disables flagging") {
     Bench.parseBaselineQueries("") shouldBe empty
     Bench.parseBaselineQueries("{}") shouldBe empty
