@@ -58,6 +58,16 @@ object KeyedMerge {
   private def bucketOf(keyCols: Seq[String], numBuckets: Int) =
     pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
 
+  /** Test seam mirroring [[VersionedTable.crashHook]]: ChangeFeedCrashSpec
+    * halts a real JVM at the named point inside [[applyChangesWithDiff]]
+    * (between the feed publish and the merged write) to prove the
+    * crash-window ordering the scaladoc claims. Null in production. */
+  @volatile private[graft] var crashHook: String => Unit = null
+  private def hook(point: String): Unit = {
+    val h = crashHook
+    if (h != null) h(point)
+  }
+
   /** Apply one change batch to the base table at `dir`.
     *
     * @param changes  must carry `keyCols` ++ `seqCols` ++ [[OpCol]] plus
@@ -211,6 +221,7 @@ object KeyedMerge {
     bw.unpersist()
     try {
       withDiff(jc)
+      hook("diff:post-feed")
       val winners = jc.select(keyCols.map(col) ++
         prefixed.map(c => when(col("__new_wins"), col(s"__new_$c"))
           .otherwise(col(s"__old_$c")).as(c)): _*)
