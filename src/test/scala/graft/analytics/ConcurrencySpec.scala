@@ -65,12 +65,17 @@ class ConcurrencySpec extends AnyFunSuite with Matchers with graft.SparkSpec {
     // r12 entries: e18 caches its 1-row BQ grid (the e17 shared-cache
     // shape); q57 chains three agg-joins off one Tables.events plan two
     // threads share; m11 runs both mapPartitions decode legs
-    "e18_binary_ann", "q57_funnel", "m11_av_align")
+    "e18_binary_ann", "q57_funnel", "m11_av_align",
+    // r14 entries: two concurrent s24 ingests run two streaming queries
+    // with private scratch on one session; two concurrent s25 views race
+    // on the SAME StageCache feed key (one builds — itself a streaming
+    // query — the other blocks on the per-key future and reads)
+    "s24_stream_change_feed", "s25_feed_materialized_view")
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  test("28 queries x2 concurrent on one FAIR session == sequential results") {
+  test("30 queries x2 concurrent on one FAIR session == sequential results") {
     val sequential: Map[String, Seq[String]] =
       names.map(n => n -> rows(SparkEntry.queries(n)(spark, sf))).toMap
 
