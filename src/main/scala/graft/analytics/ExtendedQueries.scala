@@ -1354,13 +1354,25 @@ object ExtendedQueries {
     * frontier never exceeds the node count. This is the same shape as
     * n4's hand-rolled label propagation, but planner-managed. */
   def q48RecursiveChain(s: SparkSession, d: String): DataFrame = {
-    Views.sql(s, events(s, d), "graft_ev_v",
-      """WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM graft_ev_v),
-        |walk(node, depth) AS (
-        |  SELECT user_id, CAST(0 AS BIGINT) FROM users WHERE user_id <= 1
+    // The `users` distinct is MATERIALIZED before the recursion (r14):
+    // as an inline CTE it lands inside the UnionLoop's recursive leg,
+    // which re-evaluates its plan ONCE PER RECURSION LEVEL — the before
+    // plan showed `Aggregate [user_id] ← Relation parquet` under the
+    // UnionLoopRef, i.e. depth ≈ log₂|users| full corpus scans +
+    // distinct aggregations (O(depth·corpus) at 100 TB). The eager
+    // localCheckpoint truncates it to an in-memory RDD scan, so each
+    // level joins the ≤|users|-row table instead of rescanning events;
+    // the recursion's row set is byte-identical.
+    val users = events(s, d).select(col("user_id")).distinct()
+      .localCheckpoint(true)
+    Views.sql(s, users, "graft_q48_users_v",
+      """WITH RECURSIVE walk(node, depth) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) FROM graft_q48_users_v
+        |  WHERE user_id <= 1
         |  UNION ALL
         |  SELECT u.user_id, w.depth + 1
-        |  FROM walk w JOIN users u ON u.user_id div 2 = w.node AND u.user_id > 1
+        |  FROM walk w JOIN graft_q48_users_v u
+        |    ON u.user_id div 2 = w.node AND u.user_id > 1
         |)
         |SELECT depth, count(1) AS n_users, sum(node) AS id_sum,
         |  min(node) AS min_id, max(node) AS max_id

@@ -92,8 +92,30 @@ object NearDup {
 
   /** MinHash LSH near-dup: candidates → exact Jaccard verify ≥ 0.5.
     * Output matches the brute-force oracle (recall ≈ 1 at the threshold,
-    * exact verify kills false positives). */
-  def minhashNearDup(s: SparkSession, d: String): DataFrame = {
+    * exact verify kills false positives). Reads the [[StageCache]]-staged
+    * pair list (r14): SIX entries consume this exact pair set — n1
+    * itself, n4/n6 (clustering), n7 (representatives), d13 (soft-dedup
+    * weights), p17/p18 (leakage-safe split + audit) — and before staging
+    * each re-ran the banded self-join + exact verify from the shared
+    * signature cache (the g3/q59 co-purchase precedent: in production
+    * the verified pair list is materialized ONCE per corpus and every
+    * downstream step reads it). Parquet round-trips the BIGINT ids and
+    * the one-IEEE-division jaccard bit-exactly, so the staged read is
+    * indistinguishable to the oracle hash. */
+  def minhashNearDup(s: SparkSession, d: String): DataFrame =
+    stagedNearDupPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** ONE verified pair list per (JVM, dataset). Unsorted — consumers
+    * that need n1's registered ordering re-sort (sorting before a
+    * staged write would be thrown away by the parquet round-trip). */
+  private[analytics] def stagedNearDupPairs(s: SparkSession, d: String): DataFrame =
+    StageCache.getOrBuild(s, s"n1pairs:$d")(minhashNearDupPlan(s, d))
+
+  /** The UNSTAGED n1 chain — the stage builder, and the plan the
+    * banded-equi-join / broadcast-verify / no-eager-jobs gates pin (the
+    * t22 convention: the registered query reads staged parquet, so the
+    * 100 TB-shape assertions gate the chain that builds it). */
+  private[analytics] def minhashNearDupPlan(s: SparkSession, d: String): DataFrame = {
     val sigs = corpusSignatures(s, d)
     // Broadcast hint for the exact-verify joins is CONFIG-gated, not
     // count()-gated: an eager count() would run a whole extra job over the
@@ -112,7 +134,6 @@ object NearDup {
       .withColumn("jaccard", expr("graft_jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val minhashOracle: String =
@@ -205,7 +226,17 @@ object NearDup {
     * (tiny dense clusters) that is 2-3. The 100 TB upgrade path is
     * large-star/small-star on the same join shape. */
   def minhashClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponentsLabelProp(minhashNearDup(s, d))
+    stagedClusters(s, d).orderBy(col("doc_id"))
+
+  /** ONE label-prop clustering per (JVM, dataset), staged like the pair
+    * list it folds (r14): n4/n7/d13/p17 all need exactly this
+    * (doc_id, cluster_id) table, and each previously re-ran the
+    * iterative CC rounds — cheap per round but rounds × consumers of
+    * fixed job-scheduling latency. p18 shares it too (its label-prop
+    * call was the same computation). */
+  private[analytics] def stagedClusters(s: SparkSession, d: String): DataFrame =
+    StageCache.getOrBuild(s, s"n4clusters:$d")(
+      connectedComponentsLabelProp(stagedNearDupPairs(s, d)))
 
   /** The min-label-propagation core over any undirected pair list
     * (`doc_a`, `doc_b`); rounds ∝ component diameter — see
@@ -292,7 +323,7 @@ object NearDup {
     * convergence the edges form stars centered at component minima, which
     * IS the (doc_id, cluster_id) labeling. */
   def minhashClustersBigStar(s: SparkSession, d: String): DataFrame =
-    connectedComponentsBigStar(minhashNearDup(s, d))
+    connectedComponentsBigStar(stagedNearDupPairs(s, d))
 
   /** The large-star/small-star core over any undirected pair list
     * (`doc_a`, `doc_b`) — also the seam the high-diameter chain spec
@@ -553,7 +584,7 @@ object NearDup {
     * the doc_id⋈len join projects the corpus to 16-byte rows before
     * shuffling. */
   def clusterRepresentative(s: SparkSession, d: String): DataFrame = {
-    val clusters = minhashClusters(s, d)
+    val clusters = stagedClusters(s, d)
     val lens = documents(s, d)
       .select(col("doc_id"), length(col("text")).cast("long").as("len"))
     clusters.join(lens, "doc_id")
@@ -595,7 +626,7 @@ object NearDup {
     * |clustered docs| vs |clusters| (both pair-derived, corpus-bounded).
     * Output is one row per document (the weight table a trainer reads). */
   def softDedupWeights(s: SparkSession, d: String): DataFrame = {
-    val clusters = minhashClusters(s, d)
+    val clusters = stagedClusters(s, d)
     val sizes = clusters.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n"))
     documents(s, d).select(col("doc_id"))

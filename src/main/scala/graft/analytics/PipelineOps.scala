@@ -448,7 +448,7 @@ object PipelineOps {
     * (≪ corpus). Split assignment stays a pure column expression; the
     * only new corpus-wide shuffle is the label join. */
   def p17LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
-    val clusters = NearDup.minhashClusters(s, d)
+    val clusters = NearDup.stagedClusters(s, d)
       .select(col("doc_id"), col("cluster_id"))
     val keyed = documents(s, d).select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
@@ -500,15 +500,14 @@ object PipelineOps {
     * Scale shape: the pair list is the near-dup output (≪ corpus); split
     * assignment attaches by two id joins. Nothing here rescans text. */
   def p18SplitLeakageAudit(s: SparkSession, d: String): DataFrame = {
-    // ONE near-dup pass feeds both the pair list and the clustering.
-    // Calling minhashClusters(s, d) separately happens to be rescued by
-    // CacheManager plan-identity matching against this call's caches;
-    // sharing the DataFrame makes the reuse structural instead of
-    // incidental (a param or config divergence between the two calls
-    // would silently double the corpus-scale work)
-    val pairs = NearDup.minhashNearDup(s, d)
-      .select(col("doc_a"), col("doc_b")).cache()
-    val clusters = NearDup.connectedComponentsLabelProp(pairs)
+    // ONE staged near-dup pass feeds both the pair list and the
+    // clustering (r14): both sides read the family's StageCache stages,
+    // so the sharing is structural across ALL consumers (n1/n4/n6/n7/
+    // d13/p17/p18), not just within this query — and the staged parquet
+    // needs no private .cache() copy.
+    val pairs = NearDup.stagedNearDupPairs(s, d)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = NearDup.stagedClusters(s, d)
       .select(col("doc_id"), col("cluster_id"))
     def bucketOf(c: Column): Column = conv(substring(
       md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long") % 1000

