@@ -338,9 +338,26 @@ object Dedup {
     //   Σdf  = total trigram incidences (the corpus size in shingles),
     //   Σdf² = exact row count of an incidence self-join on the trigram —
     // the same shape as e7/e9's count-driven self-scaling.
-    val (sumDf, sumDf2) = containmentDfProfile(s, d)
-    if (containmentDirectEligible(sumDf, sumDf2)) containmentDedupDirect(s, d)
-    else containmentDedupPrefix(s, d)
+    //
+    // r14 (guide §2.4): ONE persisted incidence table serves the profile
+    // aggregate AND both sides of the direct join — before this each
+    // consumer re-scanned and re-SHINGLED the corpus (3 passes; the
+    // shingle expression dominates the scan). The result is eagerly
+    // pinned so the corpus-sized cache releases NOW (the g1/t10/q59
+    // discipline); the lazy plan-shape surface stays
+    // [[containmentDedupDirect]], which PlanSpec gates directly.
+    val e = containmentIncidences(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = e.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .agg(sum(col("df")).as("s1"), sum(col("df") * col("df")).as("s2"))
+        .head()
+      val out =
+        if (containmentDirectEligible(st.getLong(0), st.getLong(1)))
+          containmentDedupDirectOn(e)
+        else containmentDedupPrefix(s, d)
+      out.localCheckpoint(true)
+    } finally { e.unpersist(false); () }
   }
 
   /** The (Σdf, Σdf²) profile aggregate the dispatch reads — Σdf² is also
@@ -394,8 +411,13 @@ object Dedup {
     * is single-JVM memory pressure on the 32-reducer pair aggregation,
     * recorded in SCALE.md; on a real cluster the same plan gets more
     * reducers from a production shuffle-partition default. */
-  private[graft] def containmentDedupDirect(s: SparkSession, d: String): DataFrame = {
-    val e = containmentIncidences(s, d)
+  private[graft] def containmentDedupDirect(s: SparkSession, d: String): DataFrame =
+    containmentDedupDirectOn(containmentIncidences(s, d))
+
+  /** Direct strategy over an explicit (possibly persisted) incidence
+    * table — the seam [[containmentDedup]] feeds its shared cache
+    * through. */
+  private def containmentDedupDirectOn(e: DataFrame): DataFrame = {
     val probe = e.select(col("doc_id").as("a_id"), col("sz").as("sa"), col("h"))
     val index = e.select(col("doc_id").as("b_id"), col("sz").as("sb"), col("h"))
     probe.join(index, "h")

@@ -235,21 +235,13 @@ object FormatQueries {
     * self-scales from the corpus row count. */
   def f8KeyedMerge(s: SparkSession, d: String): DataFrame = {
     val dir = s"${Scratch.dir("graft-merge")}/table"
-    val ev = events(s, d) // ts pinned to epoch-nanos BIGINT by Tables
-    val ch = ev.select(col("user_id"),
-      expr("ts div 1000").as("tsu"), col("event_id"),
-      when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
-        .as(KeyedMerge.OpCol),
-      col("event_type").as("last_type"), col("value").as("last_value"))
-    val mm = ch.agg(min(col("tsu")), max(col("tsu"))).head()
-    val lo = mm.getLong(0); val hi = mm.getLong(1) + 1
-    val nBatches = 6
-    val span = math.max(1L, (hi - lo + nBatches - 1) / nBatches)
-    val numBuckets =
-      math.max(8L, math.min(4096L, ev.count() / 50000L)).toInt
-    (0 until nBatches).foreach { i =>
-      val b = ch.filter(col("tsu") >= lo + i * span &&
-        col("tsu") < (if (i == nBatches - 1) hi else lo + (i + 1) * span))
+    val log = stagedCdcLogDir(s, d)
+    val numBuckets = math.max(8L,
+      math.min(4096L, cdcLogRowCount(s, log) / 50000L)).toInt
+    (0 until CdcBatches).foreach { i =>
+      // partition-pruned: exactly the staged delta=i files are opened
+      val b = s.read.parquet(s"$log/log")
+        .filter(col("delta") === i).drop("delta")
       KeyedMerge.applyChanges(s, dir, b,
         keyCols = Seq("user_id"), seqCols = Seq("tsu", "event_id"), numBuckets)
     }
@@ -306,33 +298,88 @@ object FormatQueries {
   def f10LogCompaction(s: SparkSession, d: String): DataFrame =
     versionedAsOf3And5(s, d, compactFirst = true)
 
-  /** Shared f9/f10/f12 build: commit the event CDC stream as 6
-    * event-time-ordered append-only deltas; returns the table dir. */
-  private def buildVersionedLog(s: SparkSession, d: String): String = {
-    val dir = s"${Scratch.dir("graft-versioned")}/table"
-    val ev = events(s, d)
-    val ch = ev.select(col("user_id"),
-      expr("ts div 1000").as("tsu"), col("event_id"),
-      when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
-        .as(VersionedTable.OpCol),
-      col("event_type").as("last_type"), col("value").as("last_value"))
-    val mm = ch.agg(min(col("tsu")), max(col("tsu"))).head()
-    val lo = mm.getLong(0); val hi = mm.getLong(1) + 1
-    val nBatches = 6
-    val span = math.max(1L, (hi - lo + nBatches - 1) / nBatches)
-    (0 until nBatches).foreach { i =>
-      val b = ch.filter(col("tsu") >= lo + i * span &&
-        col("tsu") < (if (i == nBatches - 1) hi else lo + (i + 1) * span))
-      VersionedTable.appendDelta(dir, b, i.toLong)
+  /** Number of event-time batches the CDC fixture splits into — shared
+    * by the staged build, every consumer, and the oracles' cutoff rule. */
+  private val CdcBatches = 6
+
+  /** Shared f8/f9/f10/f12 CDC SOURCE STAGE (r14, guide §2.4/§8): the
+    * event CDC projection split into [[CdcBatches]] event-time batches
+    * and laid out as a [[VersionedTable]]-shaped `delta=<k>` partitioned
+    * log, built ONCE per (JVM, dataset) in ONE corpus pass. Before this,
+    * each of the four entries re-derived the same batches from the raw
+    * events table per invocation — a min/max pass plus one full corpus
+    * scan PER BATCH (7 passes each, ~27 per sweep across the family).
+    * The batch-index rule `min(5, (tsu - lo) div span)` assigns exactly
+    * the rows the old per-batch range filters selected (the clamp is the
+    * last batch's `< hi` upper bound; RoundThirteenOpsSpec's independent
+    * hand replay uses the same rule), so every consumer's output — and
+    * oracle hash — is unchanged.
+    *
+    * Staging discipline: the log is events-sized, but the UNSTAGED form
+    * already wrote the same bytes to scratch per invocation — staging
+    * strictly reduces both I/O (one build instead of three) and peak
+    * disk (one shared copy + f10's mutable copy instead of three live
+    * copies). Consumers that only READ ([[f9SnapshotRead]],
+    * [[f12SnapshotDiff]], f8's batch source) use the stage directly;
+    * [[f10LogCompaction]] MUTATES the log (compaction retires deltas),
+    * so it file-copies the stage into scratch first ([[copyDirTree]] —
+    * a byte copy, far cheaper than re-deriving from parquet). `meta`
+    * carries the corpus row count so f8's bucket self-scaling needs no
+    * extra corpus pass. */
+  private[analytics] def stagedCdcLogDir(s: SparkSession, d: String): String =
+    StageCache.getOrBuildDir(s"cdclog:$d") { dir =>
+      val ch = events(s, d).select(col("user_id"),
+        expr("ts div 1000").as("tsu"), col("event_id"),
+        when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+          .as(VersionedTable.OpCol),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      val mm = ch.agg(min(col("tsu")), max(col("tsu")), count(lit(1))).head()
+      val lo = mm.getLong(0); val hi = mm.getLong(1) + 1; val n = mm.getLong(2)
+      val span = math.max(1L, (hi - lo + CdcBatches - 1) / CdcBatches)
+      ch.withColumn("delta",
+          least(lit(CdcBatches - 1L), expr(s"(tsu - ${lo}L) div ${span}L")))
+        .write.partitionBy("delta").parquet(s"$dir/log")
+      import s.implicits._
+      Seq(n).toDF("n_rows").write.parquet(s"$dir/meta")
     }
-    dir
+
+  /** The staged corpus row count (f8's bucket sizing) — a 1-row read. */
+  private def cdcLogRowCount(s: SparkSession, logDir: String): Long =
+    s.read.parquet(s"$logDir/meta").head().getLong(0)
+
+  /** Recursive file-tree copy (local FS) — f10's mutable log copy. */
+  private def copyDirTree(src: String, dst: String): Unit = {
+    val from = java.nio.file.Paths.get(src)
+    val to = java.nio.file.Paths.get(dst)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(from)
+    try walk.iterator().asScala.foreach { p =>
+      val t = to.resolve(from.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else { java.nio.file.Files.copy(p, t); () }
+      ()
+    } finally walk.close()
   }
 
-  /** Shared f9/f10 body: build the 6-delta log, optionally compact
-    * 0..3 into one base, read as-of 3 and 5. */
+  /** The versioned 6-delta log for f9/f10/f12: the shared stage when the
+    * consumer only reads; a scratch copy when it will mutate. */
+  private def versionedLogFor(s: SparkSession, d: String,
+      mutable: Boolean): String = {
+    val staged = s"${stagedCdcLogDir(s, d)}/log"
+    if (!mutable) staged
+    else {
+      val dir = s"${Scratch.dir("graft-versioned")}/table"
+      copyDirTree(staged, dir)
+      dir
+    }
+  }
+
+  /** Shared f9/f10 body: read the staged 6-delta log (a mutable copy
+    * when compacting), optionally compact 0..3, read as-of 3 and 5. */
   private def versionedAsOf3And5(s: SparkSession, d: String,
       compactFirst: Boolean): DataFrame = {
-    val dir = buildVersionedLog(s, d)
+    val dir = versionedLogFor(s, d, mutable = compactFirst)
     if (compactFirst)
       VersionedTable.compactUpTo(s, dir, 3L,
         Seq("user_id"), Seq("tsu", "event_id"))
@@ -369,7 +416,7 @@ object FormatQueries {
     * IS the naive two-snapshot full-outer-join form in DuckDB — the
     * independent derivation the one-scan plan must match. */
   def f12SnapshotDiff(s: SparkSession, d: String): DataFrame = {
-    val dir = buildVersionedLog(s, d)
+    val dir = versionedLogFor(s, d, mutable = false)
     val op = VersionedTable.OpCol
     val fields = Seq(col("tsu"), col("event_id"), col(op),
       col("last_type"), col("last_value"))

@@ -72,44 +72,54 @@ object GraphOps {
   def eventPagerank(s: SparkSession, d: String): DataFrame =
     eventPagerankDf(s, events(s, d))
 
-  /** g1 on an explicit events frame — spec seam for hand-built chains with
-    * known stationary distributions. The |types|-row result is eagerly
-    * pinned so the persisted edge/node tables release NOW (the g2
-    * discipline; before r12's Views cache fix their persists were
-    * silently evicted at view-drop and each of the 10 iterations re-ran
-    * the corpus window pass). */
+  /** g1 on an explicit events frame — spec seam for hand-built chains
+    * with known stationary distributions.
+    *
+    * r14 (guide §1.2 "the distributed algorithm" + §5 driver rules): the
+    * corpus-sized work — ONE lag-window pass folded to the edge table,
+    * ONE distinct over types — stays distributed; the 10-iteration rank
+    * FIXPOINT now runs on the driver over the collected edge list. The
+    * state is provably bounded: ≤ |types|² edges and |types| nodes,
+    * where event types are LOW-cardinality by data contract (the same
+    * bound g2's projection fanout relies on) — bounded metadata in the
+    * KeyedMerge touched-bucket sense, never corpus data. The SQL chain
+    * it replaces ran each iteration as a join + two aggregations on a
+    * ≤25-row table: ~20 exchanges of scheduling overhead at ANY scale
+    * (measured at sf0.1: 7.5 s of g1's 9.0 s warm; the fixpoint itself
+    * is arithmetic on a handful of longs). Every operation is the same
+    * exact integer recurrence (floor division on nonnegative longs ==
+    * SQL `div`), so the result is bit-identical — GraphOpsSpec's
+    * stationary-distribution chains and the DuckDB oracle (which still
+    * runs the full 10-iteration SQL chain independently) pin it. */
   private[graft] def eventPagerankDf(s: SparkSession, ev: DataFrame): DataFrame = {
-    val (out, caches) = eventPagerankPlan(s, ev)
-    val pinned = out.localCheckpoint(true)
-    caches.foreach(_.unpersist(false))
-    pinned
-  }
-
-  /** g1's LAZY plan + its persisted edge/node tables — the PlanSpec seam
-    * (the registered query's eager checkpoint truncates the plan). */
-  private[graft] def eventPagerankPlan(s: SparkSession,
-      ev: DataFrame): (DataFrame, Seq[DataFrame]) =
-    Views.withView(ev, "graft_pr_events_v") { evv =>
-      val p = s.sql(
-        """WITH trans AS (SELECT
-          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
-          |    event_type AS dst
-          |  FROM graft_pr_events_v),
-          |e AS (SELECT src, dst, count(1) AS w FROM trans
-          |      WHERE src IS NOT NULL GROUP BY src, dst),
-          |o AS (SELECT src, sum(w) AS outw FROM e GROUP BY src)
-          |SELECT e.src, e.dst, (e.w * 1000000) div o.outw AS pnum
-          |FROM e JOIN o ON e.src = o.src""".stripMargin
-          .replace("graft_pr_events_v", evv))
-        .persist()
-      val nodes = s.sql(
-        s"SELECT DISTINCT event_type AS etype FROM $evv").persist()
-      val out = Views.withViews(
-        Seq(p -> "graft_pr_p_v", nodes -> "graft_pr_nodes_v")) { names =>
-        s.sql(rankSql("div", names(1), names(0), iters = 10))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = ev.select(lag(col("event_type"), 1).over(w).as("src"),
+      col("event_type").as("dst"))
+    val e = trans.filter(col("src").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val o = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    // parts-per-million transition probabilities — ≤ |types|² rows
+    val edges = e.join(o, "src")
+      .select(col("src"), col("dst"), expr("(w * 1000000) div outw").as("pnum"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = ev.select(col("event_type").as("etype")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val n = nodes.length.toLong
+    val sMass = S.toLong; val tele = TeleportNum.toLong; val ppm = PPM.toLong
+    var rank: Map[String, Long] = nodes.map(_ -> sMass / n).toMap
+    (1 to 10).foreach { _ =>
+      val contrib = new scala.collection.mutable.HashMap[String, Long]()
+      edges.foreach { case (src, dst, pnum) =>
+        val term = (((85L * rank(src)) / 100L) * pnum) / ppm
+        contrib.update(dst, contrib.getOrElse(dst, 0L) + term)
       }
-      (out, Seq(p, nodes))
+      rank = nodes.map(nd => nd -> (tele / n + contrib.getOrElse(nd, 0L))).toMap
     }
+    import s.implicits._
+    rank.toSeq.toDF("etype", "rank_scaled")
+      .orderBy(col("rank_scaled").desc, col("etype"))
+  }
 
   /** g1 oracle — the identical exact-integer chain in DuckDB (`//` floor
     * division); edge table and node set derived inline. */

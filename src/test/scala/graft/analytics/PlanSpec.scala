@@ -163,11 +163,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
   test("near-dup and ANN candidates come from equi-joins on bucket keys") {
     Seq("n1_minhash_neardup", "n3_simhash_neardup", "e3_embedding_neardup",
       "d7_containment_dedup").foreach { name =>
-      // n1's registered plan reads the staged pair list (r14); the join
-      // shape this gate exists for lives in the unstaged builder
+      // n1's registered plan reads the staged pair list and d7's is an
+      // eager checkpoint over a shared incidence cache (r14); the join
+      // shape this gate exists for lives in the unstaged builders
       val plan =
         if (name == "n1_minhash_neardup")
           NearDup.minhashNearDupPlan(spark, sfDir)
+            .queryExecution.executedPlan.toString
+        else if (name == "d7_containment_dedup")
+          Dedup.containmentDedupDirect(spark, sfDir)
             .queryExecution.executedPlan.toString
         else planOf(name)
       withClue(s"$name:\n") {

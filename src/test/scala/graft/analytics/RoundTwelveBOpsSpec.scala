@@ -227,13 +227,9 @@ class RoundTwelveBOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       // both consumers (pair generator, item counts) read the cache
       "InMemoryTableScan".r.findAllIn(q59Plan).length should be >= 2
     }
-    val (g1, caches) = GraphOps.eventPagerankPlan(spark,
-      graft.analytics.Tables.events(spark, sf))
-    val g1Plan = g1.queryExecution.executedPlan.toString
-    caches.foreach(_.unpersist(false))
-    withClue(g1Plan.take(2000)) {
-      g1Plan should include("InMemoryTableScan")
-    }
+    // (the second r12 victim, g1, no longer persists through Views: its
+    // rank fixpoint moved to a driver loop over the bounded edge list in
+    // r14, so q59 remains the production pin for the eviction fix)
   }
 
   test("q60 equals hand-folded interpolation and the cume_dist disc rule") {
