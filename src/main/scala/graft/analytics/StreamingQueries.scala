@@ -986,24 +986,14 @@ object StreamingQueries {
   def streamDsirScore(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     graft.functions.GraftFunctions.register(spark)
-    val lam = Views.sql(spark,
-      spark.read.parquet(s"$sfDir/documents.parquet"), "graft_s18_static_v",
-      """WITH w AS (SELECT doc_id, lang, split(lower(text), ' ') AS ws
-        |    FROM graft_s18_static_v),
-        |h AS (SELECT lang, graft_md5_prefix_hashes(
-        |      transform(sequence(1, size(ws) - 1),
-        |        i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) AS th
-        |  FROM w WHERE size(ws) >= 2),
-        |b AS (SELECT lang, bucket FROM h
-        |  LATERAL VIEW explode(transform(th, t -> t % 1024)) e AS bucket),
-        |tab AS (SELECT bucket, count(1) AS rawc,
-        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
-        |  FROM b GROUP BY bucket)
-        |SELECT map_from_entries(collect_list(struct(bucket,
-        |    CAST(length(bin(((tc + 1) * 1048576) div (rawc + 1))) - 1 - 20
-        |      AS BIGINT)))) AS lmap
-        |FROM tab""".stripMargin)
-      // FREEZE the λ table (r11 sf30 decade check): a lazy static subtree
+    // r14: the λ table comes from the shared trained-artifact stage
+    // (TextAnalytics.stagedDsirLambda — t17 consumes the same table), so
+    // the corpus-sized training aggregation runs once per (JVM, dataset)
+    // instead of once per invocation; this fold is 1024 rows → 1 map row.
+    val lam = graft.analytics.TextAnalytics.stagedDsirLambda(spark, sfDir)
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("bucket"), col("lam"))))).as("lmap"))
+      // FREEZE the λ map (r11 sf30 decade check): a lazy static subtree
       // embedded in a streaming plan RE-EXECUTES per micro-batch — the
       // corpus-sized λ aggregation ran once per file-source batch and
       // turned a ~10 s operator into 203 s at sf30. localCheckpoint

@@ -675,8 +675,46 @@ object TextAnalytics {
     * join — and docs never meet other docs. Both distributions come from
     * the SAME aggregate (a conditional sum), so the corpus is hashed
     * exactly once. */
+  /** The TRAINED DSIR λ bucket table — (bucket, lam), ≤1024 rows — staged
+    * once per (JVM, dataset) through [[StageCache]] (r14): t17's scorer
+    * and s18's streaming scorer both derive this exact table; in
+    * production it is THE trained artifact (the t21-BPE / t22-KN
+    * precedent: train once, every scorer applies it). The builder is the
+    * t17 `tab`/`lam` chain over per-occurrence bucket counts (identical
+    * totals to t17's per-doc-bf sums — sum of per-doc counts == the
+    * occurrence count). Exact BIGINT throughout, so the staged table is
+    * bit-identical to the inline derivations it replaces. */
+  private[analytics] def stagedDsirLambda(s: SparkSession, d: String,
+      nBuckets: Int = 1024): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    StageCache.getOrBuild(s, s"dsirlam:$d") {
+      Views.sql(s, documents(s, d), "graft_docs_dsirlam_v",
+        s"""WITH w AS (SELECT lang, split(lower(text), ' ') AS ws
+          |    FROM graft_docs_dsirlam_v),
+          |h AS (SELECT lang, graft_md5_prefix_hashes(
+          |      transform(sequence(1, size(ws) - 1),
+          |        i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) AS th
+          |  FROM w WHERE size(ws) >= 2),
+          |b AS (SELECT lang, bucket FROM h
+          |  LATERAL VIEW explode(transform(th, t -> t % $nBuckets)) e AS bucket),
+          |tab AS (SELECT bucket, count(1) AS rawc,
+          |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+          |  FROM b GROUP BY bucket)
+          |SELECT bucket,
+          |  CAST(length(bin(((tc + 1) * 1048576) div (rawc + 1))) - 1 - 20 AS BIGINT)
+          |    AS lam
+          |FROM tab""".stripMargin)
+    }
+  }
+
   def dsirImportance(s: SparkSession, d: String, nBuckets: Int = 1024): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // t17 deliberately keeps its λ derivation INLINE (measured r14: its
+    // one corpus pass computes the per-doc bf table anyway, and the lam
+    // branch on top of it is a ≤1024-row re-aggregation — reading the
+    // staged table instead ADDED a stage read + broadcast exchange,
+    // 0.78 → 1.05 s at sf0.1). s18, whose training pass was separate
+    // corpus work, consumes [[stagedDsirLambda]].
     Views.sql(s, documents(s, d), "graft_docs_dsir_v",
       s"""WITH w AS (SELECT doc_id, lang, split(lower(text), ' ') AS ws
         |    FROM graft_docs_dsir_v),
