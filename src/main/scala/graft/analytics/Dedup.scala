@@ -346,18 +346,35 @@ object Dedup {
     // pinned so the corpus-sized cache releases NOW (the g1/t10/q59
     // discipline); the lazy plan-shape surface stays
     // [[containmentDedupDirect]], which PlanSpec gates directly.
+    val (out, e) = containmentDedupDispatch(s, d)
+    try out.localCheckpoint(true)
+    finally { e.unpersist(false); () }
+  }
+
+  /** The LAZY dispatch seam: runs the df-profile aggregate and returns the
+    * chosen strategy's un-executed frame plus the persisted incidence cache
+    * (a no-op handle when the prefix branch already released it). Split out
+    * (ADVICE r14) so PlanSpec can gate the SHIPPED dispatch path's plan —
+    * the registered query's eager localCheckpoint truncates it — and so the
+    * prefix branch unpersists the incidence cache BEFORE the prefix builder
+    * derives its own posting table (the old shape kept a corpus-sized cache
+    * pinned through exactly the high-df regime the prefix path exists for,
+    * doubling peak memory/disk there). */
+  private[graft] def containmentDedupDispatch(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val e = containmentIncidences(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val st = e.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .agg(sum(col("df")).as("s1"), sum(col("df") * col("df")).as("s2"))
-        .head()
-      val out =
-        if (containmentDirectEligible(st.getLong(0), st.getLong(1)))
-          containmentDedupDirectOn(e)
-        else containmentDedupPrefix(s, d)
-      out.localCheckpoint(true)
-    } finally { e.unpersist(false); () }
+    val st = e.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df")).as("s1"), sum(col("df") * col("df")).as("s2"))
+      .head()
+    if (containmentDirectEligible(st.getLong(0), st.getLong(1)))
+      (containmentDedupDirectOn(e), e)
+    else {
+      // the incidence cache served only the profile aggregate here —
+      // release it before the prefix machinery builds its own tables
+      e.unpersist(false)
+      (containmentDedupPrefix(s, d), e)
+    }
   }
 
   /** The (Σdf, Σdf²) profile aggregate the dispatch reads — Σdf² is also

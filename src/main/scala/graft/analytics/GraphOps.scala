@@ -99,12 +99,32 @@ object GraphOps {
     val e = trans.filter(col("src").isNotNull)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
     val o = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    // ADVICE r14: the low-cardinality/non-null event_type contract the
+    // driver fixpoint relies on is ENFORCED here, where it now matters —
+    // the node set is fetched first through a bounded take (never an
+    // unbounded collect), so a contract violation fails with a clear
+    // message instead of a driver OOM, and a NULL event_type fails the
+    // same way instead of an NPE inside .sorted. Cap resolve order:
+    // session conf `spark.graft.pagerank.maxTypes` → 1024 (with ≤ cap
+    // nodes the edge collect below is ≤ cap² rows of (str, str, long) —
+    // bounded metadata in the KeyedMerge touched-bucket sense).
+    val maxTypes = s.conf.getOption("spark.graft.pagerank.maxTypes")
+      .map(_.toInt).getOrElse(1024)
+    val nodeRows = ev.select(col("event_type").as("etype")).distinct()
+      .take(maxTypes + 1)
+    require(nodeRows.length <= maxTypes,
+      s"g1 pagerank: > $maxTypes distinct event types — the driver-side " +
+        "fixpoint's low-cardinality contract is violated (raise " +
+        "spark.graft.pagerank.maxTypes only if the driver can hold cap² edges)")
+    require(!nodeRows.exists(_.isNullAt(0)),
+      "g1 pagerank: NULL event_type violates the non-null contract the " +
+        "driver fixpoint (and the oracle's edge derivation) assumes")
+    val nodes = nodeRows.map(_.getString(0)).sorted
     // parts-per-million transition probabilities — ≤ |types|² rows
+    // (bounded by the node-cap guard above, which ran first)
     val edges = e.join(o, "src")
       .select(col("src"), col("dst"), expr("(w * 1000000) div outw").as("pnum"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val nodes = ev.select(col("event_type").as("etype")).distinct()
-      .collect().map(_.getString(0)).sorted
     val n = nodes.length.toLong
     val sMass = S.toLong; val tele = TeleportNum.toLong; val ppm = PPM.toLong
     var rank: Map[String, Long] = nodes.map(_ -> sMass / n).toMap

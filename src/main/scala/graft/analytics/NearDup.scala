@@ -693,6 +693,20 @@ object NearDup {
     def shingle(arr: String): String =
       s"array_distinct(transform(sequence(1, size($arr) - 2), " +
         s"i -> concat_ws(' ', slice($arr, i, 3))))"
+    // r15 NEGATIVE RESULT (measured, graft.examples.Md5Probe): a native
+    // one-pass md5 signature expression (bit-identical values) was tried
+    // here and REVERTED — it made the entry 1.14 → 1.53 s at sf0.1.
+    // Forced full-sig materialization costs 9.0 s interpreted / 1.4 s
+    // native, yet the entry pays nothing like that: CollapseProject
+    // inlines these sig transforms into pr's exists() band compare, which
+    // SHORT-CIRCUITS at the first colliding band, so most (perm, shingle)
+    // md5 evaluations never happen — the interpreted HOF form is the
+    // faster plan end-to-end. A native call inlined the same way is
+    // re-evaluated whole (all 16 perms) per band slice with no
+    // short-circuit, quadrupling the md5 work. The r14 "compute-bound on
+    // ~3.7 M md5 calls" floor attribution was wrong: the entry is
+    // shingle-construction + machinery-bound (0.67 s shingles, ~0.5 s
+    // exact-Jaccard/agg, ~0.4 s job machinery).
     def sig(sh: String): String =
       s"transform(sequence(0, 15), k -> array_min(transform($sh, " +
         "x -> CAST(conv(substring(md5(CAST(concat(CAST(k AS STRING), '|', x) " +

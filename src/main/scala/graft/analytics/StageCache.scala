@@ -32,10 +32,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     staged stage is indistinguishable from an inline one to the
   *     hash gate.
   *
-  * Disk bound: one copy per (dataset, stage) for the JVM lifetime —
-  * the staged tables are the SMALL outputs of corpus-sized builds
-  * (reciprocal pair list, encoded vocab, per-doc score table), never
-  * the corpus itself.
+  * Disk bound: one copy per (dataset, stage) for the JVM lifetime.
+  * Most staged tables are the SMALL outputs of corpus-sized builds
+  * (reciprocal pair list, encoded vocab, per-doc score table). One
+  * deliberate exception (ADVICE r14): a corpus-SIZED stage is permitted
+  * when the unstaged form already wrote the same bytes to scratch per
+  * invocation, so staging strictly reduces both total I/O and peak live
+  * copies — f8/f9/f10/f12's shared CDC log (`cdclog:<dataset>`) is the
+  * one instance: it replaced three per-invocation events-sized scratch
+  * writes with one shared copy. Any new corpus-sized stage must carry
+  * the same justification at its build site; everything else stays
+  * small-output-only.
   */
 private[graft] object StageCache {
 

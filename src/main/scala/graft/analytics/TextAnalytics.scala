@@ -1548,14 +1548,22 @@ object TextAnalytics {
     * 16-hex prefix string — an injective image of the Spark-side signed
     * BIGINT, and `sig` never reaches the output, so the groupings
     * coincide. */
-  def dupNgramFraction(s: SparkSession, d: String): DataFrame =
+  def dupNgramFraction(s: SparkSession, d: String): DataFrame = {
+    // r15 (guide §4): the gram signature is the native one-pass
+    // [[graft.functions.ShingleMd5Sigs]] — bit-identical to the previous
+    // interpreted transform(sequence(..), i -> conv(substring(md5(
+    // concat_ws(' ', slice(ws, i, 8))), 1, 16), 16, -10)) chain, which
+    // allocated a gram string + 32-char hex string + conv parse per gram
+    // instance (same-JVM A/B, graft.examples.Md5Probe at sf0.1: the
+    // gram-sig pass alone 1.01 → 0.29 s; entry 1.66 → 1.10 s on the
+    // measuring boot — and unlike d15, t26's fold consumes EVERY sig, so
+    // nothing here short-circuits).
+    graft.functions.GraftFunctions.register(s)
     Views.sql(s, documents(s, d), "graft_docs_t26_v",
       """WITH w AS (SELECT doc_id, source, split(lower(text), ' ') AS ws
         |    FROM graft_docs_t26_v),
         |g AS (SELECT doc_id, source,
-        |    explode(transform(sequence(1, size(ws) - 7),
-        |      i -> CAST(conv(substring(md5(concat_ws(' ',
-        |        slice(ws, i, 8))), 1, 16), 16, -10) AS BIGINT))) AS sig
+        |    explode(graft_shingle_md5_sigs(ws, 8)) AS sig
         |  FROM w WHERE size(ws) >= 8),
         |a AS (SELECT sig, source, count(1) AS inst,
         |    count(DISTINCT doc_id) AS nd
@@ -1567,6 +1575,7 @@ object TextAnalytics {
         |    div sum(a.inst) AS dup_ppm
         |FROM a JOIN t ON t.sig = a.sig
         |GROUP BY a.source ORDER BY a.source""".stripMargin)
+  }
 
   /** t26 oracle — identical fold over the full 16-hex md5 prefix
     * (injective image of the Spark-side signed BIGINT key, so groups

@@ -705,6 +705,71 @@ case class WinnowHashes(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** `graft_shingle_md5_sigs(array<string>, n) → array<bigint>` — the full
+  * SIGNED 64-bit md5 prefix (first 16 hex chars, i.e. the first 8 digest
+  * bytes big-endian) of every word n-gram INSTANCE, one entry per position,
+  * NOT deduplicated — t26's per-instance gram signature. Bit-identical to
+  * the interpreted `transform(sequence(1, size(ws) - n + 1), i ->
+  * CAST(conv(substring(md5(concat_ws(' ', slice(ws, i, n))), 1, 16), 16,
+  * -10) AS BIGINT))` chain (r15, guide §4: the interpreted form built a
+  * shingle string, hex-encoded the digest, and re-parsed 16 hex chars per
+  * gram — this streams word bytes into a reused MessageDigest and reads
+  * the signed long straight off the digest; the same swap measured 18 s →
+  * 1 s for d4's [[ShingleMd5Hashes]]). Differs from [[ShingleMd5Hashes]]
+  * in exactly two ways, both required by t26's fold: per-INSTANCE output
+  * (duplicate grams must keep their multiplicity — `inst` counts them)
+  * and the full 64 bits (ADVICE r12: 60 bits had ~2% birthday odds at
+  * sf30's gram cardinality). */
+case class ShingleMd5Sigs(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_md5_sigs"
+
+  // MessageDigest is stateful and not thread-safe; per-thread instance
+  @transient private lazy val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  def compute(words: ArrayData): GenericArrayData = {
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val wb = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) { wb(i) = words.getUTF8String(i).getBytes; i += 1 }
+    val md = digest.get()
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var j = i
+      while (j < i + n) {
+        md.update(wb(j))
+        if (j < i + n - 1) md.update(' '.toByte)
+        j += 1
+      }
+      val d = md.digest() // digest() resets for the next shingle
+      // first 16 hex chars = first 8 bytes big-endian, SIGNED (conv(.., 16, -10))
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (d(k) & 0xFFL); k += 1 }
+      out(i) = v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("shingleSigs", this, classOf[ShingleMd5Sigs].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5Sigs =
+    copy(child = newChild)
+}
+
 /** Registration: per-session function registry (callable from any code that
   * holds the session) plus a [[org.apache.spark.sql.SparkSessionExtensions]]
   * hook for `spark.sql.extensions=graft.functions.GraftExtensions`. */
@@ -740,6 +805,9 @@ object GraftFunctions {
     // optional 2nd arg: shingle width n (a literal), default word 5-grams
     ("graft_shingle_md5_hashes", (c: Seq[Expression]) => ShingleMd5Hashes(c.head,
       if (c.length > 1) c(1).eval().asInstanceOf[Number].intValue() else 5)),
+    // optional 2nd arg: shingle width n (a literal), default word 8-grams
+    ("graft_shingle_md5_sigs", (c: Seq[Expression]) => ShingleMd5Sigs(c.head,
+      if (c.length > 1) c(1).eval().asInstanceOf[Number].intValue() else 8)),
     // optional literal args: k-gram width, winnow window (defaults 20, 16)
     ("graft_winnow_hashes", (c: Seq[Expression]) => WinnowHashes(c.head,
       if (c.length > 1) c(1).eval().asInstanceOf[Number].intValue() else 20,

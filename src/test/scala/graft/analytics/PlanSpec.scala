@@ -164,16 +164,21 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     Seq("n1_minhash_neardup", "n3_simhash_neardup", "e3_embedding_neardup",
       "d7_containment_dedup").foreach { name =>
       // n1's registered plan reads the staged pair list and d7's is an
-      // eager checkpoint over a shared incidence cache (r14); the join
-      // shape this gate exists for lives in the unstaged builders
+      // eager checkpoint (r14); the join shape this gate exists for lives
+      // in the lazy builders. d7 gates the SHIPPED dispatch seam (ADVICE
+      // r14): the pre-checkpoint plan of exactly what containmentDedup
+      // executes, so a dispatch regression to a non-equi-join shape fails
+      // here, not just in the direct-builder test below.
       val plan =
         if (name == "n1_minhash_neardup")
           NearDup.minhashNearDupPlan(spark, sfDir)
             .queryExecution.executedPlan.toString
-        else if (name == "d7_containment_dedup")
-          Dedup.containmentDedupDirect(spark, sfDir)
-            .queryExecution.executedPlan.toString
-        else planOf(name)
+        else if (name == "d7_containment_dedup") {
+          val (out, e) = Dedup.containmentDedupDispatch(spark, sfDir)
+          val p = out.queryExecution.executedPlan.toString
+          e.unpersist(false)
+          p
+        } else planOf(name)
       withClue(s"$name:\n") {
         (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
           plan.contains("BroadcastHashJoin")) shouldBe true

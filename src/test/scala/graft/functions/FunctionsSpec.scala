@@ -141,6 +141,22 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("graft_shingle_md5_sigs == per-instance signed-64 md5 prefix of concat_ws 8-grams (t26's interpreted chain)") {
+    val both = docs.selectExpr(
+      "graft_shingle_md5_sigs(ws, 8) AS native",
+      """CASE WHEN size(ws) >= 8 THEN transform(sequence(1, size(ws) - 7),
+        |  i -> CAST(conv(substring(md5(concat_ws(' ',
+        |    slice(ws, i, 8))), 1, 16), 16, -10) AS BIGINT))
+        |ELSE array() END AS composed""".stripMargin)
+    both.filter("native != composed").count() shouldBe 0
+    both.filter("size(native) > 0").count() should be > 400L
+    // per-INSTANCE means duplicates keep multiplicity: total sig count
+    // equals total gram count, not the distinct count
+    docs.selectExpr("size(graft_shingle_md5_sigs(ws, 8)) AS n",
+        "greatest(0, size(ws) - 7) AS expect")
+      .filter("n != expect").count() shouldBe 0
+  }
+
   test("graft_winnow_hashes == HOF winnowing (per-position md5, window array_min)") {
     val both = docs.sparkSession.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
