@@ -97,6 +97,16 @@ object StreamingQueries {
   private def eventsFileStream(spark: SparkSession, sfDir: String): DataFrame =
     tableFileStream(spark, sfDir, "events")
 
+  /** Memoized source schemas: every [[tableFileStream]] call paid a
+    * parquet footer-read job just to hand `readStream` its (constant per
+    * dataset) schema — ~25 streaming entries × 2 runs × ~30-60 ms per
+    * bench sweep of pure re-inference (r15; the StageCache.readFrames
+    * lesson applied to streaming sources). Keyed by session so a
+    * restarted session re-reads; stale-session entries are dropped
+    * lazily like StageCache's. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.types.StructType]()
+
   /** File-stream source for any driver table, handling both physical
     * layouts (single file vs Spark-written part-file directory — see
     * [[eventsFileStream]]'s contract note). `singleBatch` forces the
@@ -105,7 +115,9 @@ object StreamingQueries {
     * per-batch fold assumes event-time order within the batch (s12). */
   private def tableFileStream(spark: SparkSession, sfDir: String,
       table: String, singleBatch: Boolean = false): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
+    schemaMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val schema = schemaMemo.computeIfAbsent((spark, s"$sfDir/$table.parquet"),
+      k => spark.read.parquet(k._2).schema)
     val asDir = new java.io.File(s"$sfDir/$table.parquet").isDirectory
     var reader = spark.readStream.schema(schema)
     if (singleBatch) reader = reader.option("maxFilesPerTrigger", "1000000")

@@ -864,6 +864,40 @@ object TextAnalytics {
     * a rank window whose limit pushes map-side (WindowGroupLimit). */
   def bm25TopK(s: SparkSession, d: String, k: Int = 10,
       probeMax: Int = 5): DataFrame = {
+    // r15 (guide §2.4/§8, the t22/n1 staged-artifact pattern): the
+    // per-(probe, doc) exact-BIGINT score table is staged ONCE per (JVM,
+    // dataset) and both consumers — t20's top-10 and e14's top-50 lexical
+    // leg — window over it. Before this the WHOLE chain (corpus tokenize +
+    // tf/df/idf staging + posting join) ran once PER CONSUMER per sweep,
+    // and Spark inlines the multiply-referenced `tf` CTE, so each run
+    // re-derived the corpus token aggregation up to 4× (ReuseExchange is
+    // an optimization, not a contract — the t10 lesson). In production the
+    // score table of a fixed probe set is exactly the amortized artifact a
+    // search stack materializes. The stage is SMALL (≤ |probes|·|docs|
+    // id/score longs, ~99k rows at sf0.1); the top-k window is unchanged,
+    // so every consumer's output — and oracle hash — is identical
+    // (parquet roundtrips longs exactly). Non-default probeMax builds
+    // inline (no registered consumer uses one).
+    val sc =
+      if (probeMax == 5) stagedBm25Scores(s, d) else bm25Scores(s, d, probeMax)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("score_q").desc, col("doc_id"))
+    sc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("doc_id"), col("score_q"), col("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** t20's staged score table — see [[bm25TopK]]. */
+  private[analytics] def stagedBm25Scores(s: SparkSession, d: String): DataFrame =
+    StageCache.getOrBuild(s, s"bm25sc:$d")(bm25Scores(s, d))
+
+  /** The full BM25 chain up to (not including) the top-k window — the
+    * stage builder and the plan-gate surface (PlanSpec pins the sanctioned
+    * 1-row (N, Σdl) scalar-total BNLJ and the broadcast posting join on
+    * THIS lazy form, the t22 convention). */
+  private[graft] def bm25Scores(s: SparkSession, d: String,
+      probeMax: Int = 5): DataFrame = {
     Views.sql(s, documents(s, d), "graft_docs_t20_v",
       s"""WITH tf AS (SELECT doc_id, token, count(1) AS tf
         |  FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS token
@@ -899,21 +933,15 @@ object TextAnalytics {
         |    64*ib + 2*a + CASE WHEN m*m >= 2097152 THEN 1 ELSE 0 END AS idf_q64
         |  FROM l5),
         |pt AS (SELECT DISTINCT doc_id AS probe_id, token
-        |  FROM tf WHERE doc_id < $probeMax),
-        |sc AS (SELECT pt.probe_id, tf.doc_id,
+        |  FROM tf WHERE doc_id < $probeMax)
+        |SELECT pt.probe_id, tf.doc_id,
         |    sum(idf.idf_q64 *
         |        ((22528 * tf.tf * 1024) div
         |         (10240 * tf.tf + 3072 + 9 * rq.rq))) AS score_q
         |  FROM pt JOIN tf ON pt.token = tf.token AND pt.probe_id <> tf.doc_id
         |  JOIN idf ON pt.token = idf.token
         |  JOIN rq ON tf.doc_id = rq.doc_id
-        |  GROUP BY pt.probe_id, tf.doc_id)
-        |SELECT probe_id, doc_id, score_q, rnk FROM (
-        |  SELECT probe_id, doc_id, score_q,
-        |    CAST(row_number() OVER (PARTITION BY probe_id
-        |      ORDER BY score_q DESC, doc_id) AS BIGINT) AS rnk
-        |  FROM sc)
-        |WHERE rnk <= $k ORDER BY probe_id, rnk""".stripMargin)
+        |  GROUP BY pt.probe_id, tf.doc_id""".stripMargin)
   }
 
   val bm25TopKOracle: String =

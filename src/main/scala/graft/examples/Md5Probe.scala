@@ -32,7 +32,9 @@ object Md5Probe {
       df.write.format("noop").mode("overwrite").save()
 
     val docs = graft.analytics.Tables.documents(spark, sf)
-    docs.createOrReplaceTempView("md5probe_docs")
+    // Views.sql owns the only temp-view call site (ConcurrencySpec lint);
+    // "md5probe_docs" below is the placeholder it rewrites per invocation
+    def psql(text: String) = graft.analytics.Views.sql(spark, docs, "md5probe_docs", text)
     val w = "SELECT doc_id, source, split(lower(text), ' ') AS ws FROM md5probe_docs"
 
     // ---- t26 gram sigs: interpreted vs native ----
@@ -41,9 +43,9 @@ object Md5Probe {
       FROM ($w) WHERE size(ws) >= 8"""
     val t26Native = s"""SELECT doc_id, explode(graft_shingle_md5_sigs(ws, 8)) AS sig
       FROM ($w) WHERE size(ws) >= 8"""
-    time("t26-sigs-interpreted") { noop(spark.sql(t26Interp)) }
-    time("t26-sigs-native") { noop(spark.sql(t26Native)) }
-    println(s"[probe] t26 gram instances = ${spark.sql(t26Native).count()}")
+    time("t26-sigs-interpreted") { noop(psql(t26Interp)) }
+    time("t26-sigs-native") { noop(psql(t26Native)) }
+    println(s"[probe] t26 gram instances = ${psql(t26Native).count()}")
 
     // ---- d15: phase split on the calibration window ----
     val shA = "array_distinct(transform(sequence(1, size(sw) - 2), i -> concat_ws(' ', slice(sw, i, 3))))"
@@ -58,10 +60,10 @@ object Md5Probe {
             WHERE size(ws) >= 3)"""
     val sigInterp = (sh: String) => s"""transform(sequence(0, 15), k -> array_min(transform($sh,
       x -> CAST(conv(substring(md5(CAST(concat(CAST(k AS STRING), '|', x) AS BINARY)), 1, 15), 16, 10) AS BIGINT))))"""
-    time("d15-shingles-only") { noop(spark.sql(tCte)) }
-    time("d15-sig-interpreted") { noop(spark.sql(
+    time("d15-shingles-only") { noop(psql(tCte)) }
+    time("d15-sig-interpreted") { noop(psql(
       s"SELECT doc_id, p, ${sigInterp("sha")} AS siga, ${sigInterp("shb")} AS sigb FROM ($tCte) WHERE size(sha) > 0 AND size(shb) > 0")) }
-    time("d15-jaccard-only") { noop(spark.sql(
+    time("d15-jaccard-only") { noop(psql(
       s"""SELECT CAST(least(9, floor((CAST(size(array_intersect(sha, shb)) AS DOUBLE)
         / size(array_distinct(concat(sha, shb)))) * 10)) AS BIGINT) AS bucket
         FROM ($tCte)""")) }
@@ -84,8 +86,8 @@ object Md5Probe {
       SELECT bucket, count(1) AS n_pairs, CAST(sum(coll) AS BIGINT) AS n_collide,
         (CAST(sum(coll) AS BIGINT) * 1000000) div count(1) AS collide_ppm
       FROM pr GROUP BY bucket ORDER BY bucket"""
-    time("d15-full-OLD-interpreted") { spark.sql(oldFull).count(); () }
-    println(s"[probe] d15 window rows = ${spark.sql(tCte).count()}")
+    time("d15-full-OLD-interpreted") { psql(oldFull).count(); () }
+    println(s"[probe] d15 window rows = ${psql(tCte).count()}")
     spark.stop()
   }
 }

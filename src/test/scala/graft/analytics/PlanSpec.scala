@@ -127,6 +127,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       "n1_minhash_neardup" -> (() =>
         NearDup.minhashNearDupPlan(spark, sfDir)
           .queryExecution.executedPlan.toString),
+      // r15: the registered t20 windows over the staged score table
+      // (shared with e14's lexical leg); the BM25 chain — whose
+      // sanctioned 1-row (N, Σdl) scalar-total BNLJ this gate pins —
+      // is the unstaged builder
+      "t20_bm25_topk" -> (() =>
+        TextAnalytics.bm25Scores(spark, sfDir)
+          .queryExecution.executedPlan.toString),
     )
     planBased.foreach { name =>
       val plan = lazyOverrides.get(name).map(_()).getOrElse(planOf(name))
